@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate.
+
+Usage: python3 tools/check.py <outDir> <sfDir> [query ...]
+
+Reads each <outDir>/<name> parquet (written by graft.Verify), runs the
+matching oracle SQL from <outDir>/oracle_sql.json in DuckDB with every
+testdata table registered as a view, sorts columns by name, canonicalizes
+values to strings, and diffs. Exit 0 iff all match.
+"""
+import sys, json, math, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failed, passed, skipped = [], [], []
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+        if not files:
+            failed.append((name, "no spark output"))
+            continue
+        got_rel = con.execute(
+            "SELECT * FROM read_parquet([" + ",".join(f"'{f}'" for f in files) + "])")
+        got_cols = [d[0] for d in got_rel.description]
+        got = got_rel.fetchall()
+        try:
+            exp_rel = con.execute(oracle[name])
+            exp_cols = [d[0] for d in exp_rel.description]
+            exp = exp_rel.fetchall()
+        except Exception as e:
+            failed.append((name, f"oracle error: {e}"))
+            continue
+        if sorted(got_cols) != sorted(exp_cols):
+            failed.append((name, f"cols: spark={sorted(got_cols)} duck={sorted(exp_cols)}"))
+            continue
+        gidx = [got_cols.index(c) for c in sorted(got_cols)]
+        eidx = [exp_cols.index(c) for c in sorted(exp_cols)]
+        g = sorted(tuple(canon(r[i]) for i in gidx) for r in got)
+        e = sorted(tuple(canon(r[i]) for i in eidx) for r in exp)
+        if g == e:
+            passed.append(name)
+        else:
+            msg = f"rows: spark={len(g)} duck={len(e)}"
+            for i, (a, b) in enumerate(zip(g, e)):
+                if a != b:
+                    msg += f"; first diff @ {i}:\n  spark={a}\n  duck ={b}"
+                    break
+            failed.append((name, msg))
+    for n in passed:
+        print(f"PASS {n}")
+    for n, m in failed:
+        print(f"FAIL {n}: {m}")
+    print(f"\n{len(passed)} passed, {len(failed)} failed")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
