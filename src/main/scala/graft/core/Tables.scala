@@ -15,9 +15,19 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  /** Load one driver testdata table (TESTDATA.md layout). */
+  /** Load one driver testdata table (TESTDATA.md layout).
+    *
+    * `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark
+    * rejects outright; read it as a long (nanos since epoch) and floor-divide
+    * to micros — the same truncation DuckDB applies when it loads the file
+    * into its microsecond TIMESTAMP, so both engines see identical values.
+    */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Exact decimal view of a double column — makes aggregation
     * order-independent and engine-portable. */
