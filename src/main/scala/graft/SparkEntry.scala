@@ -13,10 +13,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalA.queries ++ RelationalB.queries
+    RelationalA.queries ++ RelationalB.queries ++ TextOps.queries ++
+      SimilarityOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalA.oracle ++ RelationalB.oracle
+    RelationalA.oracle ++ RelationalB.oracle ++ TextOps.oracle ++
+      SimilarityOps.oracle
 }

@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables._
+
+/** Embedding similarity + multimodal-column operators (SURVEY.md §2B Q32,
+  * Q47 + the training-pipeline extensions).
+  *
+  * Scale design: the exact top-k (Q32) broadcasts the small query set
+  * against the corpus — a map-side-only plan, no shuffle until the final
+  * per-query top-k (which is a windowed partial top-k). The label-blocked
+  * near-dup bounds its self-join per block. The IVF/LSH scale paths live
+  * in [[graft.similarity.AnnIvf]] / [[graft.dedup.MinHashDedup]].
+  */
+object SimilarityOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Sequential left-fold dot product — same evaluation order as DuckDB's
+    * list_cosine_similarity single pass, so IEEE results agree to the
+    * last ulp in practice; outputs are still rounded to 6 dp. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  val queries: Map[String, Q] = Map(
+    // Q32 — exact cosine top-5 for query vectors vec_id < 10.
+    "q32_cosine_topk" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cand_id"),
+          round(cosine(col("qemb"), col("emb")), 6).as("cos_sim"))
+      val w = Window.partitionBy("qid").orderBy(desc("cos_sim"), asc("cand_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .orderBy("qid", "rn")
+    },
+
+    // Embedding-cosine near-dup: label-blocked exact pairs above 0.35.
+    "q_embed_neardup" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("emb"))
+      val a = e.select(col("vec_id").as("id1"), col("label"), col("emb").as("emb1"))
+      val b = e.select(col("vec_id").as("id2"), col("label").as("label2"), col("emb").as("emb2"))
+      a.join(b, col("label") === col("label2") && col("id1") < col("id2"))
+        .select(col("id1"), col("id2"), col("label"),
+          round(cosine(col("emb1"), col("emb2")), 6).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.35)
+        .orderBy("id1", "id2")
+    },
+
+    // Q47 — multimodal row: text + vector + struct metadata in one frame,
+    // filtered/projected through nested fields.
+    "q47_multimodal_join" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"), col("label"))
+      docs.join(emb, col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("text"), col("emb"),
+          struct(col("lang"), col("source"), col("n_chars")).as("meta"))
+        .filter(col("meta.n_chars") > 100)
+        .select(col("doc_id"),
+          col("meta.lang").as("lang"),
+          col("meta.source").as("source"),
+          col("meta.n_chars").as("n_chars"),
+          size(col("emb")).cast("long").as("dim"),
+          round(element_at(col("emb"), 1), 6).as("emb_head"))
+        .orderBy("doc_id")
+    },
+
+    // Multimodal binary plumbing: opaque binary payload column + typed
+    // metadata derived without decoding (decode itself is the stubbed
+    // path in graft.multimodal.MediaPipeline).
+    "q_binary_meta" -> { (s, dir) =>
+      val bin = col("text").cast("binary")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(bin).cast("long").as("byte_len"),
+          hex(substring(col("text"), 1, 4)).as("head_hex"),
+          md5(col("text")).as("body_md5"))
+        .orderBy("doc_id")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q32_cosine_topk" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 10),
+      s AS (SELECT qid, e.vec_id AS cand_id,
+                   round(list_cosine_similarity(qemb, emb), 6) AS cos_sim
+            FROM q JOIN e ON e.vec_id <> qid),
+      r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cand_id) AS rn
+            FROM s)
+      SELECT qid, cand_id, cos_sim, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""",
+
+    "q_embed_neardup" -> """
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+      SELECT a.vec_id AS id1, b.vec_id AS id2, a.label,
+             round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.35
+      ORDER BY id1, id2""",
+
+    "q47_multimodal_join" -> """
+      SELECT doc_id, lang, source, n_chars,
+             CAST(len(embedding) AS BIGINT) AS dim,
+             round(CAST(embedding[1] AS DOUBLE), 6) AS emb_head
+      FROM documents JOIN embeddings ON doc_id = vec_id
+      WHERE n_chars > 100
+      ORDER BY doc_id""",
+
+    "q_binary_meta" -> """
+      SELECT doc_id,
+             CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+             hex(substring(text, 1, 4)) AS head_hex,
+             md5(text) AS body_md5
+      FROM documents ORDER BY doc_id"""
+  )
+}

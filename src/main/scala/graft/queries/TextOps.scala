@@ -1,0 +1,249 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables._
+
+/** Text / LLM-training-data operators over the `documents` table: exact
+  * dedup (Q30), exact near-dup via token Jaccard (Q31), the reference's
+  * WordCount semantics (Q33 — tokenize on `[#%?!. ]`, lowercase, drop
+  * stopwords; /root/reference/src/main/scala/com/highperformancespark/
+  * robinsparkles/WordCount.scala:15-27), language-ID heuristic, quality
+  * scoring, token counting, fingerprinting, and SimHash.
+  *
+  * Portability trick used throughout: content hashes that must agree with
+  * the DuckDB oracle are derived from md5 hex strings (identical in every
+  * engine) rather than engine-native hash functions. SimHash bits come
+  * from md5 hex-char arithmetic for the same reason.
+  *
+  * Scale notes: Q31's token self-join is blocked on (lang, source) — at
+  * 100 TB the quadratic pair expansion is bounded per block, and the
+  * MinHash-LSH path (Dedup.scala) replaces it entirely. All token
+  * explodes aggregate map-side before shuffling (groupBy on
+  * (doc_id, tok) after explode).
+  */
+object TextOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val enMarkers = Seq("the", "a", "of", "and", "is", "in", "to")
+
+  val queries: Map[String, Q] = Map(
+    // Q30 — exact dedup: keep min doc_id per distinct text, count per lang.
+    "q30_exact_dedup" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val reps = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
+      docs.join(reps, "doc_id")
+        .groupBy("lang").agg(count(lit(1)).as("survivors"))
+        .orderBy("lang")
+    },
+
+    // Q31 — exact near-dup: token-set Jaccard >= 0.5 within (lang, source)
+    // blocks. Exact oracle for the MinHash recall check.
+    "q31_jaccard_pairs" -> { (s, dir) =>
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .filter(col("tok") =!= "")
+      val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val inter = tok.as("a").join(tok.as("b"),
+          col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .agg(count(lit(1)).as("ix"))
+      val jac = col("ix").cast("double") /
+        (col("s1.sz") + col("s2.sz") - col("ix"))
+      inter.join(sizes.as("s1"), col("id1") === col("s1.doc_id"))
+        .join(sizes.as("s2"), col("id2") === col("s2.doc_id"))
+        .filter(jac >= 0.5)
+        .select(col("id1"), col("id2"), round(jac, 6).as("jaccard"))
+        .orderBy("id1", "id2")
+    },
+
+    // Q33 — reference WordCount port: separators [#%?!. ], lowercase,
+    // stopword filter (default stopword set = {"the"}), top 20.
+    "q33_wordcount" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(split(lower(col("text")), "[#%?!. ]")).as("token"))
+        .filter(col("token") =!= "" && !col("token").isin("the"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("token"))
+        .limit(20)
+    },
+
+    // Language-ID heuristic: marker-token ratio (n-gram-profile stand-in;
+    // deterministic and oracle-checkable).
+    "q_lang_id" -> { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val markers = size(filter(toks, x => x.isin(enMarkers: _*)))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          round(markers.cast("double") / size(toks), 6).as("marker_ratio"),
+          when(markers.cast("double") / size(toks) > 0.05, "en")
+            .otherwise("und").as("pred_lang"))
+        .orderBy("doc_id")
+    },
+
+    // Quality scoring: length, stopword ratio, type-token ratio.
+    "q_quality_score" -> { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val nTok = size(toks)
+      val nDistinct = size(array_distinct(toks))
+      val nStop = size(filter(toks, x => x.isin(enMarkers: _*)))
+      val ttr = nDistinct.cast("double") / nTok
+      val stopRatio = nStop.cast("double") / nTok
+      val lenScore = least(nTok.cast("double") / 50, lit(1.0))
+      t(s, dir, "documents")
+        .select(col("doc_id"), nTok.cast("long").as("n_tok"),
+          nDistinct.cast("long").as("n_distinct"),
+          round(stopRatio, 6).as("stop_ratio"),
+          round(ttr, 6).as("ttr"),
+          round(lit(0.4) * lenScore + lit(0.3) * (lit(1.0) - stopRatio)
+            + lit(0.3) * ttr, 6).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // Token counting: whitespace tokens vs word-regex tokens vs chars.
+    "q_token_count" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("tok_ws"),
+          size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).cast("long").as("tok_re"),
+          length(col("text")).cast("long").as("chars"))
+        .orderBy("doc_id")
+    },
+
+    // Document fingerprint: md5 content hash (portable across engines)
+    // + per-source distinct-fingerprint rollup folded in as a window count.
+    "q_fingerprint" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // SimHash (48-bit) from md5 hex-char bits, weighted by token count.
+    // Declarative SQL; portable bit extraction via hex-char arithmetic.
+    "q_simhash" -> { (s, dir) =>
+      t(s, dir, "documents").createOrReplaceTempView("documents")
+      s.sql(SimhashSql.spark)
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q30_exact_dedup" -> """
+      WITH reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)
+      SELECT lang, count(*) AS survivors
+      FROM documents JOIN reps USING (doc_id)
+      GROUP BY lang ORDER BY lang""",
+
+    "q31_jaccard_pairs" -> """
+      WITH tok AS (
+        SELECT DISTINCT doc_id, lang, source, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      tokf AS (SELECT * FROM tok WHERE tok <> ''),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM tokf GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ix
+        FROM tokf a JOIN tokf b
+          ON a.lang = b.lang AND a.source = b.source
+         AND a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id1, id2,
+             round(CAST(ix AS DOUBLE) / (s1.sz + s2.sz - ix), 6) AS jaccard
+      FROM inter
+      JOIN sizes s1 ON id1 = s1.doc_id
+      JOIN sizes s2 ON id2 = s2.doc_id
+      WHERE CAST(ix AS DOUBLE) / (s1.sz + s2.sz - ix) >= 0.5
+      ORDER BY id1, id2""",
+
+    "q33_wordcount" -> """
+      WITH tk AS (
+        SELECT unnest(regexp_split_to_array(lower(text), '[#%?!. ]')) AS token
+        FROM documents)
+      SELECT token, count(*) AS cnt FROM tk
+      WHERE token <> '' AND token NOT IN ('the')
+      GROUP BY token ORDER BY cnt DESC, token LIMIT 20""",
+
+    "q_lang_id" -> """
+      WITH m AS (
+        SELECT doc_id,
+          len(list_filter(string_split(text, ' '),
+              x -> x IN ('the','a','of','and','is','in','to'))) AS markers,
+          len(string_split(text, ' ')) AS n_tok
+        FROM documents)
+      SELECT doc_id,
+             round(CAST(markers AS DOUBLE) / n_tok, 6) AS marker_ratio,
+             CASE WHEN CAST(markers AS DOUBLE) / n_tok > 0.05
+                  THEN 'en' ELSE 'und' END AS pred_lang
+      FROM m ORDER BY doc_id""",
+
+    "q_quality_score" -> """
+      WITH m AS (
+        SELECT doc_id,
+          len(string_split(text, ' ')) AS n_tok,
+          len(list_distinct(string_split(text, ' '))) AS n_distinct,
+          len(list_filter(string_split(text, ' '),
+              x -> x IN ('the','a','of','and','is','in','to'))) AS n_stop
+        FROM documents)
+      SELECT doc_id,
+             CAST(n_tok AS BIGINT) AS n_tok,
+             CAST(n_distinct AS BIGINT) AS n_distinct,
+             round(CAST(n_stop AS DOUBLE) / n_tok, 6) AS stop_ratio,
+             round(CAST(n_distinct AS DOUBLE) / n_tok, 6) AS ttr,
+             round(0.4 * least(CAST(n_tok AS DOUBLE) / 50, 1.0)
+                 + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tok)
+                 + 0.3 * CAST(n_distinct AS DOUBLE) / n_tok, 6) AS quality
+      FROM m ORDER BY doc_id""",
+
+    "q_token_count" -> """
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_ws,
+             CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS tok_re,
+             CAST(length(text) AS BIGINT) AS chars
+      FROM documents ORDER BY doc_id""",
+
+    "q_fingerprint" -> """
+      SELECT doc_id, source, md5(text) AS fp
+      FROM documents ORDER BY doc_id""",
+
+    "q_simhash" -> SimhashSql.duck
+  )
+}
+
+/** Shared SimHash SQL — same algorithm spelled in each dialect.
+  * 48 bits from the first 12 md5 hex chars of each distinct token,
+  * weighted by the token's in-document count; bit b of the signature is 1
+  * iff the weighted ±1 vote sum over tokens is positive.
+  */
+object SimhashSql {
+  val spark: String = """
+    WITH tok AS (
+      SELECT doc_id, tok, count(*) AS cnt FROM (
+        SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents)
+      WHERE tok <> '' GROUP BY doc_id, tok),
+    bits AS (
+      SELECT doc_id, b,
+             sum(cnt * (2 * (((instr('0123456789abcdef',
+                   substring(md5(tok), CAST(b / 4 AS INT) + 1, 1)) - 1)
+                 div CAST(pow(2, b % 4) AS INT)) % 2) - 1)) AS vote
+      FROM tok LATERAL VIEW explode(sequence(0, 47)) AS b
+      GROUP BY doc_id, b)
+    SELECT doc_id,
+           sum(CASE WHEN vote > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS simhash
+    FROM bits GROUP BY doc_id ORDER BY doc_id"""
+
+  val duck: String = """
+    WITH tok AS (
+      SELECT doc_id, tok, count(*) AS cnt FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE tok <> '' GROUP BY doc_id, tok),
+    bits AS (
+      SELECT doc_id, b,
+             sum(cnt * (2 * ((CAST(instr('0123456789abcdef',
+                   substring(md5(tok), CAST(b // 4 AS INT) + 1, 1)) - 1 AS INT)
+                 // CAST(pow(2, b % 4) AS INT)) % 2) - 1)) AS vote
+      FROM tok, (SELECT unnest(range(0, 48)) AS b)
+      GROUP BY doc_id, b)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN vote > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id ORDER BY doc_id"""
+}
