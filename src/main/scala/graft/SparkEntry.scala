@@ -14,11 +14,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalA.queries ++ RelationalB.queries ++ TextOps.queries ++
-      SimilarityOps.queries
+      SimilarityOps.queries ++ EventOps.queries ++ UdfOps.queries ++ Map(
+        "q43_minhash_lsh" -> (graft.dedup.MinHashDedup.query _),
+        "q_ann_ivf" -> (graft.similarity.AnnIvf.query _),
+        "q_multimodal_features" -> (graft.multimodal.MediaPipeline.query _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalA.oracle ++ RelationalB.oracle ++ TextOps.oracle ++
-      SimilarityOps.oracle
+      SimilarityOps.oracle ++ EventOps.oracle ++ UdfOps.oracle
 }

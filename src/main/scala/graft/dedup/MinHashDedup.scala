@@ -1,0 +1,105 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables._
+
+/** MinHash + LSH near-duplicate detection — the 100 TB scale path for
+  * Q31's exact token-Jaccard pairs (SURVEY.md §2B Q43).
+  *
+  * Pipeline (all equi-join shuffles, never a global cross join):
+  *   1. tokenize → distinct (doc, token) pairs
+  *   2. token → 64-bit hash (xxhash64), then NUM_HASHES universal-hash
+  *      permutations h_i(x) = (a_i·x + b_i) mod p, min per doc — computed
+  *      as one groupBy with NUM_HASHES min() aggregates (single shuffle)
+  *   3. signature → BANDS bands of ROWS_PER_BAND values; band signature =
+  *      xxhash64 of the band's values
+  *   4. candidate pairs = docs sharing any (block, band, signature)
+  *      bucket — a self-equi-join on the bucket key. The (lang, source)
+  *      block key mirrors Q31's blocking and bounds bucket sizes.
+  *   5. exact Jaccard rerank of candidates only (array_intersect on the
+  *      per-doc distinct token arrays), keep pairs ≥ threshold
+  *
+  * Band shape 32×2 gives candidate probability 1-(1-j²)³² — ≥ 0.9996 at
+  * j = 0.5, so recall vs the exact Q31 pairs is ~1 (asserted in the spec).
+  * Determinism: fixed seed → fixed (a_i, b_i); no RNG at runtime.
+  */
+object MinHashDedup {
+  val NUM_HASHES = 64
+  val BANDS = 32
+  val ROWS_PER_BAND: Int = NUM_HASHES / BANDS
+  /** Mersenne prime 2^31 - 1 — universal-hash modulus. 31-bit operands
+    * keep h·a within a long (≤ 2^62), so the codegen'd integer math never
+    * overflows under ANSI mode (Spark 4 default). */
+  val PRIME: Long = (1L << 31) - 1
+
+  /** Deterministic hash-family coefficients from a fixed-seed SplitMix64
+    * stream (public-domain constants, Steele et al.). */
+  private def coeffs(seed: Long, n: Int): Array[(Long, Long)] = {
+    var x = seed
+    def next(): Long = {
+      x += 0x9e3779b97f4a7c15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Array.fill(n)(((next() & Long.MaxValue) % PRIME | 1L, (next() & Long.MaxValue) % PRIME))
+  }
+
+  /** Distinct (doc_id, block keys, tok) rows. */
+  def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), col("source"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .filter(col("tok") =!= "")
+
+  /** One row per doc with the NUM_HASHES minhash signature values. */
+  def signatures(docs: DataFrame, seed: Long = 42L): DataFrame = {
+    val cs = coeffs(seed, NUM_HASHES)
+    val h = pmod(xxhash64(col("tok")), lit(PRIME))
+    val mins: Seq[Column] = cs.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(h * lit(a) + lit(b), lit(PRIME))).as(s"mh_$i")
+    }.toSeq
+    tokens(docs).groupBy("doc_id", "lang", "source").agg(mins.head, mins.tail: _*)
+  }
+
+  /** (doc_id, block keys, band, band_sig) — LSH bucket keys. */
+  def bandSignatures(sigs: DataFrame): DataFrame = {
+    val bandCols: Seq[Column] = (0 until BANDS).map { b =>
+      val slice = (0 until ROWS_PER_BAND).map(r => col(s"mh_${b * ROWS_PER_BAND + r}"))
+      struct(lit(b).as("band"), xxhash64(concat_ws("_", slice: _*)).as("sig"))
+    }
+    sigs.select(col("doc_id"), col("lang"), col("source"),
+        explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** Candidate pairs (id1 < id2) from shared LSH buckets within a block. */
+  def candidatePairs(bands: DataFrame): DataFrame =
+    bands.as("x").join(bands.as("y"),
+        col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      .distinct()
+
+  /** Full pipeline: candidates reranked with exact Jaccard ≥ threshold. */
+  def nearDuplicates(docs: DataFrame, threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+    val cands = candidatePairs(bandSignatures(signatures(docs, seed)))
+    val tokSets = docs.select(col("doc_id"),
+      array_distinct(filter(split(col("text"), " "), _ =!= "")).as("toks"))
+    val jac = size(array_intersect(col("toks1"), col("toks2"))).cast("double") /
+      size(array_union(col("toks1"), col("toks2")))
+    cands
+      .join(tokSets.select(col("doc_id").as("id1"), col("toks").as("toks1")), "id1")
+      .join(tokSets.select(col("doc_id").as("id2"), col("toks").as("toks2")), "id2")
+      .select(col("id1"), col("id2"), round(jac, 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("id1", "id2")
+  }
+
+  /** Registry entry (rows-only driver check; recall vs Q31 in the spec). */
+  def query(s: SparkSession, dir: String): DataFrame =
+    nearDuplicates(t(s, dir, "documents"))
+}

@@ -27,6 +27,17 @@ object TextOps {
 
   private val enMarkers = Seq("the", "a", "of", "and", "is", "in", "to")
 
+  /** Reference WordCount semantics (/root/reference/.../WordCount.scala:15-27):
+    * split on the separator class, trim+lowercase, drop empties and
+    * (lowercased) stopwords, count per token. */
+  def wordCount(docs: DataFrame, sepClass: String, stopWords: Seq[String]): DataFrame = {
+    val lcStop = stopWords.map(_.toLowerCase)
+    docs.select(explode(split(col("text"), sepClass)).as("raw"))
+      .select(lower(trim(col("raw"))).as("token"))
+      .filter(col("token") =!= "" && !col("token").isin(lcStop: _*))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Q30 — exact dedup: keep min doc_id per distinct text, count per lang.
     "q30_exact_dedup" -> { (s, dir) =>
@@ -62,10 +73,7 @@ object TextOps {
     // Q33 — reference WordCount port: separators [#%?!. ], lowercase,
     // stopword filter (default stopword set = {"the"}), top 20.
     "q33_wordcount" -> { (s, dir) =>
-      t(s, dir, "documents")
-        .select(explode(split(lower(col("text")), "[#%?!. ]")).as("token"))
-        .filter(col("token") =!= "" && !col("token").isin("the"))
-        .groupBy("token").agg(count(lit(1)).as("cnt"))
+      wordCount(t(s, dir, "documents"), "[#%?!. ]", Seq("the"))
         .orderBy(desc("cnt"), asc("token"))
         .limit(20)
     },

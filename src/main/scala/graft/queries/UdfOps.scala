@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables._
+import graft.functions.Udfs
+
+/** Q36 UDF/UDAF/UDTF surface + Q37 approximate distinct.
+  *
+  * UDFs are a last resort in this engine (they block codegen); they exist
+  * here because the declared surface requires demonstrating them. The
+  * Jaccard UDF is the same function the MinHash rerank uses.
+  */
+object UdfOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Q36a — scalar UDF: Jaccard of consecutive documents' token sets.
+    "q36_udf_jaccard" -> { (s, dir) =>
+      val jac = udf(Udfs.jaccard _)
+      val docs = t(s, dir, "documents")
+      val a = docs.select(col("doc_id").as("id1"), split(col("text"), " ").as("toks1"))
+      val b = docs.select(col("doc_id").as("id2"), split(col("text"), " ").as("toks2"))
+      a.join(b, col("id2") === col("id1") + 1)
+        .select(col("id1"), col("id2"),
+          round(jac(col("toks1"), col("toks2")), 6).as("jaccard"))
+        .orderBy("id1")
+    },
+
+    // Q36b — typed Aggregator (UDAF): priority-weighted mean order price
+    // per status. Weight = 6 - priority digit (URGENT=5 … LOW=1).
+    "q36_udaf_weighted_mean" -> { (s, dir) =>
+      import s.implicits._
+      val wm = udaf(Udfs.WeightedMean)
+      t(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_totalprice"),
+          (lit(6) - substring(col("o_orderpriority"), 1, 1).cast("int")).as("w"))
+        .groupBy("o_orderstatus")
+        .agg(round(wm(col("o_totalprice"), col("w")), 6).as("wmean"))
+        .orderBy("o_orderstatus")
+    },
+
+    // Q36c — generator (UDTF-style): posexplode of tokens.
+    "q36_posexplode" -> { (s, dir) =>
+      t(s, dir, "documents").filter(col("doc_id") < 20)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .withColumnRenamed("col", "tok")
+        .filter(col("tok") =!= "")
+        .orderBy("doc_id", "pos")
+    },
+
+    // Q37 — approx_count_distinct (HLL++). No DuckDB oracle (tolerance
+    // class); driver records a rows-only check. A scalatest spec asserts
+    // the ±5% bound against the exact count.
+    "q37_approx_distinct" -> { (s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_nd_part"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q36_udf_jaccard" -> """
+      WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents)
+      SELECT a.doc_id AS id1, b.doc_id AS id2,
+             round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                   / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
+      FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+      ORDER BY id1""",
+
+    "q36_udaf_weighted_mean" -> """
+      SELECT o_orderstatus,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))
+                            * (6 - CAST(substring(o_orderpriority, 1, 1) AS INT))) AS DOUBLE)
+                   / sum(6 - CAST(substring(o_orderpriority, 1, 1) AS INT)), 6) AS wmean
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q36_posexplode" -> """
+      SELECT doc_id, i - 1 AS pos, string_split(text, ' ')[i] AS tok
+      FROM documents, (SELECT unnest(range(1, 201)) AS i)
+      WHERE doc_id < 20 AND i <= len(string_split(text, ' '))
+        AND string_split(text, ' ')[i] <> ''
+      ORDER BY doc_id, pos"""
+  )
+}

@@ -1,0 +1,46 @@
+package graft
+
+import graft.multimodal.MediaPipeline
+import graft.multimodal.MediaPipeline.MediaRow
+
+/** Multimodal plumbing: typed schema, mapPartitions batch shape, and
+  * decode-stub determinism (the codec itself is stubbed — container has
+  * no media libraries; SURVEY.md north star). */
+class MediaPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val payloads = Seq(
+    MediaRow(1L, "image/fake", Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10)),
+    MediaRow(2L, "audio/fake", "hello world hello world".getBytes("UTF-8")),
+    MediaRow(3L, "video/fake", Array.tabulate(256)(i => (i % 127).toByte)))
+
+  test("extract produces deterministic fake features with correct schema") {
+    val ds = spark.createDataset(payloads).repartition(2)
+    val out1 = MediaPipeline.extract(ds).collect().sortBy(_.docId)
+    val out2 = MediaPipeline.extract(ds).collect().sortBy(_.docId)
+    assert(out1.length == 3)
+    assert(out1.map(_.byteLen).toSeq == Seq(10, 23, 256))
+    // determinism across runs and partitionings
+    out1.zip(out2).foreach { case (a, b) =>
+      assert(a.width == b.width && a.height == b.height)
+      assert(a.featureVec.toSeq == b.featureVec.toSeq)
+      assert(a.frameSample.toSeq == b.frameSample.toSeq)
+    }
+    // dimensions are in the fake decoder's declared range
+    out1.foreach { f =>
+      assert(f.width >= 64 && f.width < 64 + 1024)
+      assert(f.height >= 64 && f.height < 64 + 1024)
+    }
+  }
+
+  test("frame sample takes every 8th byte up to 16 frames") {
+    val fs = MediaPipeline.frameSample(Array.tabulate(200)(_.toByte))
+    assert(fs.toSeq == (0 until 200 by 8).take(16).map(_.toByte))
+  }
+
+  test("registry query runs over documents payloads") {
+    val df = MediaPipeline.query(spark, sf)
+    assert(df.count() > 0)
+    assert(df.columns.toSeq == Seq("doc_id", "byte_len", "width", "height", "f0"))
+  }
+}

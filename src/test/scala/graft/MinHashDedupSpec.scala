@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.dedup.MinHashDedup
+import graft.queries.TextOps
+
+/** Q43 gate: MinHash-LSH candidate recall vs the exact Q31 Jaccard pairs
+  * (SURVEY.md §2B — recall ≥ 0.9 on sf0.001; band shape 32×2 should give
+  * ~1.0). Precision is 1.0 by construction (exact rerank). */
+class MinHashDedupSpec extends SparkSpec {
+
+  test("minhash-lsh finds >=90% of exact jaccard>=0.5 pairs, no false positives") {
+    val exact = TextOps.queries("q31_jaccard_pairs")(spark, sf)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = MinHashDedup.query(spark, sf)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "exact pair set must not be empty for a meaningful recall check")
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall below 0.9 (missed ${(exact diff approx).size})")
+    // Rerank keeps only true pairs, and blocking matches Q31's: no extras.
+    assert((approx diff exact).isEmpty, s"unexpected pairs: ${(approx diff exact).take(5)}")
+  }
+
+  test("signatures are deterministic across runs") {
+    val docs = Tables.t(spark, sf, "documents").limit(50)
+    val a = MinHashDedup.signatures(docs).orderBy("doc_id").collect()
+    val b = MinHashDedup.signatures(docs).orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+  }
+}
