@@ -17,7 +17,8 @@ object SparkEntry {
       SimilarityOps.queries ++ EventOps.queries ++ UdfOps.queries ++ Map(
         "q43_minhash_lsh" -> (graft.dedup.MinHashDedup.query _),
         "q_ann_ivf" -> (graft.similarity.AnnIvf.query _),
-        "q_multimodal_features" -> (graft.multimodal.MediaPipeline.query _))
+        "q_multimodal_features" -> (graft.multimodal.MediaPipeline.query _),
+        "q_tuner_loop" -> (graft.tuner.TunerDemo.query _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -1,0 +1,54 @@
+package graft.tuner
+
+import org.apache.spark.sql.SparkSession
+
+/** The tuning loop (reference EP1, CountingApp.scala:61-84) rebuilt around
+  * SparkSession: read history → pick the most-shuffle-expensive stage
+  * series → recommend a partition count → apply → record this run.
+  *
+  * Spark-4 adaptation: `spark.sql.shuffle.partitions` is runtime-settable,
+  * so the recommendation applies to the *current* session immediately;
+  * `spark.default.parallelism` (RDD world) only applies to the next
+  * session and is returned for the caller's builder.
+  */
+class Tuner(metricsRoot: String, appName: String) {
+  val store = new MetricsStore(metricsRoot, appName)
+
+  /** Recommendation from recorded history (empty history → cold start). */
+  def recommendPartitions(spark: SparkSession): Int = {
+    val history = store.history(spark)
+    val target = StageRunInfo.stagesWithMostExpensiveShuffle(history)
+    val conf = spark.conf.getAll
+    new ComputePartitions(conf).fromStageMetricSharedCluster(target)
+  }
+
+  /** Apply recommendation to this session and return it. */
+  def applyTo(spark: SparkSession): Int = {
+    val p = recommendPartitions(spark)
+    spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+    p
+  }
+
+  /** Run `body` with metrics recording; flush as the next run id. Returns
+    * (result, runId). */
+  def withRecording[T](spark: SparkSession)(body: => T): (T, Int) = {
+    val runId = store.nextRunId(spark)
+    val listener = new MetricsListener(runId)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val result = body
+      // Listener-bus events are async; wait for the queue to drain before
+      // flushing so the recorded run is complete.
+      org.apache.spark.graftaccess.ListenerBusAccess.waitUntilEmpty(spark.sparkContext)
+      store.persist(spark, listener, runId)
+      (result, runId)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  /** Full loop step: tune from history, then record this run. */
+  def tuneAndRun[T](spark: SparkSession)(body: => T): (T, Int, Int) = {
+    val partitions = applyTo(spark)
+    val (result, runId) = withRecording(spark)(body)
+    (result, partitions, runId)
+  }
+}
