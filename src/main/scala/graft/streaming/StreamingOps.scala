@@ -1,0 +1,202 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+import graft.core.Tables
+
+/** Structured Streaming operators (SURVEY.md §2B Q38–Q42), each the
+  * streaming twin of an H-verified batch query. The harness replays
+  * `events.parquet` as a timestamp-ordered file stream (FIXTURES.md §C):
+  * chunks are written sequentially so the file source's modification-time
+  * order matches event time, and `Trigger.AvailableNow` + a memory sink
+  * drains the stream to a final table the driver can hash-compare.
+  *
+  * Windowed aggregations run in `complete` output mode so windows still
+  * open at end-of-stream are emitted — required for exact equality with
+  * the batch twin. Watermarks are still declared: they are the
+  * state-eviction contract a production (non-replay) deployment relies
+  * on; complete mode simply retains closed windows too.
+  */
+object StreamingOps {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  /** Write `events` as nChunks timestamp-ordered parquet files into a fresh
+    * temp dir; optionally re-append the first `dupCount` events at the end
+    * (late duplicates for the dedup query). Returns the stream dir. */
+  def prepareChunks(s: SparkSession, dir: String, nChunks: Int = 6,
+      dupCount: Int = 0): String = {
+    val streamDir = Files.createTempDirectory("graft-stream").toString
+    val ev = Tables.t(s, dir, "events")
+    val n = ev.count()
+    val perChunk = math.max(1, math.ceil(n.toDouble / nChunks).toLong)
+    // row_number via a single ordered partition keeps chunk assignment
+    // deterministic; replay volume is a test fixture, not a scale path.
+    val indexed = ev.orderBy("ts", "event_id").coalesce(1)
+      .withColumn("rn", monotonically_increasing_id())
+    (0 until nChunks).foreach { i =>
+      val chunk = indexed
+        .filter(col("rn") >= i * perChunk && col("rn") < (i + 1) * perChunk)
+        .drop("rn")
+      writeChunk(chunk, streamDir, s"chunk_$i")
+    }
+    if (dupCount > 0) {
+      val dups = indexed.filter(col("rn") < dupCount).drop("rn")
+      writeChunk(dups, streamDir, s"chunk_dup")
+    }
+    streamDir
+  }
+
+  private def writeChunk(df: DataFrame, streamDir: String, name: String): Unit = {
+    val stage = Files.createTempDirectory("graft-chunk").toString
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = Files.list(Paths.get(stage)).toArray.map(_.asInstanceOf[Path])
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no parquet part written in $stage"))
+    Files.move(part, Paths.get(streamDir, s"$name.parquet"),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** File-source replay of a prepared chunk dir. */
+  def replay(s: SparkSession, streamDir: String): DataFrame =
+    s.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir)
+
+  /** Drain a streaming frame into a memory sink and return the final table. */
+  def drain(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  // ---- Q38: tumbling 1h window + watermark (batch twin: q35) ----
+  def q38(s: SparkSession, dir: String): DataFrame = {
+    val out = drain(
+      replay(s, prepareChunks(s, dir))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          Tables.money(sum(Tables.dec(col("value")))).as("sum_value")),
+      "q38_sink", OutputMode.Complete())
+    out.select(Tables.tsStr(col("window.start")).as("hour_start"),
+        col("event_type"), col("cnt"), col("sum_value"))
+      .orderBy("hour_start", "event_type")
+  }
+
+  // ---- Q39: sliding 1h window every 15 min ----
+  def q39(s: SparkSession, dir: String): DataFrame = {
+    val out = drain(
+      replay(s, prepareChunks(s, dir))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("cnt")),
+      "q39_sink", OutputMode.Complete())
+    out.select(Tables.tsStr(col("window.start")).as("window_start"),
+        col("event_type"), col("cnt"))
+      .orderBy("window_start", "event_type")
+  }
+
+  // ---- Q40: session windows, 30-min gap (batch twin: q34 session count) ----
+  def q40(s: SparkSession, dir: String): DataFrame = {
+    val out = drain(
+      replay(s, prepareChunks(s, dir))
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events")),
+      "q40_sink", OutputMode.Complete())
+    out.groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy("user_id")
+  }
+
+  // ---- Q41: streaming dedup within watermark (late duplicate replay) ----
+  def q41(s: SparkSession, dir: String): DataFrame = {
+    val out = drain(
+      replay(s, prepareChunks(s, dir, dupCount = 100))
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark("event_id"),
+      "q41_sink", OutputMode.Append())
+    out.agg(count(lit(1)).as("n_unique"),
+      countDistinct(col("event_id")).as("n_distinct_check"))
+  }
+
+  // ---- Q42: arbitrary stateful op — running per-user count ----
+  def q42(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val updateCount = (userId: Long, events: Iterator[Event], state: GroupState[Long]) => {
+      val newCount = state.getOption.getOrElse(0L) + events.size
+      state.update(newCount)
+      Iterator((userId, newCount))
+    }
+    val stream = replay(s, prepareChunks(s, dir)).as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(updateCount)
+      .toDF("user_id", "running_count")
+    val out = drain(stream, "q42_sink", OutputMode.Update())
+    // Final state per user = max running count (memory sink keeps each update).
+    out.groupBy("user_id").agg(max("running_count").as("n_events"))
+      .orderBy("user_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_stream_tumbling" -> (q38 _),
+    "q39_stream_sliding" -> (q39 _),
+    "q40_stream_session" -> (q40 _),
+    "q41_stream_dedup" -> (q41 _),
+    "q42_stream_stateful" -> (q42 _))
+
+  /** DuckDB twins: the streaming results must equal these batch queries. */
+  val oracle: Map[String, String] = Map(
+    "q38_stream_tumbling" -> """
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+             event_type, count(*) AS cnt,
+             CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q39_stream_sliding" -> """
+      SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+             count(*) AS cnt
+      FROM (
+        SELECT time_bucket(INTERVAL '15 minutes', ts)
+                 - k * INTERVAL '15 minutes' AS ws, event_type
+        FROM events, (SELECT unnest(range(0, 4)) AS k))
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q40_stream_session" -> """
+      WITH o AS (
+        SELECT user_id, event_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events),
+      f AS (
+        SELECT user_id,
+               CASE WHEN prev IS NULL
+                      OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                    THEN 1 ELSE 0 END AS brk
+        FROM o)
+      SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions
+      FROM f GROUP BY user_id ORDER BY user_id""",
+
+    "q41_stream_dedup" -> """
+      SELECT count(DISTINCT event_id) AS n_unique,
+             count(DISTINCT event_id) AS n_distinct_check
+      FROM events""",
+
+    "q42_stream_stateful" -> """
+      SELECT user_id, count(*) AS n_events
+      FROM events GROUP BY user_id ORDER BY user_id"""
+  )
+}
