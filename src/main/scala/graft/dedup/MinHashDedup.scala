@@ -20,13 +20,15 @@ import graft.core.Tables._
   *   5. exact Jaccard rerank of candidates only (array_intersect on the
   *      per-doc distinct token arrays), keep pairs ≥ threshold
   *
-  * Band shape 32×2 gives candidate probability 1-(1-j²)³² — ≥ 0.9996 at
-  * j = 0.5, so recall vs the exact Q31 pairs is ~1 (asserted in the spec).
+  * Band shape 16×2 gives candidate probability 1-(1-j²)¹⁶ — ≈ 0.990 at
+  * j = 0.5 and ≥ 0.9998 at j = 0.65, so recall vs the exact Q31 pairs
+  * stays well above the 0.9 gate (asserted in the spec) at half the
+  * signature cost of a 64-hash family.
   * Determinism: fixed seed → fixed (a_i, b_i); no RNG at runtime.
   */
 object MinHashDedup {
-  val NUM_HASHES = 64
-  val BANDS = 32
+  val NUM_HASHES = 32
+  val BANDS = 16
   val ROWS_PER_BAND: Int = NUM_HASHES / BANDS
   /** Mersenne prime 2^31 - 1 — universal-hash modulus. 31-bit operands
     * keep h·a within a long (≤ 2^62), so the codegen'd integer math never

@@ -221,6 +221,11 @@ object TextOps {
   * 48 bits from the first 12 md5 hex chars of each distinct token,
   * weighted by the token's in-document count; bit b of the signature is 1
   * iff the weighted ±1 vote sum over tokens is positive.
+  *
+  * Scale shape: bit signs are computed once per *vocabulary* token and
+  * joined back to the (doc, token, count) rows — md5 work is O(vocab·48),
+  * not O(corpus tokens·48). At 100 TB the vocab side is the broadcast
+  * build of that join.
   */
 object SimhashSql {
   val spark: String = """
@@ -228,13 +233,17 @@ object SimhashSql {
       SELECT doc_id, tok, count(*) AS cnt FROM (
         SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents)
       WHERE tok <> '' GROUP BY doc_id, tok),
-    bits AS (
-      SELECT doc_id, b,
-             sum(cnt * (2 * (((instr('0123456789abcdef',
+    vocab AS (SELECT DISTINCT tok FROM tok),
+    tokbits AS (
+      SELECT tok, b,
+             2 * (((instr('0123456789abcdef',
                    substring(md5(tok), CAST(b / 4 AS INT) + 1, 1)) - 1)
-                 div CAST(pow(2, b % 4) AS INT)) % 2) - 1)) AS vote
-      FROM tok LATERAL VIEW explode(sequence(0, 47)) AS b
-      GROUP BY doc_id, b)
+                 div CAST(pow(2, b % 4) AS INT)) % 2) - 1 AS sgn
+      FROM vocab LATERAL VIEW explode(sequence(0, 47)) AS b),
+    bits AS (
+      SELECT t.doc_id, tb.b, sum(t.cnt * tb.sgn) AS vote
+      FROM tok t JOIN tokbits tb ON t.tok = tb.tok
+      GROUP BY t.doc_id, tb.b)
     SELECT doc_id,
            sum(CASE WHEN vote > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS simhash
     FROM bits GROUP BY doc_id ORDER BY doc_id"""
@@ -244,13 +253,17 @@ object SimhashSql {
       SELECT doc_id, tok, count(*) AS cnt FROM (
         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
       WHERE tok <> '' GROUP BY doc_id, tok),
-    bits AS (
-      SELECT doc_id, b,
-             sum(cnt * (2 * ((CAST(instr('0123456789abcdef',
+    vocab AS (SELECT DISTINCT tok FROM tok),
+    tokbits AS (
+      SELECT tok, b,
+             2 * ((CAST(instr('0123456789abcdef',
                    substring(md5(tok), CAST(b // 4 AS INT) + 1, 1)) - 1 AS INT)
-                 // CAST(pow(2, b % 4) AS INT)) % 2) - 1)) AS vote
-      FROM tok, (SELECT unnest(range(0, 48)) AS b)
-      GROUP BY doc_id, b)
+                 // CAST(pow(2, b % 4) AS INT)) % 2) - 1 AS sgn
+      FROM vocab, (SELECT unnest(range(0, 48)) AS b)),
+    bits AS (
+      SELECT t.doc_id, tb.b, sum(t.cnt * tb.sgn) AS vote
+      FROM tok t JOIN tokbits tb ON t.tok = tb.tok
+      GROUP BY t.doc_id, tb.b)
     SELECT doc_id,
            CAST(sum(CASE WHEN vote > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
     FROM bits GROUP BY doc_id ORDER BY doc_id"""
