@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.CosineSimilarity
+
+/** Session extension: registers the engine's native expressions. Attach
+  * with .config("spark.sql.extensions", "graft.GraftExtensions"), or call
+  * [[GraftExtensions.ensureRegistered]] on an existing session. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo("graft", null, "graft_cosine",
+        "graft_cosine(a, b) - cosine similarity of two double arrays", ""),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CosineSimilarity(children(0), children(1))))
+  }
+}
+
+object GraftExtensions {
+  /** Idempotent in-session registration for sessions built without the
+    * extensions conf (e.g. the driver's own Verify session). */
+  def ensureRegistered(spark: SparkSession): Unit =
+    org.apache.spark.sql.graftaccess.FunctionAccess.register(
+      spark, "graft_cosine",
+      "graft_cosine(a, b) - cosine similarity of two double arrays",
+      children => CosineSimilarity(children(0), children(1)))
+}

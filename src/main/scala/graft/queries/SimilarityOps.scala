@@ -17,18 +17,17 @@ import graft.core.Tables._
 object SimilarityOps {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Sequential left-fold dot product — same evaluation order as DuckDB's
-    * list_cosine_similarity single pass, so IEEE results agree to the
-    * last ulp in practice; outputs are still rounded to 6 dp. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
+  /** Native codegen'd single-pass cosine (graft.functions.CosineSimilarity)
+    * — same sequential accumulation order as DuckDB's
+    * list_cosine_similarity, so IEEE results agree to the last ulp in
+    * practice; outputs are still rounded to 6 dp. */
   private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    call_function("graft_cosine", a, b)
 
   val queries: Map[String, Q] = Map(
     // Q32 — exact cosine top-5 for query vectors vec_id < 10.
     "q32_cosine_topk" -> { (s, dir) =>
+      graft.GraftExtensions.ensureRegistered(s)
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       val q = e.filter(col("vec_id") < 10)
@@ -44,6 +43,7 @@ object SimilarityOps {
 
     // Embedding-cosine near-dup: label-blocked exact pairs above 0.35.
     "q_embed_neardup" -> { (s, dir) =>
+      graft.GraftExtensions.ensureRegistered(s)
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("emb"))
       val a = e.select(col("vec_id").as("id1"), col("label"), col("emb").as("emb1"))

@@ -21,11 +21,8 @@ object AnnIvf {
   val NPROBE = 3
   val TOP_K = 5
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
   private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    call_function("graft_cosine", a, b)
 
   /** Assign each embedding row to its nearest centroid id. */
   def assign(emb: DataFrame, centroids: DataFrame): DataFrame = {
@@ -38,6 +35,7 @@ object AnnIvf {
   }
 
   def query(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(s)
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val centroids = e.filter(col("vec_id") % 50 === 0)
