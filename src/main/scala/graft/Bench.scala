@@ -48,7 +48,20 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = headline.map(n => n -> run(n))
+    val results = headline.map(n => n -> run(n)) ++ {
+      // AQE interaction record (BASELINE.md): two headline queries with
+      // adaptive execution off, to expose what runtime re-planning buys.
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val off = Seq("q01_pricing_summary", "q04_multiway_join")
+        .map(n => s"${n}__aqe_off" -> {
+          val t0 = System.nanoTime()
+          SparkEntry.queries(n)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        })
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      off
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

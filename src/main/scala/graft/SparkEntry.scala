@@ -17,6 +17,7 @@ object SparkEntry {
       SimilarityOps.queries ++ EventOps.queries ++ UdfOps.queries ++ Map(
         "q43_minhash_lsh" -> (graft.dedup.MinHashDedup.query _),
         "q_ann_ivf" -> (graft.similarity.AnnIvf.query _),
+        "q_ann_lsh" -> (graft.similarity.AnnLsh.query _),
         "q_multimodal_features" -> (graft.multimodal.MediaPipeline.query _),
         "q_tuner_loop" -> (graft.tuner.TunerDemo.query _),
         "q_salted_join" -> (graft.operators.SaltedJoin.query _)) ++
