@@ -20,7 +20,8 @@ object SparkEntry {
         "q_ann_lsh" -> (graft.similarity.AnnLsh.query _),
         "q_multimodal_features" -> (graft.multimodal.MediaPipeline.query _),
         "q_tuner_loop" -> (graft.tuner.TunerDemo.query _),
-        "q_salted_join" -> (graft.operators.SaltedJoin.query _)) ++
+        "q_salted_join" -> (graft.operators.SaltedJoin.query _),
+        "q_bucketed_join" -> (graft.operators.BucketedJoin.query _)) ++
       graft.streaming.StreamingOps.queries ++ graft.sources.Formats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -29,5 +30,6 @@ object SparkEntry {
     RelationalA.oracle ++ RelationalB.oracle ++ TextOps.oracle ++
       SimilarityOps.oracle ++ EventOps.oracle ++ UdfOps.oracle ++
       graft.streaming.StreamingOps.oracle ++ graft.sources.Formats.oracle ++
-      Map("q_salted_join" -> graft.operators.SaltedJoin.oracle)
+      Map("q_salted_join" -> graft.operators.SaltedJoin.oracle,
+        "q_bucketed_join" -> graft.operators.BucketedJoin.oracle)
 }

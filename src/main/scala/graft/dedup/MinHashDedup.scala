@@ -58,11 +58,13 @@ object MinHashDedup {
   /** One row per doc with the NUM_HASHES minhash signature values. */
   def signatures(docs: DataFrame, seed: Long = 42L): DataFrame = {
     val cs = coeffs(seed, NUM_HASHES)
-    val h = pmod(xxhash64(col("tok")), lit(PRIME))
+    // Token hash projected once, not re-evaluated inside each of the
+    // NUM_HASHES min-aggregates (aggregate exprs are not reliably CSE'd).
+    val hashed = tokens(docs).withColumn("h", pmod(xxhash64(col("tok")), lit(PRIME)))
     val mins: Seq[Column] = cs.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(h * lit(a) + lit(b), lit(PRIME))).as(s"mh_$i")
+      min(pmod(col("h") * lit(a) + lit(b), lit(PRIME))).as(s"mh_$i")
     }.toSeq
-    tokens(docs).groupBy("doc_id", "lang", "source").agg(mins.head, mins.tail: _*)
+    hashed.groupBy("doc_id", "lang", "source").agg(mins.head, mins.tail: _*)
   }
 
   /** (doc_id, block keys, band, band_sig) — LSH bucket keys. */
