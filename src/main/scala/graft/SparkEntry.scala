@@ -13,7 +13,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalA.queries ++ RelationalB.queries ++ TextOps.queries ++
+    RelationalA.queries ++ RelationalB.queries ++ RelationalC.queries ++
+      TextOps.queries ++
       SimilarityOps.queries ++ EventOps.queries ++ UdfOps.queries ++ Map(
         "q43_minhash_lsh" -> (graft.dedup.MinHashDedup.query _),
         "q_ann_ivf" -> (graft.similarity.AnnIvf.query _),
@@ -27,7 +28,8 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalA.oracle ++ RelationalB.oracle ++ TextOps.oracle ++
+    RelationalA.oracle ++ RelationalB.oracle ++ RelationalC.oracle ++
+      TextOps.oracle ++
       SimilarityOps.oracle ++ EventOps.oracle ++ UdfOps.oracle ++
       graft.streaming.StreamingOps.oracle ++ graft.sources.Formats.oracle ++
       Map("q_salted_join" -> graft.operators.SaltedJoin.oracle,

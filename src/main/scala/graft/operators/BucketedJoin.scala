@@ -20,9 +20,23 @@ object BucketedJoin {
 
   /** Write both sides bucketed on the join key, return the bucket-aligned
     * join frame. */
+  /** Drop the table and its warehouse location. A fresh session's
+    * in-memory catalog forgets tables from prior runs but their managed
+    * locations persist, and CREATE then fails with
+    * LOCATION_ALREADY_EXISTS — so remove the directory explicitly. */
+  private def reset(s: SparkSession, table: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+    val path = new org.apache.hadoop.fs.Path(warehouse.getPath, table)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+
   def bucketedJoin(s: SparkSession, left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTable: String, rightTable: String): DataFrame = {
+    reset(s, leftTable)
+    reset(s, rightTable)
     left.write.mode(SaveMode.Overwrite)
       .bucketBy(BUCKETS, leftKey).sortBy(leftKey).saveAsTable(leftTable)
     right.write.mode(SaveMode.Overwrite)

@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables._
+
+/** Analytics breadth beyond the core §2B list: pivot, distribution window
+  * functions, statistical aggregates, percentiles, and a typed Dataset
+  * pipeline. Determinism notes: stddev/variance are engine-native (both
+  * engines agree to ~1e-10 relative; outputs rounded to 2 dp at 1e4-1e5
+  * magnitudes); correlation is in [-1,1] so 6 dp rounding is safe;
+  * percentile_cont uses the standard linear-interpolation definition in
+  * both engines, rounded to 4 dp.
+  */
+object RelationalC {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Typed row for the Dataset-API demonstration query. */
+  case class OrderRow(o_orderkey: Long, o_custkey: Long, o_orderstatus: String,
+      o_totalprice: Double)
+
+  val queries: Map[String, Q] = Map(
+    // Pivot: wide per-returnflag quantities by linestatus.
+    "q_pivot" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(money(sum(dec(col("l_quantity")))))
+        .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
+        .orderBy("l_returnflag")
+    },
+
+    // Distribution window functions: ntile, percent_rank, cume_dist.
+    "q_window_dist" -> { (s, dir) =>
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy("o_orderkey")
+    },
+
+    // Statistical aggregates: stddev, variance, correlation.
+    "q_stats_agg" -> { (s, dir) =>
+      t(s, dir, "orders").groupBy("o_orderstatus")
+        .agg(round(stddev_samp(col("o_totalprice")), 2).as("sd_price"),
+          round(var_samp(col("o_totalprice")), 2).as("var_price"),
+          round(corr(col("o_totalprice"), col("o_custkey").cast("double")), 6)
+            .as("corr_price_cust"),
+          count(lit(1)).as("cnt"))
+        .orderBy("o_orderstatus")
+    },
+
+    // Percentiles: continuous (interpolated) per group.
+    "q_percentiles" -> { (s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"), 4)
+            .as("p50"),
+          round(expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice)"), 4)
+            .as("p90"),
+          round(expr("percentile_cont(0.99) WITHIN GROUP (ORDER BY l_extendedprice)"), 4)
+            .as("p99"))
+        .orderBy("l_returnflag")
+    },
+
+    // Typed Dataset pipeline: case-class Encoder, typed filter/map, then
+    // back to relational aggregation. (Typed lambdas are opaque to
+    // Catalyst — no pushdown through them — which is why the engine uses
+    // them only where type safety pays; documented tradeoff.)
+    "q_typed_dataset" -> { (s, dir) =>
+      import s.implicits._
+      val ds = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .as[OrderRow]
+      ds.filter(o => o.o_orderstatus != "P" && o.o_totalprice > 50000.0)
+        .map(o => (o.o_orderstatus, o.o_totalprice))
+        .toDF("status", "price")
+        .groupBy("status")
+        .agg(count(lit(1)).as("cnt"), money(sum(dec(col("price")))).as("total"))
+        .orderBy("status")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_pivot" -> """
+      SELECT l_returnflag,
+        CAST(round(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS qty_f,
+        CAST(round(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS qty_o
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_window_dist" -> """
+      SELECT o_orderkey, o_orderstatus,
+             ntile(4) OVER w AS quartile,
+             round(percent_rank() OVER w, 6) AS pct_rank,
+             round(cume_dist() OVER w, 6) AS cume
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+      ORDER BY o_orderkey""",
+
+    "q_stats_agg" -> """
+      SELECT o_orderstatus,
+             round(stddev_samp(o_totalprice), 2) AS sd_price,
+             round(var_samp(o_totalprice), 2) AS var_price,
+             round(corr(o_totalprice, CAST(o_custkey AS DOUBLE)), 6) AS corr_price_cust,
+             count(*) AS cnt
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q_percentiles" -> """
+      SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+             round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+             round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_typed_dataset" -> """
+      SELECT o_orderstatus AS status, count(*) AS cnt,
+        CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+      FROM orders
+      WHERE o_orderstatus <> 'P' AND o_totalprice > 50000.0
+      GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+  )
+}

@@ -152,7 +152,20 @@ object StreamingOps {
       .orderBy("user_id")
   }
 
+  // ---- Stream-static join: streaming events ⋈ static customer dim ----
+  def qStreamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val joined = replay(s, prepareChunks(s, dir))
+      .join(cust, col("user_id") === col("c_custkey")) // static side broadcast
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"))
+    drain(joined, "q_ssj_sink", OutputMode.Complete())
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_static_join" -> (qStreamStaticJoin _),
     "q38_stream_tumbling" -> (q38 _),
     "q39_stream_sliding" -> (q39 _),
     "q40_stream_session" -> (q40 _),
@@ -161,6 +174,10 @@ object StreamingOps {
 
   /** DuckDB twins: the streaming results must equal these batch queries. */
   val oracle: Map[String, String] = Map(
+    "q_stream_static_join" -> """
+      SELECT c_mktsegment, count(*) AS cnt
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q38_stream_tumbling" -> """
       SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
              event_type, count(*) AS cnt,
