@@ -49,18 +49,35 @@ object MinHashDedup {
     Array.fill(n)(((next() & Long.MaxValue) % PRIME | 1L, (next() & Long.MaxValue) % PRIME))
   }
 
-  /** Distinct (doc_id, block keys, tok) rows. */
-  def tokens(docs: DataFrame): DataFrame =
+  /** Word w-shingles of the text column as an array (w = 1 → tokens).
+    * Docs shorter than w yield an empty array (sequence() would otherwise
+    * count downward on a negative span). */
+  private def shingles(shingleSize: Int) = {
+    val toks = filter(split(col("text"), " "), _ =!= "")
+    if (shingleSize <= 1) toks
+    else when(size(toks) >= shingleSize,
+      transform(
+        sequence(lit(0), size(toks) - shingleSize),
+        i => concat_ws(" ", slice(toks, i + 1, lit(shingleSize)))))
+      .otherwise(array())
+  }
+
+  /** Distinct (doc_id, block keys, shingle) rows. shingleSize = 1 gives
+    * plain tokens (what the exact Q31 oracle uses); w > 1 gives word
+    * w-shingles, the standard unit for web-scale near-dup where unigram
+    * overlap is too forgiving. */
+  def tokens(docs: DataFrame, shingleSize: Int = 1): DataFrame =
     docs.select(col("doc_id"), col("lang"), col("source"),
-        explode(array_distinct(split(col("text"), " "))).as("tok"))
+        explode(array_distinct(shingles(shingleSize))).as("tok"))
       .filter(col("tok") =!= "")
 
   /** One row per doc with the NUM_HASHES minhash signature values. */
-  def signatures(docs: DataFrame, seed: Long = 42L): DataFrame = {
+  def signatures(docs: DataFrame, seed: Long = 42L, shingleSize: Int = 1): DataFrame = {
     val cs = coeffs(seed, NUM_HASHES)
     // Token hash projected once, not re-evaluated inside each of the
     // NUM_HASHES min-aggregates (aggregate exprs are not reliably CSE'd).
-    val hashed = tokens(docs).withColumn("h", pmod(xxhash64(col("tok")), lit(PRIME)))
+    val hashed = tokens(docs, shingleSize)
+      .withColumn("h", pmod(xxhash64(col("tok")), lit(PRIME)))
     val mins: Seq[Column] = cs.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * lit(a) + lit(b), lit(PRIME))).as(s"mh_$i")
     }.toSeq
@@ -88,11 +105,13 @@ object MinHashDedup {
       .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
       .distinct()
 
-  /** Full pipeline: candidates reranked with exact Jaccard ≥ threshold. */
-  def nearDuplicates(docs: DataFrame, threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
-    val cands = candidatePairs(bandSignatures(signatures(docs, seed)))
+  /** Full pipeline: candidates reranked with exact Jaccard ≥ threshold
+    * over the same shingle unit the signatures used. */
+  def nearDuplicates(docs: DataFrame, threshold: Double = 0.5, seed: Long = 42L,
+      shingleSize: Int = 1): DataFrame = {
+    val cands = candidatePairs(bandSignatures(signatures(docs, seed, shingleSize)))
     val tokSets = docs.select(col("doc_id"),
-      array_distinct(filter(split(col("text"), " "), _ =!= "")).as("toks"))
+      array_distinct(shingles(shingleSize)).as("toks"))
     val jac = size(array_intersect(col("toks1"), col("toks2"))).cast("double") /
       size(array_union(col("toks1"), col("toks2")))
     cands

@@ -57,6 +57,15 @@ object UdfOps {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_nd_part"),
           count(lit(1)).as("cnt"))
         .orderBy("l_returnflag")
+    },
+
+    // Approximate percentile (quantile sketch). Tolerance class like Q37:
+    // rows-only driver check, accuracy bound in ApproxDistinctSpec.
+    "q_approx_percentile" -> { (s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("p95_approx"))
+        .orderBy("l_returnflag")
     }
   )
 

@@ -7,6 +7,23 @@ import graft.queries.UdfOps
 /** Q37 tolerance gate: HLL++ approx_count_distinct within ±5% of exact. */
 class ApproxDistinctSpec extends SparkSpec {
 
+  test("approx percentile within 2% of exact percentile_cont") {
+    val approx = UdfOps.queries("q_approx_percentile")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Tables.t(spark, sf, "lineitem").groupBy("l_returnflag")
+      .agg(
+        org.apache.spark.sql.functions.expr(
+          "percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50"),
+        org.apache.spark.sql.functions.expr(
+          "percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice)").as("p95"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (e50, e95)) =>
+      val (a50, a95) = approx(k)
+      assert(math.abs(a50 - e50) / e50 <= 0.02, s"$k p50: $a50 vs $e50")
+      assert(math.abs(a95 - e95) / e95 <= 0.02, s"$k p95: $a95 vs $e95")
+    }
+  }
+
   test("approx_count_distinct within 5% of exact per returnflag") {
     val approx = UdfOps.queries("q37_approx_distinct")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -28,4 +28,17 @@ class MinHashDedupSpec extends SparkSpec {
     val b = MinHashDedup.signatures(docs).orderBy("doc_id").collect()
     assert(a.sameElements(b))
   }
+
+  test("2-gram shingles tighten similarity vs unigrams") {
+    val docs = Tables.t(spark, sf, "documents")
+    val uni = MinHashDedup.nearDuplicates(docs, threshold = 0.3).count()
+    val bi = MinHashDedup.nearDuplicates(docs, threshold = 0.3, shingleSize = 2).count()
+    // Shared-vocab docs overlap heavily on unigrams but far less on word
+    // pairs — bigram shingling must prune pairs.
+    assert(bi < uni, s"bigram pairs $bi not < unigram pairs $uni")
+    // short docs (< w tokens) must not crash the shingler
+    val tiny = spark.createDataFrame(Seq((1L, "one", "en", "s"), (2L, "", "en", "s")))
+      .toDF("doc_id", "text", "lang", "source")
+    assert(MinHashDedup.nearDuplicates(tiny, shingleSize = 2).count() == 0)
+  }
 }
