@@ -20,6 +20,13 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Remove any stale output from a previous run so the compare step
+        // reports a hard failure instead of silently passing on old data.
+        val stale = new java.io.File(s"$outDir/$name")
+        if (stale.exists) {
+          stale.listFiles().foreach(_.delete())
+          stale.delete()
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

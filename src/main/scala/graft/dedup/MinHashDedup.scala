@@ -35,18 +35,13 @@ object MinHashDedup {
     * overflows under ANSI mode (Spark 4 default). */
   val PRIME: Long = (1L << 31) - 1
 
-  /** Deterministic hash-family coefficients from a fixed-seed SplitMix64
-    * stream (public-domain constants, Steele et al.). */
+  /** Deterministic hash-family coefficients from the shared fixed-seed
+    * SplitMix64 stream. */
   private def coeffs(seed: Long, n: Int): Array[(Long, Long)] = {
-    var x = seed
-    def next(): Long = {
-      x += 0x9e3779b97f4a7c15L
-      var z = x
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
-    Array.fill(n)(((next() & Long.MaxValue) % PRIME | 1L, (next() & Long.MaxValue) % PRIME))
+    val rng = new graft.core.Rng(seed)
+    Array.fill(n)((
+      (rng.nextLong() & Long.MaxValue) % PRIME | 1L,
+      (rng.nextLong() & Long.MaxValue) % PRIME))
   }
 
   /** Word w-shingles of the text column as an array (w = 1 → tokens).

@@ -18,6 +18,13 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * order, then dot/(√na·√nb)) — bit-identical to the HOF fold spelling it
   * replaces, so DuckDB oracle parity is unchanged.
   */
+object CosineSimilarity {
+  /** Column-level entry point shared by every similarity operator; the
+    * session must have gone through GraftExtensions.ensureRegistered. */
+  def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.call_function("graft_cosine", a, b)
+}
+
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 

@@ -22,7 +22,7 @@ object SimilarityOps {
     * list_cosine_similarity, so IEEE results agree to the last ulp in
     * practice; outputs are still rounded to 6 dp. */
   private def cosine(a: Column, b: Column): Column =
-    call_function("graft_cosine", a, b)
+    graft.functions.CosineSimilarity.cosine(a, b)
 
   val queries: Map[String, Q] = Map(
     // Q32 — exact cosine top-5 for query vectors vec_id < 10.

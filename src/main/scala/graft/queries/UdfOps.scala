@@ -87,9 +87,9 @@ object UdfOps {
 
     "q36_posexplode" -> """
       SELECT doc_id, i - 1 AS pos, string_split(text, ' ')[i] AS tok
-      FROM documents, (SELECT unnest(range(1, 201)) AS i)
-      WHERE doc_id < 20 AND i <= len(string_split(text, ' '))
-        AND string_split(text, ' ')[i] <> ''
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(1, len(string_split(text, ' ')))) AS i) u
+      WHERE doc_id < 20 AND string_split(text, ' ')[i] <> ''
       ORDER BY doc_id, pos"""
   )
 }

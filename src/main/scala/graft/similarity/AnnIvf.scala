@@ -22,7 +22,7 @@ object AnnIvf {
   val TOP_K = 5
 
   private def cosine(a: Column, b: Column): Column =
-    call_function("graft_cosine", a, b)
+    graft.functions.CosineSimilarity.cosine(a, b)
 
   /** Assign each embedding row to its nearest centroid id. */
   def assign(emb: DataFrame, centroids: DataFrame): DataFrame = {

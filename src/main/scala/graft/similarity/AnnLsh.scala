@@ -28,19 +28,12 @@ object AnnLsh {
   val TOP_K = 5
 
   private def planes(seed: Long, bits: Int, dim: Int): Array[Array[Double]] = {
-    var x = seed
-    def next(): Long = {
-      x += 0x9e3779b97f4a7c15L
-      var z = x
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
-    Array.fill(bits, dim)(next().toDouble / Long.MaxValue)
+    val rng = new graft.core.Rng(seed)
+    Array.fill(bits, dim)(rng.nextSignedUnit())
   }
 
   private def cosine(a: Column, b: Column): Column =
-    call_function("graft_cosine", a, b)
+    graft.functions.CosineSimilarity.cosine(a, b)
 
   /** Bit b of the signature = sign of ⟨v, plane_b⟩, as an int column. */
   private def signatureBits(emb: Column, ps: Array[Array[Double]]): Seq[Column] =

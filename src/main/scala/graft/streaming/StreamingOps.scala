@@ -33,11 +33,20 @@ object StreamingOps {
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double, props: String)
 
-  /** Write `events` as nChunks timestamp-ordered parquet files into a fresh
-    * temp dir; optionally re-append the first `dupCount` events at the end
-    * (late duplicates for the dedup query). Returns the stream dir. */
+  // One chunk dir per (source dir, dupCount) per JVM: six streaming
+  // queries share one replay fixture instead of re-sorting and rewriting
+  // events six times (and leaking six temp dirs) per Verify run.
+  private val chunkCache = scala.collection.concurrent.TrieMap.empty[(String, Int), String]
+
+  /** Write `events` as nChunks timestamp-ordered parquet files into a
+    * cached temp dir; optionally re-append the first `dupCount` events at
+    * the end (late duplicates for the dedup query). Returns the dir. */
   def prepareChunks(s: SparkSession, dir: String, nChunks: Int = 6,
-      dupCount: Int = 0): String = {
+      dupCount: Int = 0): String =
+    chunkCache.getOrElseUpdate((dir, dupCount), buildChunks(s, dir, nChunks, dupCount))
+
+  private def buildChunks(s: SparkSession, dir: String, nChunks: Int,
+      dupCount: Int): String = {
     val streamDir = Files.createTempDirectory("graft-stream").toString
     val ev = Tables.t(s, dir, "events")
     val n = ev.count()
