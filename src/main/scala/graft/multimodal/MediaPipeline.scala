@@ -44,6 +44,16 @@ object MediaPipeline {
   def frameSample(payload: Array[Byte], k: Int = 8): Array[Byte] =
     payload.indices.collect { case i if i % k == 0 && i / k < 16 => payload(i) }.toArray
 
+  /** "Resize": deterministic nearest-neighbor downsample of the payload to
+    * `target` bytes — the structural stand-in for image resizing (same
+    * in/out shape a real scaler has; swap for a codec-backed implementation
+    * in production). */
+  def resizeStub(payload: Array[Byte], target: Int): Array[Byte] =
+    if (payload.isEmpty || target <= 0) Array.empty
+    else Array.tabulate(math.min(target, payload.length)) { i =>
+      payload((i.toLong * payload.length / math.min(target, payload.length)).toInt)
+    }
+
   /** Fake feature extraction: 8 floats from byte-window sums. */
   def features(payload: Array[Byte]): Array[Float] = {
     val out = new Array[Float](8)

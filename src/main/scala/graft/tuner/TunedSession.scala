@@ -22,6 +22,15 @@ class Tuner(metricsRoot: String, appName: String) {
     new ComputePartitions(conf).fromStageMetricSharedCluster(target)
   }
 
+  /** Both parallelism knobs for the NEXT session's builder (SURVEY §7:
+    * DataFrame shuffles obey spark.sql.shuffle.partitions, RDD jobs
+    * spark.default.parallelism — the tuner sets both; only the former is
+    * runtime-settable on a live session). */
+  def recommendedConf(spark: SparkSession): Map[String, String] = {
+    val p = recommendPartitions(spark).toString
+    Map("spark.sql.shuffle.partitions" -> p, "spark.default.parallelism" -> p)
+  }
+
   /** Apply recommendation to this session and return it. */
   def applyTo(spark: SparkSession): Int = {
     val p = recommendPartitions(spark)

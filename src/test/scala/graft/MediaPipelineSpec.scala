@@ -38,6 +38,17 @@ class MediaPipelineSpec extends SparkSpec {
     assert(fs.toSeq == (0 until 200 by 8).take(16).map(_.toByte))
   }
 
+  test("resize stub downsamples deterministically and handles edges") {
+    val src = Array.tabulate(100)(_.toByte)
+    val out = MediaPipeline.resizeStub(src, 10)
+    assert(out.length == 10)
+    assert(out.toSeq == MediaPipeline.resizeStub(src, 10).toSeq)
+    assert(MediaPipeline.resizeStub(Array.empty[Byte], 10).isEmpty)
+    assert(MediaPipeline.resizeStub(src, 0).isEmpty)
+    // target larger than payload: capped at payload length, no index error
+    assert(MediaPipeline.resizeStub(Array[Byte](1, 2, 3), 10).toSeq == Seq[Byte](1, 2, 3))
+  }
+
   test("registry query runs over documents payloads") {
     val df = MediaPipeline.query(spark, sf)
     assert(df.count() > 0)

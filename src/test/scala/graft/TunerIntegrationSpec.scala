@@ -43,4 +43,11 @@ class TunerIntegrationSpec extends SparkSpec {
     assert(tuner.recommendPartitions(spark) > 0)
     assert(tuner.store.nextRunId(spark) == 0)
   }
+
+  test("recommendedConf targets both parallelism knobs consistently") {
+    val tuner = new Tuner(Files.createTempDirectory("graft-conf").toString, "none")
+    val conf = tuner.recommendedConf(spark)
+    assert(conf.keySet == Set("spark.sql.shuffle.partitions", "spark.default.parallelism"))
+    assert(conf.values.toSet.size == 1, "both knobs must carry the same recommendation")
+  }
 }
