@@ -43,6 +43,19 @@ object RelationalC {
         .orderBy("o_orderkey")
     },
 
+    // Value window functions: first/last/nth over explicit frames.
+    "q_window_value" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          first("o_orderkey").over(w).as("first_order"),
+          last("o_orderkey").over(w).as("last_order"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // Statistical aggregates: stddev, variance, correlation.
     "q_stats_agg" -> { (s, dir) =>
       t(s, dir, "orders").groupBy("o_orderstatus")
@@ -100,6 +113,16 @@ object RelationalC {
       FROM orders
       WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
       ORDER BY o_orderkey""",
+
+    "q_window_value" -> """
+      SELECT o_custkey, o_orderkey,
+             first_value(o_orderkey) OVER w AS first_order,
+             last_value(o_orderkey) OVER w AS last_order,
+             nth_value(o_orderkey, 2) OVER w AS second_order
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY o_custkey, o_orderkey""",
 
     "q_stats_agg" -> """
       SELECT o_orderstatus,

@@ -173,8 +173,26 @@ object StreamingOps {
       .orderBy("c_mktsegment")
   }
 
+  // ---- foreachBatch sink: per-micro-batch parquet appends ----
+  def qForeachBatch(s: SparkSession, dir: String): DataFrame = {
+    val sinkDir = Files.createTempDirectory("graft-feb").toString
+    val q = replay(s, prepareChunks(s, dir))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // The canonical custom-sink shape: arbitrary batch-level logic;
+        // here an append-mode parquet write per micro-batch.
+        batch.write.mode("append").parquet(sinkDir)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(sinkDir)
+      .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_static_join" -> (qStreamStaticJoin _),
+    "q_stream_foreach_batch" -> (qForeachBatch _),
     "q38_stream_tumbling" -> (q38 _),
     "q39_stream_sliding" -> (q39 _),
     "q40_stream_session" -> (q40 _),
@@ -187,6 +205,10 @@ object StreamingOps {
       SELECT c_mktsegment, count(*) AS cnt
       FROM events JOIN customer ON user_id = c_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q_stream_foreach_batch" -> """
+      SELECT event_type, count(*) AS cnt
+      FROM events GROUP BY event_type ORDER BY event_type""",
     "q38_stream_tumbling" -> """
       SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
              event_type, count(*) AS cnt,
