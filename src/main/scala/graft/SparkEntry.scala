@@ -14,7 +14,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalA.queries ++ RelationalB.queries ++ RelationalC.queries ++
-      AsOfOps.queries ++ TextOps.queries ++
+      AsOfOps.queries ++ Winnowing.queries ++ TextOps.queries ++
       SimilarityOps.queries ++ EventOps.queries ++ UdfOps.queries ++ Map(
         "q43_minhash_lsh" -> (graft.dedup.MinHashDedup.query _),
         "q_ann_ivf" -> (graft.similarity.AnnIvf.query _),
@@ -29,7 +29,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalA.oracle ++ RelationalB.oracle ++ RelationalC.oracle ++
-      AsOfOps.oracle ++ TextOps.oracle ++
+      AsOfOps.oracle ++ Winnowing.oracle ++ TextOps.oracle ++
       SimilarityOps.oracle ++ EventOps.oracle ++ UdfOps.oracle ++
       graft.streaming.StreamingOps.oracle ++ graft.sources.Formats.oracle ++
       Map("q_salted_join" -> graft.operators.SaltedJoin.oracle,
