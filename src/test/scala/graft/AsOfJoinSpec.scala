@@ -44,6 +44,29 @@ class AsOfJoinSpec extends SparkSpec {
     assert(plan.contains("Sort ["), "expected planner-inserted sorts")
   }
 
+  test("agrees with a window-based reference implementation on testdata") {
+    import org.apache.spark.sql.expressions.Window
+    val got = graft.queries.AsOfOps.queries("q_asof_join")(spark, sf)
+      .select("event_id", "o_orderkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // Independent spelling: range join + row_number (quadratic per key —
+    // test-only; the operator exists precisely to avoid this shape).
+    val w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(desc("o_orderkey"))
+    val ordersDedup = graft.core.Tables.t(spark, sf, "orders")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    val pick = Window.partitionBy("event_id").orderBy(desc("o_orderdate"))
+    val expected = graft.core.Tables.t(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .join(ordersDedup, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"))
+      .withColumn("pick", row_number().over(pick)).filter(col("pick") === 1)
+      .select("event_id", "o_orderkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(got == expected)
+  }
+
   test("results are stable under repartitioning of inputs") {
     val out1 = AsOfJoin.asof(trades.repartition(7), quotes.repartition(3),
         "tkey", "qkey", "ttime", "qtime")
