@@ -190,8 +190,28 @@ object StreamingOps {
       .orderBy("event_type")
   }
 
+  // ---- Stream-stream interval join: same-user event pairs ≤ 5 min apart.
+  // Watermarks on both sides + the time-range condition bound the join
+  // state; pairs are drained raw (append) and ordered in batch.
+  def qStreamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val chunks = prepareChunks(s, dir)
+    val l = replay(s, chunks).withWatermark("ts", "2 hours")
+      .select(col("event_id").as("lid"), col("user_id").as("luser"), col("ts").as("lts"))
+    val r = replay(s, chunks).withWatermark("ts", "2 hours")
+      .select(col("event_id").as("rid"), col("user_id").as("ruser"), col("ts").as("rts"))
+    val pairs = l.join(r,
+      col("luser") === col("ruser") &&
+      col("rts") >= col("lts") &&
+      col("rts") <= col("lts") + expr("INTERVAL 5 MINUTES") &&
+      col("lid") < col("rid"))
+    drain(pairs, "q_ssj2_sink", OutputMode.Append())
+      .select(col("lid"), col("rid"), col("luser").as("user_id"))
+      .orderBy("lid", "rid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_static_join" -> (qStreamStaticJoin _),
+    "q_stream_stream_join" -> (qStreamStreamJoin _),
     "q_stream_foreach_batch" -> (qForeachBatch _),
     "q38_stream_tumbling" -> (q38 _),
     "q39_stream_sliding" -> (q39 _),
@@ -209,6 +229,15 @@ object StreamingOps {
     "q_stream_foreach_batch" -> """
       SELECT event_type, count(*) AS cnt
       FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_stream_stream_join" -> """
+      SELECT l.event_id AS lid, r.event_id AS rid, l.user_id
+      FROM events l JOIN events r
+        ON l.user_id = r.user_id
+       AND r.ts >= l.ts
+       AND r.ts <= l.ts + INTERVAL 5 MINUTE
+       AND l.event_id < r.event_id
+      ORDER BY lid, rid""",
     "q38_stream_tumbling" -> """
       SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
              event_type, count(*) AS cnt,
