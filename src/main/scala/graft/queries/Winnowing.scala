@@ -40,14 +40,18 @@ object Winnowing {
                  LATERAL (SELECT unnest(range(0, length(text) - $K + 1)) AS p) u"""
     }
     // First 8 md5 hex chars as a base-16 integer via instr arithmetic;
-    // CAST keeps the per-digit product in 64-bit in both engines.
+    // CAST keeps the per-digit product in 64-bit in both engines. The
+    // digest is materialized once per gram row in its own CTE — the sum
+    // must not depend on either engine CSE-ing eight md5() calls.
     val hexVal = (j: Int) =>
-      s"CAST(instr('0123456789abcdef', substring(md5(gram), ${j + 1}, 1)) - 1 AS BIGINT) * ${math.pow(16, 7 - j).toLong}"
+      s"CAST(instr('0123456789abcdef', substring(mh, ${j + 1}, 1)) - 1 AS BIGINT) * ${math.pow(16, 7 - j).toLong}"
     val hexSum = (0 until 8).map(hexVal).mkString(" + ")
     s"""
     WITH grams AS ($mkGrams),
+    digests AS (
+      SELECT doc_id, p, md5(gram) AS mh FROM grams),
     hashed AS (
-      SELECT doc_id, p, $hexSum AS h FROM grams),
+      SELECT doc_id, p, $hexSum AS h FROM digests),
     winnowed AS (
       SELECT doc_id,
              min(h) OVER (PARTITION BY doc_id ORDER BY p

