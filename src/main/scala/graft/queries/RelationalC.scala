@@ -80,6 +80,30 @@ object RelationalC {
         .orderBy("l_returnflag")
     },
 
+    // Map higher-order functions: transform_keys/values, map_filter,
+    // map_zip_with — outputs reduced to scalars for the oracle.
+    "q_map_hof" -> { (s, dir) =>
+      val m = map(lit("base"), col("value"), lit("double"), col("value") * 2)
+      t(s, dir, "events").filter(col("event_id") <= 300)
+        .select(col("event_id"),
+          round(element_at(transform_values(m, (_, v) => v + 1), "base"), 6).as("base_plus1"),
+          size(map_filter(m, (_, v) => v > 50)).cast("long").as("n_over_50"),
+          round(element_at(transform_keys(m, (k, _) => concat(k, lit("_x"))), "double_x"), 6)
+            .as("double_val"))
+        .orderBy("event_id")
+    },
+
+    // from_json into a typed struct (schema-on-read over the props column).
+    "q_from_json" -> { (s, dir) =>
+      val parsed = from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+      t(s, dir, "events")
+        .select(col("event_type"), parsed.getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("k_sum"), count(col("k")).as("k_cnt"))
+        .orderBy("event_type")
+    },
+
     // Typed Dataset pipeline: case-class Encoder, typed filter/map, then
     // back to relational aggregation. (Typed lambdas are opaque to
     // Catalyst — no pushdown through them — which is why the engine uses
@@ -138,6 +162,21 @@ object RelationalC {
              round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
              round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_map_hof" -> """
+      SELECT event_id,
+             round(value + 1, 6) AS base_plus1,
+             CAST((CASE WHEN value > 50 THEN 1 ELSE 0 END)
+                + (CASE WHEN value * 2 > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_over_50,
+             round(value * 2, 6) AS double_val
+      FROM events WHERE event_id <= 300
+      ORDER BY event_id""",
+
+    "q_from_json" -> """
+      SELECT event_type,
+             sum(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS k_sum,
+             count(CASE WHEN regexp_extract(props, '"k":\s*(-?\d+)', 1) <> '' THEN 1 END) AS k_cnt
+      FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q_typed_dataset" -> """
       SELECT o_orderstatus AS status, count(*) AS cnt,
