@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify contract: the driver parses the LAST bare stdout line as
+// JSON. StdoutOutput passes the forked JVM's stdout through without the
+// "[info] " prefix; showSuccess kills the trailing "[success] Total time"
+// line that otherwise follows the JSON.
+run / connectInput := false
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -65,7 +65,18 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Contract hardening (round-1 driver recorded parsed:null): stop Spark
+    // FIRST so no late log line can land after the JSON, mirror the JSON to
+    // a well-known file, then emit it as the final bare stdout line.
     spark.stop()
+    try {
+      val w = new java.io.PrintWriter("/tmp/graft_bench.json")
+      try w.println(json) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write /tmp/graft_bench.json: ${e.getMessage}")
+    }
+    println(json)
+    System.out.flush()
   }
 }

@@ -351,7 +351,7 @@ object RelationalB {
 
     "q27_json_funcs" -> """
       SELECT event_type,
-             sum(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS k_sum,
+             CAST(sum(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS BIGINT) AS k_sum,
              count(*) AS cnt
       FROM events GROUP BY event_type ORDER BY event_type""",
 

@@ -174,7 +174,7 @@ object RelationalC {
 
     "q_from_json" -> """
       SELECT event_type,
-             sum(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS k_sum,
+             CAST(sum(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS BIGINT) AS k_sum,
              count(CASE WHEN regexp_extract(props, '"k":\s*(-?\d+)', 1) <> '' THEN 1 END) AS k_cnt
       FROM events GROUP BY event_type ORDER BY event_type""",
 

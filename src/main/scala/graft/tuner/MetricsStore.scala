@@ -16,6 +16,17 @@ import org.apache.spark.sql.functions._
 class MetricsStore(root: String, appName: String) {
   private def base = s"$root/$appName"
 
+  /** True iff the store path exists on whatever FS `root` points at.
+    * Checked BEFORE reading so a first-ever run takes the empty-history
+    * path without an AnalysisException ever being thrown (the thrown/
+    * caught variant left stack traces in app stderr and hid real
+    * corruption behind the same catch). */
+  private def pathExists(spark: SparkSession, p: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(path)
+  }
+
   def persist(spark: SparkSession, listener: MetricsListener, runId: Int): Unit = {
     import spark.implicits._
     listener.stageRows.toDS()
@@ -29,6 +40,8 @@ class MetricsStore(root: String, appName: String) {
     * error-tolerant read). */
   def history(spark: SparkSession): List[List[StageRunInfo]] = {
     import spark.implicits._
+    if (!pathExists(spark, s"$base/kind=stage") ||
+        !pathExists(spark, s"$base/kind=task")) return Nil
     try {
       // The embedded runId column is authoritative; the discovered `run`
       // partition column is dropped by the Dataset projection.
@@ -46,7 +59,12 @@ class MetricsStore(root: String, appName: String) {
         StageRunInfo.assemble(st.toSeq, tasksByRun.getOrElse(rid, Array.empty).toSeq)
       }
     } catch {
-      case scala.util.control.NonFatal(_) => Nil
+      // R22 error-tolerance is ONLY for an unreadable/empty layout (e.g. a
+      // crashed writer left a dir with no parquet footer): warn + empty
+      // history. Runtime corruption (SparkException etc.) propagates.
+      case e: org.apache.spark.sql.AnalysisException =>
+        System.err.println(s"[graft.tuner] unreadable metrics store at $base: ${e.getMessage}")
+        Nil
     }
   }
 

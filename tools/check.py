@@ -60,6 +60,23 @@ def main():
         if sorted(got_cols) != sorted(exp_cols):
             failed.append((name, f"cols: spark={sorted(got_cols)} duck={sorted(exp_cols)}"))
             continue
+        # Arrow-type skew warning: the driver hashes via Arrow, where e.g.
+        # DuckDB sum(BIGINT)=HUGEINT surfaces as decimal128(38,0) vs Spark's
+        # int64 and hash-mismatches even when stringified values agree
+        # (round-1 q27/q_from_json). Warn loudly so it is caught locally.
+        try:
+            got_schema = con.execute(
+                "SELECT * FROM read_parquet([" + ",".join(f"'{f}'" for f in files)
+                + "]) LIMIT 0").arrow().schema
+            exp_schema = con.execute(oracle[name] + " LIMIT 0").arrow().schema
+            gt = {f.name: str(f.type) for f in got_schema}
+            et = {f.name: str(f.type) for f in exp_schema}
+            for c in sorted(gt):
+                if c in et and gt[c] != et[c]:
+                    print(f"WARN {name}: arrow type skew on '{c}': "
+                          f"spark={gt[c]} duck={et[c]}")
+        except Exception:
+            pass
         gidx = [got_cols.index(c) for c in sorted(got_cols)]
         eidx = [exp_cols.index(c) for c in sorted(exp_cols)]
         g = sorted(tuple(canon(r[i]) for i in gidx) for r in got)
