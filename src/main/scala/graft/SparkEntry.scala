@@ -17,8 +17,10 @@ object SparkEntry {
       AsOfOps.queries ++ Winnowing.queries ++ TextOps.queries ++
       SimilarityOps.queries ++ EventOps.queries ++ UdfOps.queries ++ Map(
         "q43_minhash_lsh" -> (graft.dedup.MinHashDedup.query _),
-        "q_ann_ivf" -> (graft.similarity.AnnIvf.query _),
-        "q_ann_lsh" -> (graft.similarity.AnnLsh.query _),
+        "q_ann_ivf" -> ((s: SparkSession, dir: String) =>
+          graft.similarity.AnnIvf.query(s, dir)),
+        "q_ann_lsh" -> ((s: SparkSession, dir: String) =>
+          graft.similarity.AnnLsh.query(s, dir)),
         "q_multimodal_features" -> (graft.multimodal.MediaPipeline.query _),
         "q_tuner_loop" -> (graft.tuner.TunerDemo.query _),
         "q_salted_join" -> (graft.operators.SaltedJoin.query _),

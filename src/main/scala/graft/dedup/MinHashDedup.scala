@@ -66,17 +66,20 @@ object MinHashDedup {
         explode(array_distinct(shingles(shingleSize))).as("tok"))
       .filter(col("tok") =!= "")
 
-  /** One row per doc with the NUM_HASHES minhash signature values. */
+  /** One row per doc with the NUM_HASHES minhash signature values plus
+    * n_toks = |distinct shingle set| — the set size rides the SAME single
+    * shuffle as the signature (one extra count aggregate), so the exact
+    * rerank never has to re-aggregate or re-ship token arrays. */
   def signatures(docs: DataFrame, seed: Long = 42L, shingleSize: Int = 1): DataFrame = {
     val cs = coeffs(seed, NUM_HASHES)
     // Token hash projected once, not re-evaluated inside each of the
     // NUM_HASHES min-aggregates (aggregate exprs are not reliably CSE'd).
     val hashed = tokens(docs, shingleSize)
       .withColumn("h", pmod(xxhash64(col("tok")), lit(PRIME)))
-    val mins: Seq[Column] = cs.zipWithIndex.map { case ((a, b), i) =>
+    val aggs: Seq[Column] = cs.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * lit(a) + lit(b), lit(PRIME))).as(s"mh_$i")
-    }.toSeq
-    hashed.groupBy("doc_id", "lang", "source").agg(mins.head, mins.tail: _*)
+    }.toSeq :+ count(lit(1)).as("n_toks")
+    hashed.groupBy("doc_id", "lang", "source").agg(aggs.head, aggs.tail: _*)
   }
 
   /** (doc_id, block keys, band, band_sig) — LSH bucket keys. */
@@ -101,18 +104,33 @@ object MinHashDedup {
       .distinct()
 
   /** Full pipeline: candidates reranked with exact Jaccard ≥ threshold
-    * over the same shingle unit the signatures used. */
+    * over the same shingle unit the signatures used.
+    *
+    * The rerank never ships token ARRAYS (the round-1 shape joined two
+    * array<string> sides per candidate pair — expensive rows and per-pair
+    * O(|A|+|B|) array intersection). Instead: |A∩B| falls out of two
+    * equi-joins over the flat (doc, token) rows restricted to candidate
+    * docs followed by a partial-aggregable count, and |A|,|B| ride the
+    * signature shuffle (n_toks). Jaccard = i / (n1 + n2 − i). Pairs with
+    * empty intersection drop out of the count join — correct, since their
+    * Jaccard is 0 < threshold. */
   def nearDuplicates(docs: DataFrame, threshold: Double = 0.5, seed: Long = 42L,
       shingleSize: Int = 1): DataFrame = {
-    val cands = candidatePairs(bandSignatures(signatures(docs, seed, shingleSize)))
-    val tokSets = docs.select(col("doc_id"),
-      array_distinct(shingles(shingleSize)).as("toks"))
-    val jac = size(array_intersect(col("toks1"), col("toks2"))).cast("double") /
-      size(array_union(col("toks1"), col("toks2")))
-    cands
-      .join(tokSets.select(col("doc_id").as("id1"), col("toks").as("toks1")), "id1")
-      .join(tokSets.select(col("doc_id").as("id2"), col("toks").as("toks2")), "id2")
-      .select(col("id1"), col("id2"), round(jac, 6).as("jaccard"))
+    require(threshold > 0.0, "threshold must be positive (zero-overlap pairs are never emitted)")
+    val sigs = signatures(docs, seed, shingleSize)
+    val cands = candidatePairs(bandSignatures(sigs))
+    val toks = tokens(docs, shingleSize)
+    val inter = cands
+      .join(toks.select(col("doc_id").as("id1"), col("tok")), "id1")
+      .join(toks.select(col("doc_id").as("id2"), col("tok")), Seq("id2", "tok"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+    val sizes = sigs.select(col("doc_id"), col("n_toks"))
+    inter
+      .join(sizes.select(col("doc_id").as("id1"), col("n_toks").as("n1")), "id1")
+      .join(sizes.select(col("doc_id").as("id2"), col("n_toks").as("n2")), "id2")
+      .select(col("id1"), col("id2"),
+        round(col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("id1", "id2")
   }

@@ -8,49 +8,79 @@ import graft.core.Tables._
 /** IVF-style approximate nearest neighbor over the embedding column — the
   * scale path behind Q32's exact brute-force top-k.
   *
-  * Coarse quantizer: K deterministic centroids (every 50th vector — at
-  * 100 TB this would be a k-means|| fit persisted once; a fixed sample
-  * keeps the POC deterministic). Every vector is assigned to its nearest
-  * centroid (broadcast centroids, map-side argmin — no shuffle). A query
-  * probes its NPROBE nearest centroid cells and reranks exactly inside
-  * them, scanning ~NPROBE/K of the corpus instead of all of it.
+  * Coarse quantizer: K centroids with K = min(MAX_K, ⌈√N⌉), taken as a
+  * deterministic stride sample of the corpus (at 100 TB this would be a
+  * k-means|| fit persisted once; a fixed stride keeps the POC
+  * deterministic). K growing as √N bounds BOTH sides of the IVF cost:
+  * assignment is O(N·K) = O(N^1.5) map-side work against a broadcast
+  * centroid table, and a probe reranks O(nprobe·N/K) = O(N^0.5) rows per
+  * query; MAX_K caps the broadcast size. The argmin itself is a single
+  * partial-aggregable max_by groupBy (map-side combine shuffles one row
+  * per vec_id per mapper) — NOT a row_number window, which would shuffle
+  * and sort all N×K scored rows.
+  *
+  * nprobe: the fixture embeddings are near-uniform-random, so recall ≈
+  * fraction of cells probed — the default probes ~30% of cells to keep
+  * the recall spec meaningful. Real clustered corpora use a small fixed
+  * nprobe (8–32) independent of K; pass it explicitly.
   *
   * Recall vs exact Q32 top-k is asserted in AnnIvfSpec.
   */
 object AnnIvf {
-  val NPROBE = 3
+  /** Broadcast-size cap on centroid count (4096 × dim 64 doubles ≈ 2 MB). */
+  val MAX_K = 4096
   val TOP_K = 5
+
+  def chooseK(n: Long): Int =
+    math.min(MAX_K, math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt))
 
   private def cosine(a: Column, b: Column): Column =
     graft.functions.CosineSimilarity.cosine(a, b)
 
-  /** Assign each embedding row to its nearest centroid id. */
+  /** Assign each embedding row to its nearest centroid id: broadcast the
+    * centroids, score map-side, reduce with max_by (partial aggregation —
+    * one surviving row per vec_id per mapper reaches the shuffle).
+    * Tie-break = highest csim then lowest cid; the ordering struct
+    * compares fields left-to-right, so (csim, -cid) encodes exactly that. */
   def assign(emb: DataFrame, centroids: DataFrame): DataFrame = {
     val scored = emb.join(broadcast(centroids))
       .select(col("vec_id"), col("emb"), col("cid"),
         cosine(col("emb"), col("cemb")).as("csim"))
-    val w = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cid"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("emb"), col("cid"))
+    scored.groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cid"), col("emb")),
+        struct(col("csim"), (-col("cid")).as("ord"))).as("best"))
+      .select(col("vec_id"), col("best.emb").as("emb"), col("best.cid").as("cid"))
   }
 
   def query(s: SparkSession, dir: String): DataFrame = {
     graft.GraftExtensions.ensureRegistered(s)
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    val centroids = e.filter(col("vec_id") % 50 === 0)
+    val n = e.count()
+    val k = chooseK(n)
+    // ~30% cell coverage for the uniform-random fixture (see scaladoc);
+    // clustered production corpora would pass a fixed nprobe instead.
+    val nprobe = math.max(3, math.ceil(k * 0.3).toInt)
+    query(s, e, k, nprobe)
+  }
+
+  def query(s: SparkSession, e: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val n = e.count()
+    val stride = math.max(1L, n / k)
+    val centroids = e.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cid"), col("emb").as("cemb"))
 
     val assigned = assign(e, centroids)
 
-    // Queries probe their NPROBE nearest centroid cells.
+    // Queries probe their nprobe nearest centroid cells. The window here
+    // sorts K rows per query (K is capped), not corpus rows.
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"))
     val probeW = Window.partitionBy("qid").orderBy(desc("qcsim"), asc("cid"))
     val probes = q.join(broadcast(centroids))
       .select(col("qid"), col("qemb"), col("cid"),
         cosine(col("qemb"), col("cemb")).as("qcsim"))
-      .withColumn("rn", row_number().over(probeW)).filter(col("rn") <= NPROBE)
+      .withColumn("rn", row_number().over(probeW)).filter(col("rn") <= nprobe)
       .select(col("qid"), col("qemb"), col("cid"))
 
     // Exact rerank inside probed cells only (equi-join on cell id).

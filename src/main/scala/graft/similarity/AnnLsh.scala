@@ -6,25 +6,47 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables._
 
 /** Random-hyperplane LSH approximate nearest neighbor — the second scale
-  * path for similarity search (complements AnnIvf): SIGN_BITS fixed
-  * pseudo-random hyperplanes turn each vector into a bit signature;
-  * signatures are split into BANDS bands, vectors sharing any band bucket
-  * become candidates (equi-join, never a cross join), and candidates are
-  * reranked exactly with the native cosine expression.
+  * path for similarity search (complements AnnIvf): fixed pseudo-random
+  * hyperplanes turn each vector into a bit signature; signatures are split
+  * into bands, vectors sharing any band bucket become candidates
+  * (equi-join, never a cross join), and candidates are reranked exactly
+  * with the native cosine expression.
+  *
+  * The band shape is the recall/cost dial and is now a first-class
+  * parameter. With b bits per band a bucket holds ~N/2^b of the corpus, so
+  * candidate volume scales as N²·bands/2^b: 2-bit bands (round-1 shape)
+  * are near-all-pairs at scale, while the default [[Sharp]] shape
+  * (12-bit bands) keeps buckets at ~N/4096. Sharp bands lose recall on
+  * weakly-similar corpora, which multi-probe recovers for free on the
+  * query side: each query also probes every bucket whose band signature
+  * differs by one bit (bands·bitsPerBand extra lookups per query, zero
+  * extra data-side state — Lv et al., "Multi-Probe LSH", VLDB'07).
   *
   * Hyperplane coefficients come from a fixed-seed SplitMix64 stream mapped
   * to [-1, 1] — deterministic across runs and engines, no RNG at runtime.
   * For sign bits only the hyperplane direction matters, so uniform
   * components are as good as Gaussian ones at dim 64.
+  *
+  * Recall at BOTH shapes and the Sharp candidate-pair bound (≪ N²/4) are
+  * asserted in AnnLshSpec.
   */
 object AnnLsh {
-  // 8 bands × 2 bits: for the testdata's near-orthogonal neighbors
-  // (best cosine ≈ 0.4 ⇒ P(bit agree) ≈ 0.63) this gives ~0.97 recall.
-  // On real clustered embeddings (neighbor cosine ≥ 0.8) the same shape
-  // prunes far harder; band shape is the recall/cost dial.
-  val SIGN_BITS = 16
-  val BANDS = 8
-  val BITS_PER_BAND: Int = SIGN_BITS / BANDS
+  /** bands × bitsPerBand sign bits; multiProbe is the Hamming radius
+    * probed on the query side (0 = exact bucket only, 1 = all one-bit
+    * flips; radii > 1 are not implemented). */
+  final case class Shape(bands: Int, bitsPerBand: Int, multiProbe: Int) {
+    require(multiProbe >= 0 && multiProbe <= 1, "multiProbe radius 0 or 1")
+    val signBits: Int = bands * bitsPerBand
+  }
+
+  /** Scale-sane default: 4096-way buckets, one-bit multi-probe. */
+  val Sharp = Shape(bands = 16, bitsPerBand = 12, multiProbe = 1)
+
+  /** Recall-ceiling shape for near-orthogonal corpora (the round-1 shape).
+    * Near-all-pairs at scale — use only when the corpus is small or
+    * neighbors are weakly similar AND exhaustive rerank is affordable. */
+  val Loose = Shape(bands = 8, bitsPerBand = 2, multiProbe = 0)
+
   val TOP_K = 5
 
   private def planes(seed: Long, bits: Int, dim: Int): Array[Array[Double]] = {
@@ -43,26 +65,58 @@ object AnnLsh {
         .cast("int")
     }
 
-  /** (vec_id, emb, band, band_sig) bucket rows. */
-  def bucketed(e: DataFrame, seed: Long = 7L, dim: Int = 64): DataFrame = {
-    val ps = planes(seed, SIGN_BITS, dim)
-    val bits = signatureBits(col("emb"), ps)
-    val bandCols = (0 until BANDS).map { b =>
-      val slice = (0 until BITS_PER_BAND).map(r => bits(b * BITS_PER_BAND + r))
-      struct(lit(b).as("band"),
-        concat_ws("", slice.map(_.cast("string")): _*).as("sig"))
-    }
-    e.select(col("vec_id"), col("emb"), explode(array(bandCols: _*)).as("bs"))
-      .select(col("vec_id"), col("emb"),
-        col("bs.band").as("band"), col("bs.sig").as("sig"))
+  /** (vec_id, emb, band, sig) bucket rows. With probe=true additionally
+    * emits, per band, the one-bit-flip probe signatures (multi-probe:
+    * query side only — the data side always stores exact buckets).
+    *
+    * The signBits hyperplane dot products are materialized ONCE into an
+    * array column *below* the band/flip generators — the per-variant sig
+    * is then plain array slicing. Building each variant's sig directly
+    * from the dot-product expressions would replicate every 64-dim fold
+    * bands×(1+bitsPerBand) times (CollapseProject cannot deduplicate
+    * across an exploded struct array); Generate nodes pass the
+    * materialized column through untouched. */
+  def bucketed(e: DataFrame, shape: Shape = Sharp, probe: Boolean = false,
+               seed: Long = 7L, dim: Int = 64): DataFrame = {
+    val ps = planes(seed, shape.signBits, dim)
+    val withBits = e.select(col("vec_id"), col("emb"),
+      array(signatureBits(col("emb"), ps): _*).as("bits"))
+    val flips: Seq[Int] =
+      if (probe && shape.multiProbe >= 1) -1 until shape.bitsPerBand
+      else Seq(-1)
+    // slice() is 1-based; flip index f is 0-based within the band (-1 = no
+    // flip). transform's index arg i is 0-based over the band slice.
+    val bandSlice = expr(s"slice(bits, band * ${shape.bitsPerBand} + 1, ${shape.bitsPerBand})")
+    val sig = concat_ws("",
+      transform(bandSlice, (x, i) =>
+        when(i === col("flip"), lit(1) - x).otherwise(x).cast("string")))
+    withBits
+      .select(col("vec_id"), col("emb"), col("bits"),
+        explode(sequence(lit(0), lit(shape.bands - 1))).as("band"))
+      .select(col("vec_id"), col("emb"), col("bits"), col("band"),
+        explode(array(flips.map(f => lit(f)): _*)).as("flip"))
+      .select(col("vec_id"), col("emb"), col("band"), sig.as("sig"))
   }
 
-  def query(s: SparkSession, dir: String): DataFrame = {
+  /** Distinct candidate pairs (a < b) the shape would rerank over the whole
+    * corpus — the cost side of the recall/cost dial; asserted ≪ N²/4 for
+    * [[Sharp]] in AnnLshSpec. */
+  def candidatePairs(e: DataFrame, shape: Shape): Long = {
+    val b = bucketed(e, shape)
+    val l = b.select(col("band"), col("sig"), col("vec_id").as("a"))
+    val r = b.select(col("band"), col("sig"), col("vec_id").as("b"))
+    l.join(r, Seq("band", "sig")).filter(col("a") < col("b"))
+      .select("a", "b").distinct().count()
+  }
+
+  def query(s: SparkSession, dir: String): DataFrame = query(s, dir, Sharp)
+
+  def query(s: SparkSession, dir: String, shape: Shape): DataFrame = {
     graft.GraftExtensions.ensureRegistered(s)
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    val buckets = bucketed(e)
-    val qb = buckets.filter(col("vec_id") < 10)
+    val buckets = bucketed(e, shape)
+    val qb = bucketed(e.filter(col("vec_id") < 10), shape, probe = true)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"),
         col("band"), col("sig"))
     // Candidates: any shared (band, sig) bucket; distinct before rerank.

@@ -67,6 +67,33 @@ object Formats {
         .agg(count(lit(1)).as("cnt"),
           money(sum(dec(col("o_totalprice")))).as("total"))
         .orderBy("o_orderpriority")
+    },
+
+    // Dynamic partition pruning: the partition filter is NOT in the query
+    // text — it arrives at runtime from the dim side of the join, so the
+    // fact scan shows dynamicpruningexpression(...) in PartitionFilters
+    // and reads only the 'fast' priority directories (asserted in
+    // FormatsDppSpec). At 100 TB this is the difference between scanning
+    // two partitions and scanning the whole fact table.
+    "q_dpp_prune" -> { (s, dir) =>
+      val tmp = Files.createTempDirectory("graft-dpp").toString
+      t(s, dir, "orders").write.mode("overwrite")
+        .partitionBy("o_orderpriority").parquet(s"$tmp/orders")
+      // The dim must be a file relation: a local in-memory dim gets its
+      // filter constant-folded away, and the DPP rule only fires when the
+      // dim side retains a selective predicate.
+      s.createDataFrame(Seq(
+        ("1-URGENT", "fast"), ("2-HIGH", "fast"), ("3-MEDIUM", "slow"),
+        ("4-NOT SPECIFIED", "slow"), ("5-LOW", "slow"))).toDF("prio", "speed")
+        .write.mode("overwrite").parquet(s"$tmp/dim")
+      val fact = s.read.parquet(s"$tmp/orders")
+      val dim = s.read.parquet(s"$tmp/dim")
+      fact.join(dim.filter(col("speed") === "fast"),
+          fact("o_orderpriority") === dim("prio"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          money(sum(dec(col("o_totalprice")))).as("total"))
+        .orderBy("o_orderpriority")
     }
   )
 
@@ -88,6 +115,16 @@ object Formats {
       SELECT o_orderpriority, count(*) AS cnt,
         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
       FROM orders WHERE o_orderstatus = 'O'
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q_dpp_prune" -> """
+      WITH dim(prio, speed) AS (VALUES
+        ('1-URGENT','fast'), ('2-HIGH','fast'), ('3-MEDIUM','slow'),
+        ('4-NOT SPECIFIED','slow'), ('5-LOW','slow'))
+      SELECT o_orderpriority, count(*) AS cnt,
+        CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+      FROM orders JOIN dim ON o_orderpriority = prio
+      WHERE speed = 'fast'
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""
   )
 }

@@ -52,3 +52,32 @@ class MetricsListener(runId: Int) extends SparkListener {
   def stageRows: Seq[StageMetric] = stages.synchronized { stages.toList }
   def taskRows: Seq[TaskMetric] = tasks.synchronized { tasks.toList }
 }
+
+/** Flight-recorder variant (the reference's FlightRecorder*Metrics
+  * semantics, Listener.scala:16-23): an app that merely attaches this
+  * listener gets its metrics persisted when the application ends, even if
+  * it never reaches an explicit persist call (abnormal exit paths
+  * included, as long as SparkContext.stop() runs — Spark's own shutdown
+  * hook triggers it). The flush writes JSON-lines via the Hadoop FS API
+  * because no Spark job can be submitted once stop() is underway; see
+  * [[MetricsStore.persistDirect]].
+  *
+  * Use either this (ambient recording) or [[Tuner.withRecording]]
+  * (scoped recording) for a given store — not both in one app, or the
+  * two will allocate the same run id. */
+class FlightRecorder(store: MetricsStore, runId: Int,
+    hadoopConf: org.apache.hadoop.conf.Configuration)
+  extends MetricsListener(runId) {
+  @volatile private var flushed = false
+
+  override def onApplicationEnd(ev: SparkListenerApplicationEnd): Unit = flush()
+
+  /** Idempotent; safe to call early (e.g. from app code before a planned
+    * exit) — the application-end delivery then becomes a no-op. */
+  def flush(): Unit = synchronized {
+    if (!flushed) {
+      store.persistDirect(hadoopConf, this, runId)
+      flushed = true
+    }
+  }
+}

@@ -1,6 +1,6 @@
 package graft.tuner
 
-import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.{Encoder, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Parquet metrics store, one layout for both kinds (fixes reference quirk
@@ -35,28 +35,76 @@ class MetricsStore(root: String, appName: String) {
       .write.mode(SaveMode.Overwrite).parquet(s"$base/kind=task/run=$runId")
   }
 
+  /** Flight-recorder sidecar layout: JSON-lines written via the Hadoop FS
+    * API — by the time SparkListenerApplicationEnd is delivered,
+    * SparkContext.stop() has set the stopped flag and no Spark job can
+    * run, so the end-of-app flush cannot go through parquet writes.
+    * history() reads both layouts and merges by run id. */
+  private def flightBase(kind: String) = s"$base/flight_$kind"
+
+  private def stageJsonLine(m: StageMetric): String =
+    s"""{"runId":${m.runId},"stageId":${m.stageId},"attempt":${m.attempt},""" +
+      s""""executorCpuTimeMs":${m.executorCpuTimeMs},"stageDurationMs":${m.stageDurationMs},""" +
+      s""""bytesRead":${m.bytesRead},"shuffleBytesWritten":${m.shuffleBytesWritten},""" +
+      s""""shuffleBytesRead":${m.shuffleBytesRead},"submittedAtMs":${m.submittedAtMs}}"""
+
+  private def taskJsonLine(m: TaskMetric): String =
+    s"""{"runId":${m.runId},"stageId":${m.stageId},"taskId":${m.taskId},""" +
+      s""""executorId":"${m.executorId.replace("\\", "\\\\").replace("\"", "\\\"")}",""" +
+      s""""durationMs":${m.durationMs},"peakMemory":${m.peakMemory}}"""
+
+  /** Persist without Spark jobs (application-end flush path). */
+  def persistDirect(hadoopConf: org.apache.hadoop.conf.Configuration,
+      listener: MetricsListener, runId: Int): Unit = {
+    def write(dir: String, lines: Seq[String]): Unit = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/run-$runId.jsonl")
+      val fs = p.getFileSystem(hadoopConf)
+      val out = fs.create(p, true)
+      val w = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+        out, java.nio.charset.StandardCharsets.UTF_8))
+      try lines.foreach(w.println) finally w.close()
+    }
+    write(flightBase("stage"), listener.stageRows.map(stageJsonLine))
+    write(flightBase("task"), listener.taskRows.map(taskJsonLine))
+  }
+
+  /** Rows of one kind across both layouts (parquet runs + flight sidecar). */
+  private def readKind[T: Encoder](spark: SparkSession, parquetPath: String,
+      jsonPath: String, cols: Seq[String]): Seq[T] = {
+    val enc = implicitly[Encoder[T]]
+    val fromParquet =
+      if (pathExists(spark, parquetPath))
+        spark.read.parquet(parquetPath)
+          .select(cols.map(col): _*).as[T](enc).collect().toSeq
+      else Nil
+    val fromFlight =
+      if (pathExists(spark, jsonPath))
+        spark.read.schema(enc.schema).json(jsonPath)
+          .select(cols.map(col): _*).as[T](enc).collect().toSeq
+      else Nil
+    fromParquet ++ fromFlight
+  }
+
   /** All runs in id order, each assembled into per-stage infos. Missing or
     * unreadable store ⇒ empty history (reference quirk Q2 fixed; R22
     * error-tolerant read). */
   def history(spark: SparkSession): List[List[StageRunInfo]] = {
     import spark.implicits._
-    if (!pathExists(spark, s"$base/kind=stage") ||
-        !pathExists(spark, s"$base/kind=task")) return Nil
     try {
       // The embedded runId column is authoritative; the discovered `run`
-      // partition column is dropped by the Dataset projection.
-      val stages = spark.read.parquet(s"$base/kind=stage")
-        .select("runId", "stageId", "attempt", "executorCpuTimeMs",
+      // partition column is dropped by the projection inside readKind.
+      val stages = readKind[StageMetric](spark, s"$base/kind=stage",
+        flightBase("stage"),
+        Seq("runId", "stageId", "attempt", "executorCpuTimeMs",
           "stageDurationMs", "bytesRead", "shuffleBytesWritten",
-          "shuffleBytesRead", "submittedAtMs")
-        .as[StageMetric].collect()
-      val tasks = spark.read.parquet(s"$base/kind=task")
-        .select("runId", "stageId", "taskId", "executorId", "durationMs",
-          "peakMemory")
-        .as[TaskMetric].collect()
+          "shuffleBytesRead", "submittedAtMs"))
+      val tasks = readKind[TaskMetric](spark, s"$base/kind=task",
+        flightBase("task"),
+        Seq("runId", "stageId", "taskId", "executorId", "durationMs",
+          "peakMemory"))
       val tasksByRun = tasks.groupBy(_.runId)
       stages.groupBy(_.runId).toList.sortBy(_._1).map { case (rid, st) =>
-        StageRunInfo.assemble(st.toSeq, tasksByRun.getOrElse(rid, Array.empty).toSeq)
+        StageRunInfo.assemble(st, tasksByRun.getOrElse(rid, Nil))
       }
     } catch {
       // R22 error-tolerance is ONLY for an unreadable/empty layout (e.g. a

@@ -54,6 +54,19 @@ class Tuner(metricsRoot: String, appName: String) {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  /** Attach an ambient flight recorder: metrics auto-persist on
+    * application end with no further calls (reference flight-recorder
+    * contract). Returns the listener so the app can flush() early if it
+    * wants the run visible before shutdown. Do not combine with
+    * withRecording on the same store in one app (run-id collision). */
+  def attachFlightRecorder(spark: SparkSession): FlightRecorder = {
+    val runId = store.nextRunId(spark)
+    val fr = new FlightRecorder(store, runId,
+      spark.sparkContext.hadoopConfiguration)
+    spark.sparkContext.addSparkListener(fr)
+    fr
+  }
+
   /** Full loop step: tune from history, then record this run. */
   def tuneAndRun[T](spark: SparkSession)(body: => T): (T, Int, Int) = {
     val partitions = applyTo(spark)

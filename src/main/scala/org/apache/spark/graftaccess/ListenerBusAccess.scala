@@ -7,4 +7,12 @@ import org.apache.spark.SparkContext
   * technique spark-testing-base uses; no Spark internals are modified. */
 object ListenerBusAccess {
   def waitUntilEmpty(sc: SparkContext): Unit = sc.listenerBus.waitUntilEmpty()
+
+  /** Deliver SparkListenerApplicationEnd through the real bus WITHOUT
+    * stopping the context — lets a spec exercise the flight-recorder
+    * flush path in the shared-session test JVM (an actual stop() would
+    * kill every other suite's session). */
+  def postApplicationEnd(sc: SparkContext): Unit =
+    sc.listenerBus.post(
+      org.apache.spark.scheduler.SparkListenerApplicationEnd(System.currentTimeMillis()))
 }

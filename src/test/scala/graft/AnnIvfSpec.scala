@@ -4,10 +4,19 @@ import graft.queries.SimilarityOps
 import graft.similarity.AnnIvf
 
 /** ANN gate: IVF top-k recall vs the exact brute-force Q32 top-k. With
-  * K=10 cells and NPROBE=3 the probe set covers ~30% of the corpus, so
-  * perfect recall is not expected — the bound asserts the index is doing
-  * real work (random 5-of-corpus would be ~3%). */
+  * K = ⌈√N⌉ cells (23 at the fixture's N=500) and the default ~30% cell
+  * coverage, perfect recall is not expected on the uniform-random fixture
+  * — the bound asserts the index is doing real work (random 5-of-corpus
+  * would be ~3%; measured recall ≈ 0.66). Also pins the scale knobs:
+  * chooseK caps at MAX_K and grows as √N, never with a fixed stride. */
 class AnnIvfSpec extends SparkSpec {
+
+  test("chooseK grows as sqrt(N) and is capped") {
+    assert(AnnIvf.chooseK(500) == 23)
+    assert(AnnIvf.chooseK(1000000) == 1000)
+    assert(AnnIvf.chooseK(100000000000L) == AnnIvf.MAX_K)
+    assert(AnnIvf.chooseK(1) == 4)
+  }
 
   test("ivf top-5 recall vs exact >= 0.4 and all results are true neighbors") {
     val exact = SimilarityOps.queries("q32_cosine_topk")(spark, sf)

@@ -3,20 +3,53 @@ package graft
 import graft.queries.SimilarityOps
 import graft.similarity.AnnLsh
 
-/** Random-hyperplane LSH ANN: recall vs exact brute-force top-k, plus
-  * determinism of the bucketing. */
+/** Random-hyperplane LSH ANN: recall at BOTH band shapes, the Sharp
+  * shape's candidate-pair bound, and determinism of the bucketing.
+  *
+  * The fixture embeddings are near-uniform-random (best neighbor cosine
+  * ≈ 0.4 ⇒ P(bit agree) ≈ 0.63), which is the worst case for LSH — with
+  * little per-bit signal, recall tracks candidate volume. The Loose shape
+  * buys its ~0.98 recall with near-all-pairs candidates (~N²/2); Sharp
+  * prunes to ≲ N²/85 and keeps the recall an honest index would get here
+  * (measured 0.16). On real clustered corpora (neighbor cosine ≥ 0.8,
+  * P(bit agree) ≥ 0.9) Sharp's 12-bit bands retain high recall — the
+  * shape is the dial, and both ends are pinned by this spec. */
 class AnnLshSpec extends SparkSpec {
 
-  test("lsh top-5 recall vs exact >= 0.6") {
+  private def recallOf(shape: AnnLsh.Shape): Double = {
     val exact = SimilarityOps.queries("q32_cosine_topk")(spark, sf)
       .select("qid", "cand_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = AnnLsh.query(spark, sf)
+    assert(exact.nonEmpty)
+    val approx = AnnLsh.query(spark, sf, shape)
       .select("qid", "cand_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(exact.nonEmpty)
-    val recall = (exact intersect approx).size.toDouble / exact.size
-    assert(recall >= 0.6, s"lsh recall $recall below 0.6")
+    (exact intersect approx).size.toDouble / exact.size
+  }
+
+  test("loose shape: top-5 recall vs exact >= 0.9") {
+    val r = recallOf(AnnLsh.Loose)
+    assert(r >= 0.9, s"loose recall $r below 0.9")
+  }
+
+  test("sharp shape: recall >= 0.1 on the worst-case fixture") {
+    val r = recallOf(AnnLsh.Sharp)
+    assert(r >= 0.1, s"sharp recall $r below 0.1")
+  }
+
+  test("sharp shape: candidate pairs << N^2/4") {
+    val e = graft.core.Tables.t(spark, sf, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding").cast("array<double>").as("emb"))
+    val n = e.count()
+    val sharpPairs = AnnLsh.candidatePairs(e, AnnLsh.Sharp)
+    val loosePairs = AnnLsh.candidatePairs(e, AnnLsh.Loose)
+    assert(sharpPairs < n * n / 16,
+      s"sharp candidates $sharpPairs not << N^2/4 = ${n * n / 4}")
+    // And the loose shape really is the near-all-pairs end of the dial —
+    // the round-1 finding this spec guards against regressing silently.
+    assert(sharpPairs * 10 < loosePairs,
+      s"sharp ($sharpPairs) should prune >=10x harder than loose ($loosePairs)")
   }
 
   test("bucketing is deterministic") {
@@ -25,9 +58,10 @@ class AnnLshSpec extends SparkSpec {
         org.apache.spark.sql.functions.col("embedding").cast("array<double>").as("emb"))
       .limit(50)
     val a = AnnLsh.bucketed(e).select("vec_id", "band", "sig")
-      .orderBy("vec_id", "band").collect()
+      .orderBy("vec_id", "band", "sig").collect()
     val b = AnnLsh.bucketed(e).select("vec_id", "band", "sig")
-      .orderBy("vec_id", "band").collect()
+      .orderBy("vec_id", "band", "sig").collect()
     assert(a.sameElements(b))
   }
 }
+

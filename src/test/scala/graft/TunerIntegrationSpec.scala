@@ -38,6 +38,27 @@ class TunerIntegrationSpec extends SparkSpec {
     spark.conf.set("spark.sql.shuffle.partitions", before) // restore for other specs
   }
 
+  test("flight recorder persists on application end without explicit persist") {
+    val dir = Files.createTempDirectory("graft-flight").toString
+    val tuner = new Tuner(dir, "flight")
+    val fr = tuner.attachFlightRecorder(spark)
+    try {
+      spark.read.parquet(s"$sf/lineitem.parquet")
+        .groupBy("l_returnflag").count().count()
+      // Deliver the real application-end event through the real listener
+      // bus (stopping the shared test context would kill other suites;
+      // in production Spark's shutdown hook posts this during stop()).
+      org.apache.spark.graftaccess.ListenerBusAccess.postApplicationEnd(spark.sparkContext)
+      org.apache.spark.graftaccess.ListenerBusAccess.waitUntilEmpty(spark.sparkContext)
+      val h = tuner.store.history(spark)
+      assert(h.length == 1, "flushed run visible in history")
+      assert(h.head.nonEmpty && h.head.exists(_.tasks.nonEmpty),
+        "stages and tasks captured through the flush path")
+      assert(tuner.store.nextRunId(spark) == 1,
+        "flight-recorded runs advance the run-id sequence")
+    } finally spark.sparkContext.removeSparkListener(fr)
+  }
+
   test("empty store yields cold-start recommendation, not an error (Q2)") {
     val tuner = new Tuner(Files.createTempDirectory("graft-empty").toString, "none")
     assert(tuner.recommendPartitions(spark) > 0)

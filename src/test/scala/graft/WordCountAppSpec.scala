@@ -15,6 +15,26 @@ class WordCountAppSpec extends SparkSpec {
     assert(ok.exists(a => a.input == "i" && a.appName == "n"))
   }
 
+  test("--tune off records metrics without touching conf (reference EP2)") {
+    val in = Files.createTempFile("words2", ".txt")
+    Files.writeString(in, "alpha beta beta\n")
+    val out = Files.createTempDirectory("wc2-out").toString
+    val metrics = Files.createTempDirectory("wc2-metrics").toString
+    val args = WordCountApp.Args(in.toString, out, metrics, "wc2-spec", tune = false)
+
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val (partitions, runId) = WordCountApp.run(spark, args)
+      assert(runId == 0)
+      assert(partitions == 7, "record-only mode reports the ambient setting")
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "7",
+        "record-only mode must not rewrite conf")
+      val tuner = new graft.tuner.Tuner(metrics, "wc2-spec")
+      assert(tuner.store.history(spark).length == 1, "metrics still recorded")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("two tuned runs share history through the metrics store") {
     val in = Files.createTempFile("words", ".txt")
     Files.writeString(in, "I am some words\nWords And words Woooooooooooo\nPanda words\n")
