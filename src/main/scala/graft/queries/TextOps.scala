@@ -133,6 +133,42 @@ object TextOps {
     "q_simhash" -> { (s, dir) =>
       t(s, dir, "documents").createOrReplaceTempView("documents")
       s.sql(SimhashSql.spark)
+    },
+
+    // SimHash near-dup pairs: banded Hamming-distance join (pigeonhole:
+    // 6 × 8-bit bands catch every pair within Hamming distance 5).
+    "q_simhash_pairs" -> { (s, dir) =>
+      t(s, dir, "documents").createOrReplaceTempView("documents")
+      s.sql(SimhashSql.pairsSpark)
+    },
+
+    // The composed training-data prep pipeline: quality gate → exact
+    // dedup (min-doc_id representative per text) → per-(lang, source)
+    // corpus stats. One declarative plan, so Catalyst fuses the scoring
+    // projection into the scan and the dedup/stat aggregations are the
+    // only shuffles — the shape a 100 TB corpus-clean job wants. The
+    // deterministic-average canon applies: decimal sum → double ÷ count.
+    "q_corpus_clean" -> { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val nTok = size(toks)
+      val nDistinct = size(array_distinct(toks))
+      val nStop = size(filter(toks, x => x.isin(enMarkers: _*)))
+      val quality = round(
+        lit(0.4) * least(nTok.cast("double") / 50, lit(1.0))
+          + lit(0.3) * (lit(1.0) - nStop.cast("double") / nTok)
+          + lit(0.3) * nDistinct.cast("double") / nTok, 6)
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("text"),
+          nTok.cast("long").as("n_tok"), quality.as("quality"))
+        .filter(col("quality") >= 0.5)
+      val reps = scored.groupBy(col("text")).agg(min("doc_id").as("doc_id"))
+      scored.join(reps.select("doc_id"), "doc_id")
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("kept"),
+          sum(col("n_tok")).as("tokens_kept"),
+          round(sum(col("quality").cast("decimal(18,6)")).cast("double")
+            / count(lit(1)), 6).as("avg_quality"))
+        .orderBy("lang", "source")
     }
   )
 
@@ -213,7 +249,31 @@ object TextOps {
       SELECT doc_id, source, md5(text) AS fp
       FROM documents ORDER BY doc_id""",
 
-    "q_simhash" -> SimhashSql.duck
+    "q_simhash" -> SimhashSql.duck,
+    "q_simhash_pairs" -> SimhashSql.pairsDuck,
+
+    "q_corpus_clean" -> """
+      WITH m AS (
+        SELECT doc_id, lang, source, text,
+          len(string_split(text, ' ')) AS n_tok,
+          len(list_distinct(string_split(text, ' '))) AS n_distinct,
+          len(list_filter(string_split(text, ' '),
+              x -> x IN ('the','a','of','and','is','in','to'))) AS n_stop
+        FROM documents),
+      scored AS (
+        SELECT doc_id, lang, source, text, CAST(n_tok AS BIGINT) AS n_tok,
+          round(0.4 * least(CAST(n_tok AS DOUBLE) / 50, 1.0)
+              + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tok)
+              + 0.3 * CAST(n_distinct AS DOUBLE) / n_tok, 6) AS quality
+        FROM m),
+      kept AS (SELECT * FROM scored WHERE quality >= 0.5),
+      reps AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text)
+      SELECT lang, source, count(*) AS kept,
+        CAST(sum(n_tok) AS BIGINT) AS tokens_kept,
+        round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
+          / count(*), 6) AS avg_quality
+      FROM kept JOIN reps USING (doc_id)
+      GROUP BY lang, source ORDER BY lang, source"""
   )
 }
 
@@ -267,4 +327,82 @@ object SimhashSql {
     SELECT doc_id,
            CAST(sum(CASE WHEN vote > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
     FROM bits GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Near-dup PAIRS by banded SimHash: split the 48-bit fingerprint into
+    * 6 bands of 8 bits; by pigeonhole, any two fingerprints within
+    * Hamming distance 5 agree exactly on at least one band, so the
+    * band-equality equi-join (blocked on (lang, source) like every other
+    * candidate generator here) finds ALL such pairs — never a cross
+    * join. Hamming distance via bit_count(xor) on the exact candidates
+    * only. 6 bands of 8 bits catch every pair within Hamming
+    * distance 5 over 256-way buckets per band. */
+  val pairsSpark: String = """
+    WITH tok AS (
+      SELECT doc_id, tok, count(*) AS cnt FROM (
+        SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents)
+      WHERE tok <> '' GROUP BY doc_id, tok),
+    vocab AS (SELECT DISTINCT tok FROM tok),
+    tokbits AS (
+      SELECT tok, b,
+             2 * (((instr('0123456789abcdef',
+                   substring(md5(tok), CAST(b / 4 AS INT) + 1, 1)) - 1)
+                 div CAST(pow(2, b % 4) AS INT)) % 2) - 1 AS sgn
+      FROM vocab LATERAL VIEW explode(sequence(0, 47)) AS b),
+    bits AS (
+      SELECT t.doc_id, tb.b, sum(t.cnt * tb.sgn) AS vote
+      FROM tok t JOIN tokbits tb ON t.tok = tb.tok
+      GROUP BY t.doc_id, tb.b),
+    fp AS (
+      SELECT doc_id,
+             sum(CASE WHEN vote > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS simhash
+      FROM bits GROUP BY doc_id),
+    bands AS (
+      SELECT f.doc_id, f.simhash, d.lang, d.source, bs.b,
+             (f.simhash div CAST(pow(256, bs.b) AS BIGINT)) % 256 AS bv
+      FROM fp f JOIN documents d ON f.doc_id = d.doc_id
+      CROSS JOIN (SELECT explode(sequence(0, 5)) AS b) bs),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2,
+             x.simhash AS f1, y.simhash AS f2
+      FROM bands x JOIN bands y
+        ON x.lang = y.lang AND x.source = y.source
+       AND x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
+    SELECT id1, id2, CAST(bit_count(f1 ^ f2) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(f1 ^ f2) <= 5
+    ORDER BY id1, id2"""
+
+  val pairsDuck: String = """
+    WITH tok AS (
+      SELECT doc_id, tok, count(*) AS cnt FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE tok <> '' GROUP BY doc_id, tok),
+    vocab AS (SELECT DISTINCT tok FROM tok),
+    tokbits AS (
+      SELECT tok, b,
+             2 * ((CAST(instr('0123456789abcdef',
+                   substring(md5(tok), CAST(b // 4 AS INT) + 1, 1)) - 1 AS INT)
+                 // CAST(pow(2, b % 4) AS INT)) % 2) - 1 AS sgn
+      FROM vocab, (SELECT unnest(range(0, 48)) AS b)),
+    bits AS (
+      SELECT t.doc_id, tb.b, sum(t.cnt * tb.sgn) AS vote
+      FROM tok t JOIN tokbits tb ON t.tok = tb.tok
+      GROUP BY t.doc_id, tb.b),
+    fp AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN vote > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id),
+    bands AS (
+      SELECT f.doc_id, f.simhash, d.lang, d.source, bs.b,
+             CAST((f.simhash // CAST(pow(256, bs.b) AS BIGINT)) % 256 AS BIGINT) AS bv
+      FROM fp f JOIN documents d ON f.doc_id = d.doc_id
+      CROSS JOIN (SELECT unnest(range(0, 6)) AS b) bs),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2,
+             x.simhash AS f1, y.simhash AS f2
+      FROM bands x JOIN bands y
+        ON x.lang = y.lang AND x.source = y.source
+       AND x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
+    SELECT id1, id2, CAST(bit_count(xor(f1, f2)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(f1, f2)) <= 5
+    ORDER BY id1, id2"""
 }

@@ -52,6 +52,36 @@ object AnnIvf {
       .select(col("vec_id"), col("best.emb").as("emb"), col("best.cid").as("cid"))
   }
 
+  /** Deterministic Lloyd refinement of the stride-sampled seeds — the
+    * production quantizer fit (k-means with deterministic init; at 100 TB
+    * you fit once on a sample and persist). Each iteration is two
+    * shuffles: assignment (the max_by reduce above) and the centroid
+    * update, which recomputes each cell's mean element-wise via
+    * posexplode → groupBy(cid, pos) avg → rebuild ordered array — the
+    * same O(N·dim) shuffle shape MLlib's k-means pays per iteration.
+    * Cells that lose all members drop out (K can only shrink), and cid is
+    * re-assigned by cell order so ids stay dense and deterministic. */
+  def fitCentroids(emb: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+    var centroids = seeds
+    for (_ <- 0 until iters) {
+      val assigned = assign(emb, centroids)
+      centroids = assigned
+        .select(col("cid"), posexplode(col("emb")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cemb"))
+        .select(col("cid"), col("cemb"))
+    }
+    // Dense, order-stable ids (windowless: small K rows, but rank via
+    // zipWithIndex-free expression — row_number over a single partition
+    // of K rows is fine since K ≤ MAX_K).
+    import org.apache.spark.sql.expressions.Window
+    centroids
+      .withColumn("cid", row_number().over(
+        Window.orderBy(col("cid"))).cast("long") - 1L)
+  }
+
   def query(s: SparkSession, dir: String): DataFrame = {
     graft.GraftExtensions.ensureRegistered(s)
     val e = t(s, dir, "embeddings")
@@ -61,14 +91,17 @@ object AnnIvf {
     // ~30% cell coverage for the uniform-random fixture (see scaladoc);
     // clustered production corpora would pass a fixed nprobe instead.
     val nprobe = math.max(3, math.ceil(k * 0.3).toInt)
-    query(s, e, k, nprobe)
+    query(s, e, k, nprobe, fitIters = 2)
   }
 
-  def query(s: SparkSession, e: DataFrame, k: Int, nprobe: Int): DataFrame = {
+  def query(s: SparkSession, e: DataFrame, k: Int, nprobe: Int,
+      fitIters: Int = 0): DataFrame = {
     val n = e.count()
     val stride = math.max(1L, n / k)
-    val centroids = e.filter(col("vec_id") % stride === 0)
+    val seeds = e.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+    val centroids =
+      if (fitIters > 0) fitCentroids(e, seeds, fitIters) else seeds
 
     val assigned = assign(e, centroids)
 

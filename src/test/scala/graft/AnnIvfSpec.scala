@@ -18,6 +18,21 @@ class AnnIvfSpec extends SparkSpec {
     assert(AnnIvf.chooseK(1) == 4)
   }
 
+  test("fitCentroids refines deterministically with bounded K") {
+    import org.apache.spark.sql.functions._
+    val e = graft.core.Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val seeds = e.filter(col("vec_id") % 21 === 0)
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+    val nSeeds = seeds.count()
+    val a = AnnIvf.fitCentroids(e, seeds, 2).orderBy("cid").collect()
+    val b = AnnIvf.fitCentroids(e, seeds, 2).orderBy("cid").collect()
+    assert(a.length > 0 && a.length <= nSeeds, "K may only shrink")
+    assert(a.map(_.toString).sameElements(b.map(_.toString)), "fit must be deterministic")
+    // Dense re-assigned ids 0..K-1.
+    assert(a.map(_.getLong(0)).toSeq == (0L until a.length).toSeq)
+  }
+
   test("ivf top-5 recall vs exact >= 0.4 and all results are true neighbors") {
     val exact = SimilarityOps.queries("q32_cosine_topk")(spark, sf)
       .select("qid", "cand_id").collect()
