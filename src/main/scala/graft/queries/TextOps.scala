@@ -293,11 +293,11 @@ object SimhashSql {
       SELECT doc_id, tok, count(*) AS cnt FROM (
         SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents)
       WHERE tok <> '' GROUP BY doc_id, tok),
-    vocab AS (SELECT DISTINCT tok FROM tok),
+    vocab AS (SELECT tok, md5(tok) AS h FROM (SELECT DISTINCT tok FROM tok)),
     tokbits AS (
       SELECT tok, b,
              2 * (((instr('0123456789abcdef',
-                   substring(md5(tok), CAST(b / 4 AS INT) + 1, 1)) - 1)
+                   substring(h, CAST(b / 4 AS INT) + 1, 1)) - 1)
                  div CAST(pow(2, b % 4) AS INT)) % 2) - 1 AS sgn
       FROM vocab LATERAL VIEW explode(sequence(0, 47)) AS b),
     bits AS (
@@ -313,11 +313,11 @@ object SimhashSql {
       SELECT doc_id, tok, count(*) AS cnt FROM (
         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
       WHERE tok <> '' GROUP BY doc_id, tok),
-    vocab AS (SELECT DISTINCT tok FROM tok),
+    vocab AS (SELECT tok, md5(tok) AS h FROM (SELECT DISTINCT tok FROM tok)),
     tokbits AS (
       SELECT tok, b,
              2 * ((CAST(instr('0123456789abcdef',
-                   substring(md5(tok), CAST(b // 4 AS INT) + 1, 1)) - 1 AS INT)
+                   substring(h, CAST(b // 4 AS INT) + 1, 1)) - 1 AS INT)
                  // CAST(pow(2, b % 4) AS INT)) % 2) - 1 AS sgn
       FROM vocab, (SELECT unnest(range(0, 48)) AS b)),
     bits AS (
@@ -341,11 +341,11 @@ object SimhashSql {
       SELECT doc_id, tok, count(*) AS cnt FROM (
         SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents)
       WHERE tok <> '' GROUP BY doc_id, tok),
-    vocab AS (SELECT DISTINCT tok FROM tok),
+    vocab AS (SELECT tok, md5(tok) AS h FROM (SELECT DISTINCT tok FROM tok)),
     tokbits AS (
       SELECT tok, b,
              2 * (((instr('0123456789abcdef',
-                   substring(md5(tok), CAST(b / 4 AS INT) + 1, 1)) - 1)
+                   substring(h, CAST(b / 4 AS INT) + 1, 1)) - 1)
                  div CAST(pow(2, b % 4) AS INT)) % 2) - 1 AS sgn
       FROM vocab LATERAL VIEW explode(sequence(0, 47)) AS b),
     bits AS (
@@ -376,11 +376,11 @@ object SimhashSql {
       SELECT doc_id, tok, count(*) AS cnt FROM (
         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
       WHERE tok <> '' GROUP BY doc_id, tok),
-    vocab AS (SELECT DISTINCT tok FROM tok),
+    vocab AS (SELECT tok, md5(tok) AS h FROM (SELECT DISTINCT tok FROM tok)),
     tokbits AS (
       SELECT tok, b,
              2 * ((CAST(instr('0123456789abcdef',
-                   substring(md5(tok), CAST(b // 4 AS INT) + 1, 1)) - 1 AS INT)
+                   substring(h, CAST(b // 4 AS INT) + 1, 1)) - 1 AS INT)
                  // CAST(pow(2, b % 4) AS INT)) % 2) - 1 AS sgn
       FROM vocab, (SELECT unnest(range(0, 48)) AS b)),
     bits AS (
