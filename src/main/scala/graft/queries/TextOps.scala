@@ -142,6 +142,58 @@ object TextOps {
       s.sql(SimhashSql.pairsSpark)
     },
 
+    // Eval-set contamination check: a train doc (source <> 'src0') is
+    // contaminated if it shares any word n-gram with the eval set
+    // (source = 'src0'), containment-style. The shingle equi-join is
+    // blocked per lang and the train side goes through a LEFT SEMI join
+    // — no row multiplication, and at 100 TB the eval shingle set is the
+    // small side. Real decontamination uses 8–13-gram windows; the
+    // fixture's shuffled-vocab text only produces collisions at 3-grams,
+    // so 3 is the demonstration width.
+    "q_contamination" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val toks = split(col("text"), " ")
+      val grams = when(size(toks) >= 3,
+        transform(sequence(lit(1), size(toks) - 2),
+          i => concat_ws(" ", slice(toks, i, lit(3)))))
+        .otherwise(array())
+      val sh = docs.select(col("doc_id"), col("lang"), col("source"),
+        explode(grams).as("shingle"))
+      val ev = sh.filter(col("source") === "src0")
+        .select("lang", "shingle").distinct()
+      val tr = sh.filter(col("source") =!= "src0")
+        .join(ev, Seq("lang", "shingle"), "leftsemi")
+        .select("lang", "doc_id").distinct()
+      val tot = docs.filter(col("source") =!= "src0")
+        .groupBy("lang").agg(count(lit(1)).as("train_total"))
+      val cnt = tr.groupBy("lang").agg(count(lit(1)).as("contaminated"))
+      tot.join(cnt, Seq("lang"), "left")
+        .select(col("lang"),
+          coalesce(col("contaminated"), lit(0L)).as("contaminated"),
+          col("train_total"),
+          round(coalesce(col("contaminated"), lit(0L)).cast("double")
+            / col("train_total"), 6).as("rate"))
+        .orderBy("lang")
+    },
+
+    // Deterministic stratified sampling for data mixing: each doc's
+    // sample bucket (0..255) comes from the md5 of its id — reproducible
+    // across runs and engines, no RNG — and per-stratum rates pick the
+    // mixture (en 205/256 ≈ 0.8, others 77/256 ≈ 0.3). Pure map-side
+    // filter + one aggregation shuffle: the shape a 100 TB mixture job
+    // wants (sampling never shuffles the corpus).
+    "q_data_mix" -> { (s, dir) =>
+      val bucket = expr(
+        "(instr('0123456789abcdef', substring(md5(cast(doc_id AS string)), 1, 1)) - 1) * 16" +
+          " + (instr('0123456789abcdef', substring(md5(cast(doc_id AS string)), 2, 1)) - 1)")
+      t(s, dir, "documents")
+        .filter(bucket < when(col("lang") === "en", 205).otherwise(77))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("kept"),
+          sum(size(split(col("text"), " ")).cast("long")).as("tokens"))
+        .orderBy("lang")
+    },
+
     // The composed training-data prep pipeline: quality gate → exact
     // dedup (min-doc_id representative per text) → per-(lang, source)
     // corpus stats. One declarative plan, so Catalyst fuses the scoring
@@ -251,6 +303,44 @@ object TextOps {
 
     "q_simhash" -> SimhashSql.duck,
     "q_simhash_pairs" -> SimhashSql.pairsDuck,
+
+    "q_contamination" -> """
+      WITH tokd AS (
+        SELECT doc_id, lang, source, string_split(text, ' ') AS toks
+        FROM documents),
+      sh AS (
+        SELECT doc_id, lang, source,
+               array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
+        FROM (SELECT doc_id, lang, source, toks,
+                     unnest(range(1, greatest(len(toks) - 1, 1))) AS i
+              FROM tokd)),
+      ev AS (SELECT DISTINCT lang, shingle FROM sh WHERE source = 'src0'),
+      tr AS (
+        SELECT DISTINCT s.lang, s.doc_id
+        FROM sh s JOIN ev e ON s.lang = e.lang AND s.shingle = e.shingle
+        WHERE s.source <> 'src0'),
+      tot AS (
+        SELECT lang, count(*) AS train_total
+        FROM documents WHERE source <> 'src0' GROUP BY lang),
+      cnt AS (SELECT lang, count(*) AS contaminated FROM tr GROUP BY lang)
+      SELECT tot.lang,
+        CAST(coalesce(cnt.contaminated, 0) AS BIGINT) AS contaminated,
+        CAST(tot.train_total AS BIGINT) AS train_total,
+        round(CAST(coalesce(cnt.contaminated, 0) AS DOUBLE) / tot.train_total, 6) AS rate
+      FROM tot LEFT JOIN cnt ON tot.lang = cnt.lang
+      ORDER BY tot.lang""",
+
+    "q_data_mix" -> """
+      WITH b AS (
+        SELECT lang, text,
+          (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+          + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+        FROM documents)
+      SELECT lang, count(*) AS kept,
+        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      FROM b
+      WHERE bucket < CASE WHEN lang = 'en' THEN 205 ELSE 77 END
+      GROUP BY lang ORDER BY lang""",
 
     "q_corpus_clean" -> """
       WITH m AS (
