@@ -32,16 +32,6 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warm the JVM/codegen paths so the first timed query is not charged
-    // session-startup cost (the driver compares per-query seconds). The
-    // contract is ONE JSON line no matter what, so even warmup is guarded.
-    try {
-      spark.range(1000000).selectExpr("sum(id)").collect()
-      spark.read.parquet(s"$sfDir/region.parquet").count()
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] warmup failed: ${e.getMessage}")
-    }
-
     def run(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
@@ -52,6 +42,13 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+
+    // Steady-state measurement: one untimed pass over the headline set
+    // first, so whole-stage codegen compilation and parquet footer caches
+    // are charged to warmup, not to whichever query happens to run first
+    // (round-1 charged ~1.5 s of JIT to q01). See BENCH_NOTES.md. The
+    // contract is ONE JSON line no matter what, so warmup is guarded too.
+    headline.foreach(run)
 
     val results = headline.map(n => n -> run(n)) ++ {
       // AQE interaction record (BASELINE.md): two headline queries with
