@@ -119,10 +119,15 @@ object MinHashDedup {
     require(threshold > 0.0, "threshold must be positive (zero-overlap pairs are never emitted)")
     val sigs = signatures(docs, seed, shingleSize)
     val cands = candidatePairs(bandSignatures(sigs))
+    // The intersection join runs on the raw 64-bit token hash, not the
+    // token string — the same distinct-per-doc rows, ~60% less shuffle
+    // width. xxhash64 collisions within one doc pair (~|A||B|/2^64 ≈
+    // 1e-15) are the standard exact-in-practice hash-join trade.
     val toks = tokens(docs, shingleSize)
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
     val inter = cands
-      .join(toks.select(col("doc_id").as("id1"), col("tok")), "id1")
-      .join(toks.select(col("doc_id").as("id2"), col("tok")), Seq("id2", "tok"))
+      .join(toks.select(col("doc_id").as("id1"), col("h")), "id1")
+      .join(toks.select(col("doc_id").as("id2"), col("h")), Seq("id2", "h"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
     val sizes = sigs.select(col("doc_id"), col("n_toks"))
     inter
