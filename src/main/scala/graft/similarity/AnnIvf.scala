@@ -91,12 +91,11 @@ object AnnIvf {
     // ~30% cell coverage for the uniform-random fixture (see scaladoc);
     // clustered production corpora would pass a fixed nprobe instead.
     val nprobe = math.max(3, math.ceil(k * 0.3).toInt)
-    query(s, e, k, nprobe, fitIters = 2)
+    query(s, e, n, k, nprobe, fitIters = 2)
   }
 
-  def query(s: SparkSession, e: DataFrame, k: Int, nprobe: Int,
+  def query(s: SparkSession, e: DataFrame, n: Long, k: Int, nprobe: Int,
       fitIters: Int = 0): DataFrame = {
-    val n = e.count()
     val stride = math.max(1L, n / k)
     val seeds = e.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cid"), col("emb").as("cemb"))

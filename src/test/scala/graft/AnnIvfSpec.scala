@@ -20,6 +20,7 @@ class AnnIvfSpec extends SparkSpec {
 
   test("fitCentroids refines deterministically with bounded K") {
     import org.apache.spark.sql.functions._
+    graft.GraftExtensions.ensureRegistered(spark) // assign() scores via graft_cosine
     val e = graft.core.Tables.t(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val seeds = e.filter(col("vec_id") % 21 === 0)
