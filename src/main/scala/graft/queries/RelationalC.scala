@@ -31,6 +31,54 @@ object RelationalC {
         .orderBy("l_returnflag")
     },
 
+    // Unpivot (melt) — the inverse of q_pivot: three measure columns fold
+    // into (metric, val) rows, then aggregate per metric. Map-side
+    // row-expansion (no shuffle until the final agg).
+    "q_unpivot" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          col("l_quantity").cast("double").as("quantity"),
+          col("l_extendedprice").cast("double").as("extendedprice"),
+          col("l_discount").cast("double").as("discount"))
+        .unpivot(Array(col("l_orderkey")),
+          Array(col("quantity"), col("extendedprice"), col("discount")),
+          "metric", "val")
+        .groupBy("metric")
+        .agg(count(lit(1)).as("cnt"), money(sum(dec(col("val")))).as("total"))
+        .orderBy("metric")
+    },
+
+    // Correlated LATERAL join: per-customer top-2 orders via a
+    // correlated, ordered, limited subquery — the declarative form of
+    // "for each row, run this parameterized query". Catalyst rewrites it
+    // to a ranked window join; no driver-side iteration.
+    "q_lateral_topn" -> { (s, dir) =>
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT c.c_custkey, o.o_orderkey,
+               CAST(o.o_totalprice AS DOUBLE) AS price
+        FROM customer c JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        ORDER BY c.c_custkey, o.o_orderkey""")
+    },
+
+    // Value-based RANGE window frame (q17 covers ROWS frames): for each
+    // order, how many of the same customer's orders fall within ±1000 of
+    // its total price. Range frames are tie-stable by construction (the
+    // frame is defined by VALUE distance, not row position), so no
+    // tie-break column is needed for determinism.
+    "q_window_range" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice"))
+        .rangeBetween(-1000L, 1000L)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          count(lit(1)).over(w).as("n_near"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // Distribution window functions: ntile, percent_rank, cume_dist.
     "q_window_dist" -> { (s, dir) =>
       val w = Window.partitionBy("o_orderstatus")
@@ -128,6 +176,32 @@ object RelationalC {
         CAST(round(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS qty_f,
         CAST(round(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS qty_o
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_unpivot" -> """
+      WITH u AS (
+        SELECT 'quantity' AS metric, CAST(l_quantity AS DOUBLE) AS val FROM lineitem
+        UNION ALL
+        SELECT 'extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+        UNION ALL
+        SELECT 'discount', CAST(l_discount AS DOUBLE) FROM lineitem)
+      SELECT metric, count(*) AS cnt,
+        CAST(round(sum(CAST(val AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+      FROM u GROUP BY metric ORDER BY metric""",
+
+    "q_lateral_topn" -> """
+      SELECT c.c_custkey, o.o_orderkey,
+             CAST(o.o_totalprice AS DOUBLE) AS price
+      FROM customer c JOIN LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o ON true
+      ORDER BY c.c_custkey, o.o_orderkey""",
+
+    "q_window_range" -> """
+      SELECT o_custkey, o_orderkey,
+        count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+          RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS n_near
+      FROM orders ORDER BY o_custkey, o_orderkey""",
 
     "q_window_dist" -> """
       SELECT o_orderkey, o_orderstatus,
