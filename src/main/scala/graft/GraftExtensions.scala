@@ -5,9 +5,13 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import graft.functions.CosineSimilarity
 
-/** Session extension: registers the engine's native expressions. Attach
-  * with .config("spark.sql.extensions", "graft.GraftExtensions"), or call
-  * [[GraftExtensions.ensureRegistered]] on an existing session. */
+/** Session extension: registers the engine's native expressions AND its
+  * custom operator strategies. Attach with
+  * .config("spark.sql.extensions", "graft.GraftExtensions") at session
+  * build time (the idiomatic deployment), or call
+  * [[GraftExtensions.ensureRegistered]] /
+  * [[graft.plans.AsOfJoin.ensureStrategy]] on an existing session
+  * (the driver's Verify session is built without the conf). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -16,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_cosine(a, b) - cosine similarity of two double arrays", ""),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarity(children(0), children(1))))
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 
