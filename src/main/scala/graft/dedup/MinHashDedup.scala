@@ -117,7 +117,17 @@ object MinHashDedup {
   def nearDuplicates(docs: DataFrame, threshold: Double = 0.5, seed: Long = 42L,
       shingleSize: Int = 1): DataFrame = {
     require(threshold > 0.0, "threshold must be positive (zero-overlap pairs are never emitted)")
-    val sigs = signatures(docs, seed, shingleSize)
+    // Materialize the signature table once: it feeds BOTH sides of the
+    // band self-join plus the size lookup, and without materialization
+    // Spark recomputes the full tokenize→32-way min aggregation for each
+    // consumer (the broadcast side of the bucket join cannot reuse the
+    // stream side's exchange). Persisting the signature table is exactly
+    // what a production near-dup pipeline does at 100 TB — it is the
+    // index. A per-call temp dir keeps repeated driver calls independent.
+    val sigsRaw = signatures(docs, seed, shingleSize)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-minhash-sigs").toString
+    sigsRaw.write.mode("overwrite").parquet(tmp)
+    val sigs = docs.sparkSession.read.parquet(tmp)
     val cands = candidatePairs(bandSignatures(sigs))
     // The intersection join runs on the raw 64-bit token hash, not the
     // token string — the same distinct-per-doc rows, ~60% less shuffle
