@@ -65,8 +65,12 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // Contract hardening (round-1 driver recorded parsed:null): stop Spark
     // FIRST so no late log line can land after the JSON, mirror the JSON to
-    // a well-known file, then emit it as the final bare stdout line.
+    // a well-known file, then emit it as the final bare stdout line. Log
+    // level OFF before stop: if the caller merges stderr into stdout, a
+    // stop-time WARN racing past the JSON would corrupt the last line.
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    System.err.flush()
     try {
       val w = new java.io.PrintWriter("/tmp/graft_bench.json")
       try w.println(json) finally w.close()
