@@ -17,6 +17,7 @@ object SparkEntry {
       AsOfOps.queries ++ Winnowing.queries ++ TextOps.queries ++
       SimilarityOps.queries ++ EventOps.queries ++ UdfOps.queries ++ Map(
         "q43_minhash_lsh" -> (graft.dedup.MinHashDedup.query _),
+        "q_dedup_clusters" -> (graft.dedup.DedupClusters.query _),
         "q_ann_ivf" -> ((s: SparkSession, dir: String) =>
           graft.similarity.AnnIvf.query(s, dir)),
         "q_ann_lsh" -> ((s: SparkSession, dir: String) =>
@@ -35,5 +36,6 @@ object SparkEntry {
       SimilarityOps.oracle ++ EventOps.oracle ++ UdfOps.oracle ++
       graft.streaming.StreamingOps.oracle ++ graft.sources.Formats.oracle ++
       Map("q_salted_join" -> graft.operators.SaltedJoin.oracle,
-        "q_bucketed_join" -> graft.operators.BucketedJoin.oracle)
+        "q_bucketed_join" -> graft.operators.BucketedJoin.oracle,
+        "q_dedup_clusters" -> graft.dedup.DedupClusters.oracle)
 }

@@ -1,0 +1,85 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate CLUSTERS: a pair list is not actionable for dedup until
+  * it is grouped into connected components with a canonical
+  * representative per component (keep the rep, drop the rest).
+  *
+  * Components come from iterative min-label propagation: every doc starts
+  * labeled with its own id; each round it takes the min of its own label
+  * and its neighbors' labels; fixpoint = components labeled by their min
+  * doc_id. Each round is one equi-join plus one partial-aggregable min —
+  * the standard CC-on-Spark shape (GraphX/GraphFrames ship the
+  * small-star/large-star variant of the same idea, which converges in
+  * fewer rounds on high-diameter graphs; near-dup components are
+  * low-diameter, so plain propagation converges in a handful). Labels are
+  * materialized to parquet every round to truncate lineage — without
+  * this, round k replays rounds 0..k-1 and the loop goes quadratic.
+  *
+  * The driver-side loop holds only a changed-row COUNT per round, never
+  * data; convergence detection is part of the algorithm (same pattern as
+  * the k-means fit in AnnIvf).
+  */
+object DedupClusters {
+
+  /** Component label (min doc_id reachable) for every doc in `pairs`. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val s = pairs.sparkSession
+    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cc").toString
+    var labels = edges.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("b"), col("comp")), "b")
+        .select(col("a").as("id"), col("comp"))
+      val updated = neighborMin.union(labels)
+        .groupBy("id").agg(min("comp").as("comp"))
+      updated.write.mode("overwrite").parquet(s"$tmp/iter=$iter")
+      val next = s.read.parquet(s"$tmp/iter=$iter")
+      changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
+        .filter(col("comp") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Registry entry: cluster every doc that appears in an exact Q31
+    * near-dup pair; emit (doc_id, rep = min id in component, size). */
+  def query(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.queries.TextOps.queries("q31_jaccard_pairs")(s, dir)
+      .select("id1", "id2")
+    val comp = connectedComponents(pairs)
+    val sizes = comp.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, "comp")
+      .select(col("id").as("doc_id"), col("comp").as("rep"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle: transitive closure by recursive CTE over the SAME
+    * pair query (q31's oracle text reused verbatim), min per node. */
+  val oracle: String = {
+    val pairs =
+      s"(SELECT id1, id2 FROM (${graft.queries.TextOps.oracle("q31_jaccard_pairs")}))"
+    s"""
+      WITH RECURSIVE edges AS (
+        SELECT id1 AS a, id2 AS b FROM $pairs
+        UNION
+        SELECT id2, id1 FROM $pairs),
+      nodes AS (SELECT DISTINCT a AS id FROM edges),
+      r(id, n) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.id, e.b FROM r JOIN edges e ON r.n = e.a),
+      comp AS (SELECT id, min(n) AS rep FROM r GROUP BY id)
+      SELECT c.id AS doc_id, c.rep AS rep, CAST(cnt.n AS BIGINT) AS cluster_size
+      FROM comp c JOIN (SELECT rep, count(*) AS n FROM comp GROUP BY rep) cnt USING (rep)
+      ORDER BY doc_id"""
+  }
+}
