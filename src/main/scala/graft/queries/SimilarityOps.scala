@@ -55,6 +55,24 @@ object SimilarityOps {
         .orderBy("id1", "id2")
     },
 
+    // Int8 scalar quantization of the embedding column — the 4× memory/IO
+    // reduction path for 100 TB vector stores. Per-vector max-abs scale;
+    // quantized value q_i = round(x_i / scale) ∈ [-127, 127]. The query
+    // emits deterministic integer/rounded stats per vector (H-checked);
+    // the top-k recall of search over DEquantized vectors vs exact Q32 is
+    // asserted in QuantizedCosineSpec.
+    "q_embed_quantize" -> { (s, dir) =>
+      val emb = col("embedding").cast("array<double>")
+      val scale = greatest(
+        aggregate(emb, lit(0.0), (acc, x) => greatest(acc, abs(x))) / 127.0,
+        lit(1e-12))
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), round(scale, 9).as("scale"),
+          aggregate(transform(emb, x => abs(round(x / scale)).cast("long")),
+            lit(0L), (acc, x) => acc + x).as("qnorm"))
+        .orderBy("vec_id")
+    },
+
     // Q47 — multimodal row: text + vector + struct metadata in one frame,
     // filtered/projected through nested fields.
     "q47_multimodal_join" -> { (s, dir) =>
@@ -98,6 +116,15 @@ object SimilarityOps {
       r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cand_id) AS rn
             FROM s)
       SELECT qid, cand_id, cos_sim, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""",
+
+    "q_embed_quantize" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      s AS (SELECT vec_id, emb,
+              greatest(list_max(list_transform(emb, x -> abs(x))) / 127.0, 1e-12) AS scale
+            FROM e)
+      SELECT vec_id, round(scale, 9) AS scale,
+        CAST(list_sum(list_transform(emb, x -> CAST(abs(round(x / scale)) AS BIGINT))) AS BIGINT) AS qnorm
+      FROM s ORDER BY vec_id""",
 
     "q_embed_neardup" -> """
       WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
