@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables._
 
@@ -140,6 +141,30 @@ object TextOps {
     "q_simhash_pairs" -> { (s, dir) =>
       t(s, dir, "documents").createOrReplaceTempView("documents")
       s.sql(SimhashSql.pairsSpark)
+    },
+
+    // TF-IDF keyword extraction: per-doc top-3 tokens by tf·idf. The df
+    // table is one token-level aggregation (shared across all docs — at
+    // 100 TB it is computed once and reused); scoring is a map-side join
+    // of token counts against the broadcast df table. Scores are rounded
+    // to 6 dp BEFORE ranking so last-ulp ln() differences between engines
+    // cannot flip ranks; ties break on the token string.
+    "q_tfidf_keywords" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val tok = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val score = round(col("tf") * log(lit(n.toDouble) / col("df")), 6)
+      val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("tok"))
+      tf.join(broadcast(df), "tok")
+        .select(col("doc_id"), col("tok"), score.as("tfidf"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3 && col("doc_id") < 100)
+        .select(col("doc_id"), col("rn"), col("tok"), col("tfidf"))
+        .orderBy("doc_id", "rn")
     },
 
     // Eval-set contamination check: a train doc (source <> 'src0') is
@@ -303,6 +328,22 @@ object TextOps {
 
     "q_simhash" -> SimhashSql.duck,
     "q_simhash_pairs" -> SimhashSql.pairsDuck,
+
+    "q_tfidf_keywords" -> """
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      tokf AS (SELECT * FROM tok WHERE tok <> ''),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM tokf GROUP BY 1, 2),
+      df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+      n AS (SELECT count(*) AS n FROM documents),
+      sc AS (
+        SELECT tf.doc_id, tf.tok,
+               round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+        FROM tf JOIN df USING (tok), n),
+      r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn
+            FROM sc)
+      SELECT doc_id, CAST(rn AS BIGINT) AS rn, tok, tfidf
+      FROM r WHERE rn <= 3 AND doc_id < 100 ORDER BY doc_id, rn""",
 
     "q_contamination" -> """
       WITH tokd AS (
