@@ -143,6 +143,34 @@ object TextOps {
       s.sql(SimhashSql.pairsSpark)
     },
 
+    // Repetition/diversity quality signals (the Gopher-rule family):
+    // duplicate-2-gram ratio, unigram entropy, and top-token fraction per
+    // doc. All per-row projections + one token aggregation — no shuffle
+    // beyond the per-doc groupBy. Entropy sums ~hundreds of ~1e-2 terms,
+    // so 4 dp rounding absorbs aggregation-order float noise.
+    "q_gopher_quality" -> { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val grams = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", slice(toks, i, lit(2))))).otherwise(array())
+      val base = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          explode(split(col("text"), " ")).as("tok"),
+          (lit(1.0) - size(array_distinct(grams)).cast("double") /
+            greatest(size(grams), lit(1))).as("dup2"))
+        .filter(col("tok") =!= "")
+      val tf = base.groupBy("doc_id", "tok")
+        .agg(count(lit(1)).as("tf"), first(col("dup2")).as("dup2"))
+        .withColumn("len", sum(col("tf")).over(Window.partitionBy("doc_id")))
+      val p = col("tf").cast("double") / col("len")
+      tf.groupBy("doc_id")
+        .agg(round(first(col("dup2")), 6).as("dup_2gram_ratio"),
+          round(-sum(p * log(p)), 4).as("entropy"),
+          round(max(col("tf")).cast("double") / first(col("len")), 6)
+            .as("top_tok_frac"))
+        .orderBy("doc_id")
+    },
+
     // TF-IDF keyword extraction: per-doc top-3 tokens by tf·idf. The df
     // table is one token-level aggregation (shared across all docs — at
     // 100 TB it is computed once and reused); scoring is a map-side join
@@ -328,6 +356,34 @@ object TextOps {
 
     "q_simhash" -> SimhashSql.duck,
     "q_simhash_pairs" -> SimhashSql.pairsDuck,
+
+    "q_gopher_quality" -> """
+      WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+      toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM d),
+      g AS (SELECT doc_id,
+              CASE WHEN len(ts) >= 2
+                THEN list_transform(range(1, len(ts)),
+                       i -> array_to_string(list_slice(ts, i, i + 1), ' '))
+                ELSE [] END AS grams
+            FROM toks),
+      dup AS (SELECT doc_id,
+                1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                    / greatest(len(grams), 1) AS dup2
+              FROM g),
+      tokf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM d),
+      tokff AS (SELECT * FROM tokf WHERE tok <> ''),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM tokff GROUP BY 1, 2),
+      lens AS (SELECT doc_id, sum(tf) AS len FROM tf GROUP BY 1),
+      ent AS (
+        SELECT tf.doc_id,
+          round(-sum((CAST(tf.tf AS DOUBLE) / lens.len)
+              * ln(CAST(tf.tf AS DOUBLE) / lens.len)), 4) AS entropy,
+          round(CAST(max(tf.tf) AS DOUBLE) / max(lens.len), 6) AS top_tok_frac
+        FROM tf JOIN lens USING (doc_id) GROUP BY tf.doc_id)
+      SELECT e.doc_id, round(dup.dup2, 6) AS dup_2gram_ratio,
+             e.entropy, e.top_tok_frac
+      FROM ent e JOIN dup USING (doc_id)
+      ORDER BY doc_id""",
 
     "q_tfidf_keywords" -> """
       WITH tok AS (
