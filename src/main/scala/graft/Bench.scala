@@ -50,25 +50,37 @@ object Bench {
     // contract is ONE JSON line no matter what, so warmup is guarded too.
     headline.foreach(run)
 
-    val results = headline.map(n => n -> run(n)) ++ {
+    // Median of 3 timed passes per query: sub-second machine-load noise
+    // was indistinguishable from real regressions in single-pass rounds
+    // (r02's q04_aqe_off "+17%" was noise). Min rides along in
+    // queries_min as the low-noise floor.
+    val REPS = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    def stats(name: String): (Double, Double) = {
+      val ok = (1 to REPS).map(_ => run(name)).filter(_ >= 0).sorted
+      if (ok.isEmpty) (-1.0, -1.0) else (ok(ok.length / 2), ok.head)
+    }
+    val results = headline.map(n => n -> stats(n)) ++ {
       // AQE interaction record (BASELINE.md): two headline queries with
       // adaptive execution off, to expose what runtime re-planning buys.
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       val off = Seq("q01_pricing_summary", "q04_multiway_join")
-        .map(n => s"${n}__aqe_off" -> run(n))
+        .map(n => s"${n}__aqe_off" -> stats(n))
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       off
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, (med, _)) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val qsMin = results.map { case (k, (_, mn)) => "\"" + k + "\":" + mn }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"reps":$REPS,"sf":"$sfDir"}"""
     // Contract hardening (round-1 driver recorded parsed:null): stop Spark
     // FIRST so no late log line can land after the JSON, mirror the JSON to
     // a well-known file, then emit it as the final bare stdout line. Log
     // level OFF before stop: if the caller merges stderr into stdout, a
     // stop-time WARN racing past the JSON would corrupt the last line.
     spark.sparkContext.setLogLevel("OFF")
+    graft.core.TempDirs.cleanupAll()
     spark.stop()
     System.err.flush()
     try {

@@ -29,7 +29,7 @@ object DedupClusters {
     val s = pairs.sparkSession
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
-    val tmp = java.nio.file.Files.createTempDirectory("graft-cc").toString
+    val tmp = graft.core.TempDirs.create("graft-cc")
     var labels = edges.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
     var changed = 1L
@@ -45,8 +45,17 @@ object DedupClusters {
       changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
         .filter(col("comp") =!= col("old")).count()
       labels = next
+      // The changed-count action above is the last reader of iter-1: every
+      // later job rescans only the newest snapshot, so earlier iterations
+      // can be dropped immediately (bounded scratch, not O(iters) disk).
+      if (iter >= 1) graft.core.TempDirs.delete(s"$tmp/iter=${iter - 1}")
       iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxIters iterations " +
+          s"($changed labels still changing) — labels would be wrong; raise maxIters " +
+          "(component diameter exceeds the iteration budget)")
     labels
   }
 

@@ -125,7 +125,7 @@ object MinHashDedup {
     // what a production near-dup pipeline does at 100 TB — it is the
     // index. A per-call temp dir keeps repeated driver calls independent.
     val sigsRaw = signatures(docs, seed, shingleSize)
-    val tmp = java.nio.file.Files.createTempDirectory("graft-minhash-sigs").toString
+    val tmp = graft.core.TempDirs.create("graft-minhash-sigs")
     sigsRaw.write.mode("overwrite").parquet(tmp)
     val sigs = docs.sparkSession.read.parquet(tmp)
     val cands = candidatePairs(bandSignatures(sigs))

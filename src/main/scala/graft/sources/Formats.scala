@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables._
@@ -21,7 +20,7 @@ object Formats {
   val queries: Map[String, Q] = Map(
     // CSV sink → CSV source roundtrip (schema-explicit read).
     "q_csv_roundtrip" -> { (s, dir) =>
-      val tmp = Files.createTempDirectory("graft-csv").toString
+      val tmp = graft.core.TempDirs.create("graft-csv")
       val cust = t(s, dir, "customer")
       cust.write.mode("overwrite").option("header", "true").csv(tmp)
       s.read.schema(cust.schema).option("header", "true").csv(tmp)
@@ -33,7 +32,7 @@ object Formats {
 
     // JSON sink → JSON source roundtrip.
     "q_json_roundtrip" -> { (s, dir) =>
-      val tmp = Files.createTempDirectory("graft-json").toString
+      val tmp = graft.core.TempDirs.create("graft-json")
       val orders = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       orders.write.mode("overwrite").json(tmp)
@@ -46,7 +45,7 @@ object Formats {
 
     // Text sink → text source roundtrip (reference R1/R2: line-oriented IO).
     "q_text_roundtrip" -> { (s, dir) =>
-      val tmp = Files.createTempDirectory("graft-text").toString
+      val tmp = graft.core.TempDirs.create("graft-text")
       t(s, dir, "documents")
         .select(concat_ws("\t", col("doc_id"), col("lang")).as("value"))
         .write.mode("overwrite").text(tmp)
@@ -58,7 +57,7 @@ object Formats {
 
     // Partitioned parquet write + partition-pruned read.
     "q_partitioned_scan" -> { (s, dir) =>
-      val tmp = Files.createTempDirectory("graft-part").toString
+      val tmp = graft.core.TempDirs.create("graft-part")
       t(s, dir, "orders").write.mode("overwrite")
         .partitionBy("o_orderstatus").parquet(tmp)
       s.read.parquet(tmp)
@@ -76,7 +75,7 @@ object Formats {
     // FormatsDppSpec). At 100 TB this is the difference between scanning
     // two partitions and scanning the whole fact table.
     "q_dpp_prune" -> { (s, dir) =>
-      val tmp = Files.createTempDirectory("graft-dpp").toString
+      val tmp = graft.core.TempDirs.create("graft-dpp")
       t(s, dir, "orders").write.mode("overwrite")
         .partitionBy("o_orderpriority").parquet(s"$tmp/orders")
       // The dim must be a file relation: a local in-memory dim gets its

@@ -47,7 +47,7 @@ object StreamingOps {
 
   private def buildChunks(s: SparkSession, dir: String, nChunks: Int,
       dupCount: Int): String = {
-    val streamDir = Files.createTempDirectory("graft-stream").toString
+    val streamDir = graft.core.TempDirs.create("graft-stream")
     val ev = Tables.t(s, dir, "events")
     val n = ev.count()
     val perChunk = math.max(1, math.ceil(n.toDouble / nChunks).toLong)
@@ -69,7 +69,7 @@ object StreamingOps {
   }
 
   private def writeChunk(df: DataFrame, streamDir: String, name: String): Unit = {
-    val stage = Files.createTempDirectory("graft-chunk").toString
+    val stage = graft.core.TempDirs.create("graft-chunk")
     df.coalesce(1).write.mode("overwrite").parquet(stage)
     val part = Files.list(Paths.get(stage)).toArray.map(_.asInstanceOf[Path])
       .find(_.getFileName.toString.endsWith(".parquet"))
@@ -187,7 +187,7 @@ object StreamingOps {
   }
 
   private def buildForeachBatchSink(s: SparkSession, dir: String): String = {
-    val sinkDir = Files.createTempDirectory("graft-feb").toString
+    val sinkDir = graft.core.TempDirs.create("graft-feb")
     val q = replay(s, prepareChunks(s, dir))
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>

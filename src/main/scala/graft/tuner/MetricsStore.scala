@@ -79,8 +79,15 @@ class MetricsStore(root: String, appName: String) {
       else Nil
     val fromFlight =
       if (pathExists(spark, jsonPath))
-        spark.read.schema(enc.schema).json(jsonPath)
-          .select(cols.map(col): _*).as[T](enc).collect().toSeq
+        // Flight files are the crashed-writer path by design, so a
+        // truncated trailing line is expected, not exceptional: drop
+        // malformed lines and any parsed row missing a required field
+        // instead of letting the non-nullable decode throw and poison
+        // every later tuned run against this store.
+        spark.read.schema(enc.schema)
+          .option("mode", "DROPMALFORMED").json(jsonPath)
+          .select(cols.map(col): _*).na.drop("any")
+          .as[T](enc).collect().toSeq
       else Nil
     fromParquet ++ fromFlight
   }
@@ -116,6 +123,26 @@ class MetricsStore(root: String, appName: String) {
     }
   }
 
-  /** Next run id = number of recorded runs (reference R27). */
-  def nextRunId(spark: SparkSession): Int = history(spark).length
+  /** Next run id = max(recorded run ids across both layouts) + 1
+    * (reference R27 allocated sequentially; counting assembled history
+    * reused ids whenever a run captured zero stages — the new id must
+    * clear every id any layout has ever written, or persistDirect's
+    * overwriting create silently clobbers the prior run file). */
+  def nextRunId(spark: SparkSession): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def ids(dir: String, extract: String => Option[Int]): Seq[Int] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq.flatMap(st => extract(st.getPath.getName))
+    }
+    val parquetRun = "^run=(\\d+)$".r
+    val flightRun = "^run-(\\d+)\\.jsonl$".r
+    val recorded =
+      Seq("stage", "task").flatMap { k =>
+        ids(s"$base/kind=$k", n => parquetRun.findFirstMatchIn(n).map(_.group(1).toInt)) ++
+          ids(flightBase(k), n => flightRun.findFirstMatchIn(n).map(_.group(1).toInt))
+      }
+    recorded.foldLeft(-1)(math.max) + 1
+  }
 }

@@ -1,6 +1,5 @@
 package graft.tuner
 
-import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Registry-visible tuner demo (reference EP1 loop, 3 iterations): record
@@ -10,7 +9,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object TunerDemo {
   def query(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tmp = Files.createTempDirectory("graft-tuner-demo").toString
+    val tmp = graft.core.TempDirs.create("graft-tuner-demo")
     val tuner = new Tuner(tmp, "demo")
     val before = s.conf.get("spark.sql.shuffle.partitions")
     try {

@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.functions._
 import graft.tuner._
 
@@ -63,6 +63,57 @@ class TunerIntegrationSpec extends SparkSpec {
     val tuner = new Tuner(Files.createTempDirectory("graft-empty").toString, "none")
     assert(tuner.recommendPartitions(spark) > 0)
     assert(tuner.store.nextRunId(spark) == 0)
+  }
+
+  test("truncated flight jsonl line is tolerated, not fatal (crashed-writer path)") {
+    val dir = Files.createTempDirectory("graft-corrupt").toString
+    val tuner = new Tuner(dir, "crash")
+    val fr = tuner.attachFlightRecorder(spark)
+    try {
+      spark.read.parquet(s"$sf/lineitem.parquet")
+        .groupBy("l_returnflag").count().count()
+      org.apache.spark.graftaccess.ListenerBusAccess.postApplicationEnd(spark.sparkContext)
+      org.apache.spark.graftaccess.ListenerBusAccess.waitUntilEmpty(spark.sparkContext)
+    } finally spark.sparkContext.removeSparkListener(fr)
+    val clean = tuner.store.history(spark)
+    assert(clean.length == 1 && clean.head.nonEmpty)
+    // Simulate the writer dying mid-line: append a truncated record plus a
+    // parsed-but-incomplete one to the stage flight file.
+    val stageDir = Paths.get(dir, "crash", "flight_stage")
+    val f = stageDir.resolve("run-0.jsonl")
+    Files.writeString(f,
+      "{\"runId\":7,\"stageId\":9}\n{\"runId\":8,\"stag",
+      java.nio.file.StandardOpenOption.APPEND)
+    // Drop the Hadoop checksum sidecar: a REAL torn write dies before the
+    // crc is updated too, and a stale crc would fail the read for the
+    // wrong reason (checksum error, not parse error).
+    Files.deleteIfExists(stageDir.resolve(".run-0.jsonl.crc"))
+    // History still assembles the intact run; the torn rows are dropped
+    // instead of crashing every later tuned run against this store.
+    val h = tuner.store.history(spark)
+    assert(h.length == 1, s"corrupt lines dropped, got ${h.length} runs")
+    assert(h.head.map(_.executorCpuTimeMs).sorted == clean.head.map(_.executorCpuTimeMs).sorted)
+    assert(tuner.recommendPartitions(spark) > 0)
+  }
+
+  test("run ids never reuse an existing id even when a run recorded zero stages") {
+    val dir = Files.createTempDirectory("graft-runid").toString
+    val tuner = new Tuner(dir, "gap")
+    // A recorded run that captured NO stages (e.g. flight recorder attached
+    // but the app did no work): the flight files exist but assemble to an
+    // empty history — counting history would re-issue id 0 and overwrite.
+    val fr = tuner.attachFlightRecorder(spark)
+    org.apache.spark.graftaccess.ListenerBusAccess.postApplicationEnd(spark.sparkContext)
+    org.apache.spark.graftaccess.ListenerBusAccess.waitUntilEmpty(spark.sparkContext)
+    spark.sparkContext.removeSparkListener(fr)
+    assert(tuner.store.history(spark).isEmpty, "zero-stage run assembles to empty history")
+    assert(tuner.store.nextRunId(spark) == 1,
+      "id allocation must clear the zero-stage run-0 files, not reuse id 0")
+    val (_, runId) = tuner.withRecording(spark) {
+      spark.read.parquet(s"$sf/lineitem.parquet").groupBy("l_returnflag").count().count()
+    }
+    assert(runId == 1)
+    assert(tuner.store.nextRunId(spark) == 2)
   }
 
   test("recommendedConf targets both parallelism knobs consistently") {
