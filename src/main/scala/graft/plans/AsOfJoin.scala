@@ -34,8 +34,11 @@ import org.apache.spark.sql.graftaccess.PlanAccess
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, rightKey: Attribute,
-    leftTime: Attribute, rightTime: Attribute) extends BinaryNode {
-  override def output: Seq[Attribute] = left.output ++ right.output
+    leftTime: Attribute, rightTime: Attribute,
+    outer: Boolean = false) extends BinaryNode {
+  // LEFT outer keeps every left row; the right side is then nullable.
+  override def output: Seq[Attribute] =
+    left.output ++ (if (outer) right.output.map(_.withNullability(true)) else right.output)
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
     copy(left = newLeft, right = newRight)
@@ -43,8 +46,8 @@ case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, outer) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, outer) :: Nil
     case _ => Nil
   }
 }
@@ -52,9 +55,11 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
+    leftTime: Expression, rightTime: Expression,
+    outer: Boolean = false) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    left.output ++ (if (outer) right.output.map(_.withNullability(true)) else right.output)
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
   override def requiredChildDistribution: Seq[Distribution] =
@@ -73,6 +78,9 @@ case class AsOfJoinExec(
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       val toUnsafe = UnsafeProjection.create(schema, schema)
       val joined = new JoinedRow
+      // All-null right extension for unmatched left rows (LEFT outer).
+      val nullRight: InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(right.output.size)
       val rBuf = rIt.buffered
       new Iterator[InternalRow] {
         private var cand: InternalRow = null
@@ -103,6 +111,7 @@ case class AsOfJoinExec(
             val t = lt.eval(l).asInstanceOf[Long]
             advanceRight(k, t)
             if (cand != null && candKey == k) return toUnsafe(joined(l, cand))
+            if (outer) return toUnsafe(joined(l, nullRight))
           }
           null
         }
@@ -136,13 +145,22 @@ object AsOfJoin {
     * key. Key and time columns must be non-null long/timestamp. */
   def asof(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String,
+      outer: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     ensureStrategy(spark)
     val plan = AsOfJoinPlan(
       PlanAccess.analyzed(left), PlanAccess.analyzed(right),
       PlanAccess.attr(left, leftKey), PlanAccess.attr(right, rightKey),
-      PlanAccess.attr(left, leftTime), PlanAccess.attr(right, rightTime))
+      PlanAccess.attr(left, leftTime), PlanAccess.attr(right, rightTime),
+      outer)
     PlanAccess.ofRows(spark, plan)
   }
+
+  /** LEFT outer as-of: unmatched left rows survive with a null-extended
+    * right side — same single merge pass (DuckDB: ASOF LEFT JOIN). */
+  def asofLeft(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String): DataFrame =
+    asof(left, right, leftKey, rightKey, leftTime, rightTime, outer = true)
 }

@@ -67,6 +67,17 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("LEFT outer keeps unmatched left rows with a null right side") {
+    val out = AsOfJoin.asofLeft(trades, quotes, "tkey", "qkey", "ttime", "qtime")
+      .select("trade_id", "quote_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out == Map(
+      1L -> Some(100L), 2L -> Some(101L), 3L -> Some(102L), 4L -> Some(200L),
+      5L -> None, // before any quote for its key
+      6L -> None  // key with no quotes at all
+    ))
+  }
+
   test("results are stable under repartitioning of inputs") {
     val out1 = AsOfJoin.asof(trades.repartition(7), quotes.repartition(3),
         "tkey", "qkey", "ttime", "qtime")
