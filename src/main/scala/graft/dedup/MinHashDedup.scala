@@ -116,18 +116,31 @@ object MinHashDedup {
     * Jaccard is 0 < threshold. */
   def nearDuplicates(docs: DataFrame, threshold: Double = 0.5, seed: Long = 42L,
       shingleSize: Int = 1): DataFrame = {
-    require(threshold > 0.0, "threshold must be positive (zero-overlap pairs are never emitted)")
-    // Materialize the signature table once: it feeds BOTH sides of the
-    // band self-join plus the size lookup, and without materialization
-    // Spark recomputes the full tokenize→32-way min aggregation for each
-    // consumer (the broadcast side of the bucket join cannot reuse the
-    // stream side's exchange). Persisting the signature table is exactly
-    // what a production near-dup pipeline does at 100 TB — it is the
-    // index. A per-call temp dir keeps repeated driver calls independent.
-    val sigsRaw = signatures(docs, seed, shingleSize)
     val tmp = graft.core.TempDirs.create("graft-minhash-sigs")
-    sigsRaw.write.mode("overwrite").parquet(tmp)
-    val sigs = docs.sparkSession.read.parquet(tmp)
+    buildIndex(docs, tmp, seed, shingleSize)
+    pairsFromIndex(docs, tmp, threshold, shingleSize)
+  }
+
+  /** Persist the signature table — the minhash index. The 32-way min
+    * aggregation over the tokenized corpus is the expensive pass; a
+    * production 100 TB pipeline runs it once per corpus version and
+    * answers every subsequent near-dup query from the stored table. */
+  def buildIndex(docs: DataFrame, indexDir: String, seed: Long = 42L,
+      shingleSize: Int = 1): Unit =
+    signatures(docs, seed, shingleSize)
+      .write.mode("overwrite").parquet(s"$indexDir/sigs")
+
+  /** Near-dup pairs from a PERSISTED index: banding, the bucket self-join
+    * and the |A|,|B| size lookup all read the stored signature table (no
+    * re-signing job); only the exact-intersection rerank touches the raw
+    * docs again. Materializing sigs also means the band join's two sides
+    * share one scan instead of recomputing the signature aggregation per
+    * consumer (the broadcast side of a bucket join cannot reuse the
+    * stream side's exchange). */
+  def pairsFromIndex(docs: DataFrame, indexDir: String,
+      threshold: Double = 0.5, shingleSize: Int = 1): DataFrame = {
+    require(threshold > 0.0, "threshold must be positive (zero-overlap pairs are never emitted)")
+    val sigs = docs.sparkSession.read.parquet(s"$indexDir/sigs")
     val cands = candidatePairs(bandSignatures(sigs))
     // The intersection join runs on the raw 64-bit token hash, not the
     // token string — the same distinct-per-doc rows, ~60% less shuffle

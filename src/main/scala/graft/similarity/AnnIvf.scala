@@ -91,23 +91,44 @@ object AnnIvf {
     // ~30% cell coverage for the uniform-random fixture (see scaladoc);
     // clustered production corpora would pass a fixed nprobe instead.
     val nprobe = math.max(3, math.ceil(k * 0.3).toInt)
-    query(s, e, n, k, nprobe, fitIters = 2)
+    // Registry shape = fit-once-search-once through a scratch index dir,
+    // exactly the persisted path a production pipeline takes (fit is NOT
+    // inlined into the search plan).
+    val idx = graft.core.TempDirs.create("graft-ivf-idx")
+    fit(e, idx, k, fitIters = 2)
+    search(s, idx, e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("emb").as("qemb")), nprobe)
   }
 
-  def query(s: SparkSession, e: DataFrame, n: Long, k: Int, nprobe: Int,
-      fitIters: Int = 0): DataFrame = {
+  /** Fit the IVF index once and persist it: centroids (the coarse
+    * quantizer) and per-vector cell assignments land as parquet under
+    * indexDir. At 100 TB this runs once per corpus version; every
+    * subsequent [[search]] reads the index without re-running any fit
+    * or assignment job. */
+  def fit(e: DataFrame, indexDir: String, k: Int, fitIters: Int = 2): Unit = {
+    val n = e.count()
     val stride = math.max(1L, n / k)
     val seeds = e.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cid"), col("emb").as("cemb"))
     val centroids =
       if (fitIters > 0) fitCentroids(e, seeds, fitIters) else seeds
+    centroids.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    // Assignment reads the PERSISTED centroids so the k-means lineage is
+    // truncated — the assignment plan never replays the fit.
+    val persisted = e.sparkSession.read.parquet(s"$indexDir/centroids")
+    assign(e, persisted).write.mode("overwrite").parquet(s"$indexDir/assigned")
+  }
 
-    val assigned = assign(e, centroids)
+  /** Probe a persisted index: queries (qid, qemb) → top-k (qid, cand_id,
+    * cos_sim). Runs only scan + broadcast-probe + rerank jobs — no fit. */
+  def search(s: SparkSession, indexDir: String, q: DataFrame, nprobe: Int,
+      topK: Int = TOP_K): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(s)
+    val centroids = s.read.parquet(s"$indexDir/centroids")
+    val assigned = s.read.parquet(s"$indexDir/assigned")
 
     // Queries probe their nprobe nearest centroid cells. The window here
     // sorts K rows per query (K is capped), not corpus rows.
-    val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
     val probeW = Window.partitionBy("qid").orderBy(desc("qcsim"), asc("cid"))
     val probes = q.join(broadcast(centroids))
       .select(col("qid"), col("qemb"), col("cid"),
@@ -122,7 +143,7 @@ object AnnIvf {
       .select(col("qid"), col("vec_id").as("cand_id"),
         round(cosine(col("qemb"), col("emb")), 6).as("cos_sim"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= TOP_K)
+      .filter(col("rn") <= topK)
       .orderBy("qid", "rn")
   }
 }

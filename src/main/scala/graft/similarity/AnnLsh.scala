@@ -112,11 +112,32 @@ object AnnLsh {
   def query(s: SparkSession, dir: String): DataFrame = query(s, dir, Sharp)
 
   def query(s: SparkSession, dir: String, shape: Shape): DataFrame = {
-    graft.GraftExtensions.ensureRegistered(s)
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    val buckets = bucketed(e, shape)
-    val qb = bucketed(e.filter(col("vec_id") < 10), shape, probe = true)
+    // Registry shape = build-once-search-once through a scratch index dir
+    // (the persisted path a production pipeline takes).
+    val idx = graft.core.TempDirs.create("graft-lsh-idx")
+    buildIndex(e, idx, shape)
+    search(s, idx, e.filter(col("vec_id") < 10), shape)
+  }
+
+  /** Persist the data-side bucket table — the LSH index. Build once per
+    * corpus version; every [[search]] equi-joins against it without
+    * re-hashing the corpus. */
+  def buildIndex(e: DataFrame, indexDir: String, shape: Shape = Sharp,
+      seed: Long = 7L, dim: Int = 64): Unit =
+    bucketed(e, shape, probe = false, seed, dim)
+      .write.mode("overwrite").parquet(s"$indexDir/buckets")
+
+  /** Probe a persisted index with query vectors (vec_id, emb): hash ONLY
+    * the queries (plus their one-bit multi-probe flips), bucket-join
+    * against the stored corpus table, rerank exactly. */
+  def search(s: SparkSession, indexDir: String, queries: DataFrame,
+      shape: Shape = Sharp, topK: Int = TOP_K,
+      seed: Long = 7L, dim: Int = 64): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(s)
+    val buckets = s.read.parquet(s"$indexDir/buckets")
+    val qb = bucketed(queries, shape, probe = true, seed, dim)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"),
         col("band"), col("sig"))
     // Candidates: any shared (band, sig) bucket; distinct before rerank.
@@ -128,7 +149,7 @@ object AnnLsh {
     cands.select(col("qid"), col("cand_id"),
         round(cosine(col("qemb"), col("emb")), 6).as("cos_sim"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= TOP_K)
+      .filter(col("rn") <= topK)
       .orderBy("qid", "rn")
   }
 }

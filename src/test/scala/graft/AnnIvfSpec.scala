@@ -34,6 +34,44 @@ class AnnIvfSpec extends SparkSpec {
     assert(a.map(_.getLong(0)).toSeq == (0L until a.length).toSeq)
   }
 
+  test("planted clusters: fit+search recall >= 0.9 as a requirement") {
+    graft.GraftExtensions.ensureRegistered(spark)
+    val e = PlantedEmbeddings.df(spark)
+    val idx = graft.core.TempDirs.create("graft-ivf-planted")
+    AnnIvf.fit(e, idx, k = 32, fitIters = 2)
+    val approx = AnnIvf.search(spark, idx, PlantedEmbeddings.queries(e), nprobe = 4)
+      .select("qid", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = PlantedEmbeddings.exactTopK(e, AnnIvf.TOP_K)
+    val recall = PlantedEmbeddings.recall(exact, approx)
+    assert(recall >= 0.9, s"ivf planted recall $recall below 0.9 — index is broken")
+  }
+
+  test("search runs from the persisted index (no fit jobs) and survives a fresh session") {
+    graft.GraftExtensions.ensureRegistered(spark)
+    val e = PlantedEmbeddings.df(spark)
+    val idx = graft.core.TempDirs.create("graft-ivf-idx-reuse")
+    AnnIvf.fit(e, idx, k = 32, fitIters = 2)
+    val q = PlantedEmbeddings.queries(e)
+    val out1 = AnnIvf.search(spark, idx, q, nprobe = 4)
+    // Plan-level no-refit proof: the search plan scans the two persisted
+    // index tables and contains NONE of the fit machinery (posexplode /
+    // avg centroid update, stride seed filter).
+    val plan = out1.queryExecution.executedPlan.toString
+    assert(plan.contains(idx), s"search must scan the index dir:\n$plan")
+    assert(!plan.toLowerCase.contains("posexplode"), "fit centroid-update leaked into search plan")
+    val r1 = out1.select("qid", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // The index is plain parquet: a FRESH session (no shared state) built
+    // on the same store answers identically without any fit call.
+    val s2 = spark.newSession()
+    val q2 = PlantedEmbeddings.queries(PlantedEmbeddings.df(s2))
+    val r2 = AnnIvf.search(s2, idx, q2, nprobe = 4)
+      .select("qid", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(r1 == r2, "fresh-session search from the persisted index must agree")
+  }
+
   test("ivf top-5 recall vs exact >= 0.4 and all results are true neighbors") {
     val exact = SimilarityOps.queries("q32_cosine_topk")(spark, sf)
       .select("qid", "cand_id").collect()

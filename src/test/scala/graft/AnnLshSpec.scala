@@ -37,6 +37,23 @@ class AnnLshSpec extends SparkSpec {
     assert(r >= 0.1, s"sharp recall $r below 0.1")
   }
 
+  test("planted clusters: Sharp-shape recall >= 0.9 as a requirement") {
+    graft.GraftExtensions.ensureRegistered(spark)
+    val e = PlantedEmbeddings.df(spark)
+    val idx = graft.core.TempDirs.create("graft-lsh-planted")
+    AnnLsh.buildIndex(e, idx, AnnLsh.Sharp)
+    val approx = AnnLsh.search(spark, idx, PlantedEmbeddings.queries(e)
+        .select(org.apache.spark.sql.functions.col("qid").as("vec_id"),
+          org.apache.spark.sql.functions.col("qemb").as("emb")),
+        AnnLsh.Sharp)
+      .select("qid", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = PlantedEmbeddings.exactTopK(e, AnnLsh.TOP_K)
+    val recall = PlantedEmbeddings.recall(exact, approx)
+    assert(recall >= 0.9,
+      s"Sharp planted recall $recall below 0.9 — on clustered data the sharp shape must hold")
+  }
+
   test("sharp shape: candidate pairs << N^2/4") {
     val e = graft.core.Tables.t(spark, sf, "embeddings")
       .select(org.apache.spark.sql.functions.col("vec_id"),

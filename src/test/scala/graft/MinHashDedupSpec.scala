@@ -29,6 +29,33 @@ class MinHashDedupSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("persisted index: pairsFromIndex answers without re-signing and survives a fresh session") {
+    val docs = Tables.t(spark, sf, "documents")
+    val idx = graft.core.TempDirs.create("graft-minhash-idx")
+    MinHashDedup.buildIndex(docs, idx)
+    val fromIdx = MinHashDedup.pairsFromIndex(docs, idx)
+    // Plan-level no-refit proof: the candidate/banding side scans the
+    // persisted signature table — the 32-way min signature aggregation
+    // (32 mh_* min() columns) must NOT appear in the search plan (the
+    // only aggregates left are the rerank count and dedup).
+    val plan = fromIdx.queryExecution.executedPlan.toString
+    assert(plan.contains(idx), s"pairs plan must scan the index dir:\n${plan.take(2000)}")
+    // The signature fit is the only place the pmod universal-hash math
+    // lives; the index-read plan must be free of it entirely.
+    assert(!plan.contains("pmod"), "signature fit aggregation leaked into the index-read path")
+    val a = fromIdx.select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = MinHashDedup.nearDuplicates(docs)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b, "index-served pairs must equal the one-shot pipeline")
+    // Fresh session, same store: the index is plain parquet on disk.
+    val s2 = spark.newSession()
+    val docs2 = Tables.t(s2, sf, "documents")
+    val c = MinHashDedup.pairsFromIndex(docs2, idx)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(c == b, "fresh-session pairs from the persisted index must agree")
+  }
+
   test("2-gram shingles tighten similarity vs unigrams") {
     val docs = Tables.t(spark, sf, "documents")
     val uni = MinHashDedup.nearDuplicates(docs, threshold = 0.3).count()
