@@ -23,6 +23,7 @@ object SparkEntry {
         "q_ann_lsh" -> ((s: SparkSession, dir: String) =>
           graft.similarity.AnnLsh.query(s, dir)),
         "q_multimodal_features" -> (graft.multimodal.MediaPipeline.query _),
+        "q_binaryfile_meta" -> (graft.multimodal.MediaPipeline.metaQuery _),
         "q_tuner_loop" -> (graft.tuner.TunerDemo.query _),
         "q_salted_join" -> (graft.operators.SaltedJoin.query _),
         "q_bucketed_join" -> (graft.operators.BucketedJoin.query _)) ++
@@ -35,7 +36,8 @@ object SparkEntry {
       AsOfOps.oracle ++ Winnowing.oracle ++ TextOps.oracle ++
       SimilarityOps.oracle ++ EventOps.oracle ++ UdfOps.oracle ++
       graft.streaming.StreamingOps.oracle ++ graft.sources.Formats.oracle ++
-      Map("q_salted_join" -> graft.operators.SaltedJoin.oracle,
+      Map("q_binaryfile_meta" -> graft.multimodal.MediaPipeline.metaOracle,
+        "q_salted_join" -> graft.operators.SaltedJoin.oracle,
         "q_bucketed_join" -> graft.operators.BucketedJoin.oracle,
         "q_dedup_clusters" -> graft.dedup.DedupClusters.oracle)
 }

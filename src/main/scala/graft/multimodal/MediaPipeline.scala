@@ -75,18 +75,68 @@ object MediaPipeline {
     }
   }
 
-  /** Registry entry: documents' text bytes as stand-in payloads → scalar
-    * feature projection (rows-only driver check; exactness in the spec). */
+  /** Documents a real binary-file corpus would ship as standalone payload
+    * files: one `doc_<id>.bin` per document (UTF-8 text bytes as payload —
+    * the container has no codecs to author real media, but the FILES and
+    * the scan over them are real). Fixture authoring is a bounded driver
+    * loop (`limit` ≤ a few hundred) — production data arrives as existing
+    * files; nothing here runs in a query plan. */
+  def writePayloadFiles(s: SparkSession, dir: String, limit: Int = 100): String = {
+    val out = graft.core.TempDirs.create("graft-binfiles")
+    graft.core.Tables.t(s, dir, "documents")
+      .filter(col("doc_id") < limit)
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .foreach { r =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(out, f"doc_${r.getLong(0)}%05d.bin"),
+          r.getString(1).getBytes("UTF-8"))
+      }
+    out
+  }
+
+  /** The real binary scan path: Spark's binaryFile source over the payload
+    * files → (doc_id, payload) rows. `pathGlobFilter` prunes non-payload
+    * files at the listing, and the source's own `length` column means
+    * metadata-only queries never read file contents. */
+  def binaryRows(s: SparkSession, dir: String): DataFrame = {
+    val files = writePayloadFiles(s, dir)
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin")
+      .load(files)
+      .select(
+        regexp_extract(input_file_name(), "doc_(\\d+)\\.bin", 1)
+          .cast("long").as("doc_id"),
+        col("length").cast("long").as("byte_len"),
+        col("content"))
+  }
+
+  /** Registry entry (rows-only driver check; exactness in the spec):
+    * feature extraction over REAL binary-source rows — the decode is still
+    * a deterministic stub, the scan is not. */
   def query(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val rows = graft.core.Tables.t(s, dir, "documents")
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .map { case (id, text) => MediaRow(id, "text/fake", text.getBytes("UTF-8")) }
+    val rows = binaryRows(s, dir)
+      .select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, payload) => MediaRow(id, "application/octet-stream", payload) }
     extract(rows)
       .select(col("docId").as("doc_id"), col("byteLen").as("byte_len"),
         col("width"), col("height"),
         round(element_at(col("featureVec"), 1), 4).as("f0"))
       .orderBy("doc_id")
   }
+
+  /** H-checked roundtrip: the binaryFile scan must hand back byte-exact
+    * payloads — length and md5 are compared against DuckDB recomputing
+    * both from the documents table. */
+  def metaQuery(s: SparkSession, dir: String): DataFrame =
+    binaryRows(s, dir)
+      .select(col("doc_id"), col("byte_len"), md5(col("content")).as("content_md5"))
+      .orderBy("doc_id")
+
+  val metaOracle: String = """
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id < 100 ORDER BY doc_id"""
 }

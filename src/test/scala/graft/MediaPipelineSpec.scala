@@ -49,9 +49,31 @@ class MediaPipelineSpec extends SparkSpec {
     assert(MediaPipeline.resizeStub(Array[Byte](1, 2, 3), 10).toSeq == Seq[Byte](1, 2, 3))
   }
 
-  test("registry query runs over documents payloads") {
+  test("registry query runs over binaryFile-source payloads") {
     val df = MediaPipeline.query(spark, sf)
     assert(df.count() > 0)
     assert(df.columns.toSeq == Seq("doc_id", "byte_len", "width", "height", "f0"))
+  }
+
+  test("binaryFile scan hands back byte-exact payloads") {
+    import org.apache.spark.sql.functions._
+    // Features computed from binary-source rows must equal features
+    // computed straight from the documents' text bytes — any scan-side
+    // byte corruption or misattributed path→doc_id mapping breaks this.
+    val viaFiles = MediaPipeline.query(spark, sf).collect().map(_.toString).toSeq
+    val direct = {
+      import spark.implicits._
+      val rows = graft.core.Tables.t(spark, sf, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          MediaPipeline.MediaRow(id, "application/octet-stream", text.getBytes("UTF-8")) }
+      MediaPipeline.extract(rows)
+        .select(col("docId").as("doc_id"), col("byteLen").as("byte_len"),
+          col("width"), col("height"),
+          round(element_at(col("featureVec"), 1), 4).as("f0"))
+        .orderBy("doc_id").collect().map(_.toString).toSeq
+    }
+    assert(viaFiles.nonEmpty && viaFiles == direct)
   }
 }
