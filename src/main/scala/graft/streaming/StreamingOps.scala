@@ -161,6 +161,28 @@ object StreamingOps {
       .orderBy("user_id")
   }
 
+  // ---- Append-mode watermark eviction: the production contract the
+  // Complete-mode equivalence harness can only declare. The replay ends
+  // with a chunk of COPIES of the first 100 events (hours older than the
+  // watermark by then), so append mode (a) emits each closed window
+  // exactly once and (b) DROPS the late rows — if eviction were broken,
+  // the early windows would double-count and the hash compare would fail.
+  // Because chunks are globally time-ordered, the emitted set is exactly
+  // the windows with end ≤ max(ts) − 30 min, which the DuckDB twin states
+  // in closed form. The dropped-row COUNT is asserted in StreamingSpec
+  // via numRowsDroppedByWatermark. ----
+  def qLateDrop(s: SparkSession, dir: String): DataFrame = {
+    val out = drain(
+      replay(s, prepareChunks(s, dir, dupCount = 100))
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt")),
+      "q_late_drop_sink", OutputMode.Append())
+    out.select(Tables.tsStr(col("window.start")).as("hour_start"),
+        col("event_type"), col("cnt"))
+      .orderBy("hour_start", "event_type")
+  }
+
   // ---- Stream-static join: streaming events ⋈ static customer dim ----
   def qStreamStaticJoin(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.t(s, dir, "customer")
@@ -223,6 +245,7 @@ object StreamingOps {
     "q_stream_static_join" -> (qStreamStaticJoin _),
     "q_stream_stream_join" -> (qStreamStreamJoin _),
     "q_stream_foreach_batch" -> (qForeachBatch _),
+    "q_stream_late_drop" -> (qLateDrop _),
     "q38_stream_tumbling" -> (q38 _),
     "q39_stream_sliding" -> (q39 _),
     "q40_stream_session" -> (q40 _),
@@ -248,6 +271,14 @@ object StreamingOps {
        AND r.ts <= l.ts + INTERVAL 5 MINUTE
        AND l.event_id < r.event_id
       ORDER BY lid, rid""",
+    "q_stream_late_drop" -> """
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+             event_type, count(*) AS cnt
+      FROM events
+      WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+              <= (SELECT max(ts) FROM events) - INTERVAL 30 MINUTE
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
     "q38_stream_tumbling" -> """
       SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
              event_type, count(*) AS cnt,

@@ -47,6 +47,46 @@ class StreamingSpec extends SparkSpec {
     assert(streamRows == batchRows)
   }
 
+  test("append mode drops the late chunk at the watermark — counted, not declared") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val chunks = StreamingOps.prepareChunks(spark, sf, dupCount = 100)
+    val agg = StreamingOps.replay(spark, chunks)
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val q = agg.writeStream.format("memory").queryName("late_drop_probe")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // The final chunk replays the first 100 events — all weeks older than
+    // the watermark by then, so EVERY late group must be dropped. The
+    // watermark filter sits above the partial aggregation, so the metric
+    // counts dropped (window, event_type) partial-agg groups, not raw
+    // rows: expected = distinct groups among the replayed events.
+    val dropped = q.recentProgress.flatMap(_.stateOperators.toSeq)
+      .map(_.numRowsDroppedByWatermark).sum
+    val expected = graft.core.Tables.t(spark, sf, "events")
+      .orderBy("ts", "event_id").limit(100)
+      .select(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .distinct().count()
+    assert(expected > 0, "fixture must contain genuinely late rows")
+    assert(dropped == expected,
+      s"expected all $expected late groups dropped by the watermark, got $dropped")
+    // And the emitted (append-mode) windows carry no late double-counts:
+    // they equal the batch aggregation over the ORIGINAL events for every
+    // window old enough to have closed.
+    val emitted = spark.table("late_drop_probe")
+      .select(graft.core.Tables.tsStr(col("window.start")).as("hour_start"),
+        col("event_type"), col("cnt"))
+    val batch = graft.core.Tables.t(spark, sf, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(graft.core.Tables.tsStr(col("h")).as("hour_start"),
+        col("event_type"), col("cnt"))
+    assert(emitted.count() > 0, "no windows emitted — watermark never closed any window")
+    assert(emitted.exceptAll(batch).count() == 0,
+      "append-mode emitted a window that disagrees with the batch twin (late rows merged?)")
+  }
+
   test("q41 dedup collapses replayed duplicates to the distinct count") {
     val row = StreamingOps.q41(spark, sf).collect().head
     assert(row.getLong(0) == row.getLong(1),
