@@ -80,6 +80,20 @@ object RelationalA {
         .limit(50)
     },
 
+    // Full outer join: order counts (even custkeys) ⊔ event counts
+    // (user_id % 3 = 0) — both sides contribute unmatched keys, so both
+    // null-extension paths are exercised and hash-compared.
+    "q_full_outer" -> { (s, dir) =>
+      val o = t(s, dir, "orders").filter(col("o_custkey") % 2 === 0)
+        .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("order_cnt"))
+      val e = t(s, dir, "events").filter(col("user_id") % 3 === 0)
+        .groupBy(col("user_id").as("k2")).agg(count(lit(1)).as("event_cnt"))
+      o.join(e, col("k") === col("k2"), "full_outer")
+        .select(coalesce(col("k"), col("k2")).as("custkey"),
+          col("order_cnt"), col("event_cnt"))
+        .orderBy("custkey")
+    },
+
     // Q06 — left semi join (EXISTS).
     "q06_semi_join" -> { (s, dir) =>
       t(s, dir, "customer").join(
@@ -210,6 +224,14 @@ object RelationalA {
       FROM customer LEFT JOIN orders ON c_custkey = o_custkey
       GROUP BY c_custkey, c_name
       ORDER BY order_cnt DESC, c_custkey ASC LIMIT 50""",
+
+    "q_full_outer" -> """
+      WITH o AS (SELECT o_custkey AS k, count(*) AS order_cnt
+                 FROM orders WHERE o_custkey % 2 = 0 GROUP BY 1),
+           e AS (SELECT user_id AS k2, count(*) AS event_cnt
+                 FROM events WHERE user_id % 3 = 0 GROUP BY 1)
+      SELECT coalesce(k, k2) AS custkey, order_cnt, event_cnt
+      FROM o FULL JOIN e ON k = k2 ORDER BY custkey""",
 
     "q06_semi_join" -> """
       SELECT c_custkey, c_name FROM customer

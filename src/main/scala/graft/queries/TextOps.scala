@@ -277,10 +277,87 @@ object TextOps {
           round(sum(col("quality").cast("decimal(18,6)")).cast("double")
             / count(lit(1)), 6).as("avg_quality"))
         .orderBy("lang", "source")
+    },
+
+    // PII scrubbing: the redaction pass every training-data pipeline runs
+    // before anything else. The synthetic corpus carries no PII, so the
+    // query PLANTS a deterministic email + phone per doc, then scrubs
+    // with the same regexes both engines run — md5 of the scrubbed text
+    // hash-proves the two redactions are byte-identical, and the counted
+    // matches prove the patterns actually fired. Pure per-row projection:
+    // zero shuffles beyond the final sort.
+    "q_pii_scrub" -> { (s, dir) =>
+      val dirty = concat(col("text"),
+        lit(" contact user_"), col("doc_id").cast("string"),
+        lit("@example.com or 555-"), col("doc_id").cast("string"))
+      val emailPat = "[a-z0-9_]+@[a-z0-9.]+"
+      val phonePat = "555-[0-9]+"
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_count(dirty, lit(emailPat)).cast("long").as("n_email"),
+          regexp_count(dirty, lit(phonePat)).cast("long").as("n_phone"),
+          md5(regexp_replace(regexp_replace(dirty, emailPat, "<EMAIL>"),
+            phonePat, "<PHONE>")).as("scrubbed_md5"))
+        .orderBy("doc_id")
+    },
+
+    // Corpus 3-gram frequency table (top 20): the repeated-boilerplate
+    // detector (navigation chrome, license headers) — one explode + one
+    // count shuffle; at 100 TB the long tail is cut by the limit pushed
+    // into a TakeOrdered, never a full sort.
+    "q_ngram_freq" -> { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val grams = when(size(toks) >= 3,
+        transform(sequence(lit(0), size(toks) - 3),
+          i => concat_ws(" ", slice(toks, i + 1, lit(3))))).otherwise(array())
+      t(s, dir, "documents")
+        .select(explode(grams).as("ngram"))
+        .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("ngram"))
+        .limit(20)
+    },
+
+    // Context-window packing: split each doc's token stream into fixed
+    // 128-token chunks (what a pretraining tokenizer-packer emits).
+    // posexplode gives stable in-doc positions; chunking is integer math
+    // on the position — per-doc work only, one aggregation shuffle.
+    "q_chunk_pack" -> { (s, dir) =>
+      t(s, dir, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .select(col("doc_id"), (col("pos") / 128).cast("long").as("chunk_id"))
+        .groupBy("doc_id", "chunk_id").agg(count(lit(1)).as("n_toks"))
+        .orderBy("doc_id", "chunk_id")
     }
   )
 
   val oracle: Map[String, String] = Map(
+    "q_pii_scrub" -> """
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text || ' contact user_' || doc_id
+          || '@example.com or 555-' || doc_id, '[a-z0-9_]+@[a-z0-9.]+')) AS BIGINT) AS n_email,
+        CAST(len(regexp_extract_all(text || ' contact user_' || doc_id
+          || '@example.com or 555-' || doc_id, '555-[0-9]+')) AS BIGINT) AS n_phone,
+        md5(regexp_replace(regexp_replace(text || ' contact user_' || doc_id
+          || '@example.com or 555-' || doc_id,
+          '[a-z0-9_]+@[a-z0-9.]+', '<EMAIL>', 'g'), '555-[0-9]+', '<PHONE>', 'g')) AS scrubbed_md5
+      FROM documents ORDER BY doc_id""",
+
+    "q_ngram_freq" -> """
+      WITH tokd AS (SELECT string_split(text, ' ') AS toks FROM documents),
+      g AS (
+        SELECT array_to_string(list_slice(toks, i, i + 2), ' ') AS ngram
+        FROM (SELECT toks, unnest(range(1, greatest(len(toks) - 1, 1))) AS i
+              FROM tokd))
+      SELECT ngram, count(*) AS cnt FROM g
+      GROUP BY ngram ORDER BY cnt DESC, ngram ASC LIMIT 20""",
+
+    "q_chunk_pack" -> """
+      SELECT doc_id, CAST((i - 1) // 128 AS BIGINT) AS chunk_id,
+             count(*) AS n_toks
+      FROM (SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS i
+            FROM documents WHERE doc_id < 50)
+      GROUP BY 1, 2 ORDER BY doc_id, chunk_id""",
+
     "q30_exact_dedup" -> """
       WITH reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)
       SELECT lang, count(*) AS survivors

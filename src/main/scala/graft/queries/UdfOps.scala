@@ -66,6 +66,23 @@ object UdfOps {
         .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx"),
           percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("p95_approx"))
         .orderBy("l_returnflag")
+    },
+
+    // HLL sketch build + MERGE — the sketch op a 100 TB pipeline actually
+    // needs: per-shard sketches are tiny, mergeable, and reusable, so
+    // "distinct users per segment AND overall" costs one pass over the
+    // data plus a sketch-sized shuffle (vs a full re-shuffle per rollup
+    // for exact distinct). Per-status estimates ride the sketch column;
+    // the union row re-merges the SAME sketches. Tolerance class like
+    // Q37: rows-only driver check, error bound in ApproxDistinctSpec.
+    "q_hll_union" -> { (s, dir) =>
+      val sk = t(s, dir, "orders").groupBy("o_orderstatus")
+        .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+      val per = sk.select(col("o_orderstatus"),
+        hll_sketch_estimate(col("sk")).as("approx_custs"))
+      val union = sk.agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_custs"))
+        .select(lit("ALL").as("o_orderstatus"), col("approx_custs"))
+      per.union(union).orderBy("o_orderstatus")
     }
   )
 

@@ -55,6 +55,18 @@ object Formats {
         .orderBy("lang")
     },
 
+    // ORC sink → ORC source roundtrip (the second columnar format Spark
+    // ships natively; schema travels in the file).
+    "q_orc_roundtrip" -> { (s, dir) =>
+      val tmp = graft.core.TempDirs.create("graft-orc")
+      t(s, dir, "supplier").write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("cnt"),
+          money(sum(dec(col("s_acctbal")))).as("sum_bal"))
+        .orderBy("s_nationkey")
+    },
+
     // Partitioned parquet write + partition-pruned read.
     "q_partitioned_scan" -> { (s, dir) =>
       val tmp = graft.core.TempDirs.create("graft-part")
@@ -109,6 +121,11 @@ object Formats {
 
     "q_text_roundtrip" -> """
       SELECT lang, count(*) AS cnt FROM documents GROUP BY lang ORDER BY lang""",
+
+    "q_orc_roundtrip" -> """
+      SELECT s_nationkey, count(*) AS cnt,
+        CAST(round(sum(CAST(s_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_bal
+      FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
 
     "q_partitioned_scan" -> """
       SELECT o_orderpriority, count(*) AS cnt,

@@ -24,6 +24,26 @@ class ApproxDistinctSpec extends SparkSpec {
     }
   }
 
+  test("hll sketch per-group and MERGED union estimates within 5% of exact") {
+    val rows = UdfOps.queries("q_hll_union")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactPer = Tables.t(spark, sf, "orders")
+      .groupBy("o_orderstatus").agg(countDistinct("o_custkey").as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = Tables.t(spark, sf, "orders")
+      .agg(countDistinct("o_custkey")).collect()(0).getLong(0)
+    assert(rows.keySet == exactPer.keySet + "ALL")
+    (exactPer + ("ALL" -> exactAll)).foreach { case (k, e) =>
+      assert(math.abs(rows(k) - e).toDouble / e <= 0.05,
+        s"$k: hll=${rows(k)} exact=$e")
+    }
+    // The union row must come from sketch MERGE, not double counting:
+    // distinct customers overlap heavily across statuses, so the merged
+    // estimate has to be far below the per-status sum.
+    assert(rows("ALL") < exactPer.values.sum,
+      "union estimate should deduplicate across groups")
+  }
+
   test("approx_count_distinct within 5% of exact per returnflag") {
     val approx = UdfOps.queries("q37_approx_distinct")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
