@@ -116,42 +116,81 @@ object MinHashDedup {
     * Jaccard is 0 < threshold. */
   def nearDuplicates(docs: DataFrame, threshold: Double = 0.5, seed: Long = 42L,
       shingleSize: Int = 1): DataFrame = {
-    val tmp = graft.core.TempDirs.create("graft-minhash-sigs")
-    buildIndex(docs, tmp, seed, shingleSize)
-    pairsFromIndex(docs, tmp, threshold, shingleSize)
-  }
-
-  /** Persist the signature table — the minhash index. The 32-way min
-    * aggregation over the tokenized corpus is the expensive pass; a
-    * production 100 TB pipeline runs it once per corpus version and
-    * answers every subsequent near-dup query from the stored table. */
-  def buildIndex(docs: DataFrame, indexDir: String, seed: Long = 42L,
-      shingleSize: Int = 1): Unit =
-    signatures(docs, seed, shingleSize)
-      .write.mode("overwrite").parquet(s"$indexDir/sigs")
-
-  /** Near-dup pairs from a PERSISTED index: banding, the bucket self-join
-    * and the |A|,|B| size lookup all read the stored signature table (no
-    * re-signing job); only the exact-intersection rerank touches the raw
-    * docs again. Materializing sigs also means the band join's two sides
-    * share one scan instead of recomputing the signature aggregation per
-    * consumer (the broadcast side of a bucket join cannot reuse the
-    * stream side's exchange). */
-  def pairsFromIndex(docs: DataFrame, indexDir: String,
-      threshold: Double = 0.5, shingleSize: Int = 1): DataFrame = {
     require(threshold > 0.0, "threshold must be positive (zero-overlap pairs are never emitted)")
-    val sigs = docs.sparkSession.read.parquet(s"$indexDir/sigs")
+    // One-shot path: materialize ONLY the signature table (it feeds both
+    // band-join sides plus the size lookup — without materialization the
+    // 32-way min aggregation recomputes per consumer) and rerank from
+    // inline tokenization. Persisting the token-hash table too (what
+    // buildIndex does) costs a corpus-sized write that only pays off when
+    // the index is queried more than once — measured at sf0.1, the write
+    // is slower than the two extra tokenize passes it saves here.
+    val tmp = graft.core.TempDirs.create("graft-minhash-sigs")
+    signatures(docs, seed, shingleSize)
+      .write.mode("overwrite").parquet(s"$tmp/sigs")
+    val sigs = docs.sparkSession.read.parquet(s"$tmp/sigs")
     val cands = candidatePairs(bandSignatures(sigs))
-    // The intersection join runs on the raw 64-bit token hash, not the
-    // token string — the same distinct-per-doc rows, ~60% less shuffle
-    // width. xxhash64 collisions within one doc pair (~|A||B|/2^64 ≈
-    // 1e-15) are the standard exact-in-practice hash-join trade.
     val toks = tokens(docs, shingleSize)
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))
     val inter = cands
       .join(toks.select(col("doc_id").as("id1"), col("h")), "id1")
       .join(toks.select(col("doc_id").as("id2"), col("h")), Seq("id2", "h"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+    finishPairs(inter, sigs, threshold)
+  }
+
+  /** Persist the minhash index: the 64-bit token-hash table (one tokenize
+    * pass — the only time the raw corpus is touched) and the signature
+    * table computed FROM the persisted hashes. A production 100 TB
+    * pipeline builds this once per corpus version; every near-dup query
+    * (banding, rerank, sizes) is answered entirely from the index.
+    * Persisting toks also collapses what used to be three tokenize passes
+    * per query (signatures + both rerank sides) into one. */
+  def buildIndex(docs: DataFrame, indexDir: String, seed: Long = 42L,
+      shingleSize: Int = 1): Unit = {
+    tokens(docs, shingleSize)
+      .select(col("doc_id"), col("lang"), col("source"),
+        xxhash64(col("tok")).as("h"))
+      .write.mode("overwrite").parquet(s"$indexDir/toks")
+    val tk = docs.sparkSession.read.parquet(s"$indexDir/toks")
+    // Identical signature values to hashing the token strings directly:
+    // the universal-hash input was always pmod(xxhash64(tok), PRIME).
+    val cs = coeffs(seed, NUM_HASHES)
+    val hashed = tk.withColumn("hp", pmod(col("h"), lit(PRIME)))
+    val aggs: Seq[Column] = cs.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("hp") * lit(a) + lit(b), lit(PRIME))).as(s"mh_$i")
+    }.toSeq :+ count(lit(1)).as("n_toks")
+    hashed.groupBy("doc_id", "lang", "source").agg(aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").parquet(s"$indexDir/sigs")
+  }
+
+  /** Near-dup pairs served ENTIRELY from a persisted index: banding, the
+    * bucket self-join, the |A|,|B| size lookup and the exact-intersection
+    * rerank all read the stored tables — no job touches the raw corpus.
+    * Materializing sigs also means the band join's two sides share one
+    * scan instead of recomputing the signature aggregation per consumer
+    * (the broadcast side of a bucket join cannot reuse the stream side's
+    * exchange). */
+  def pairsFromIndex(s: SparkSession, indexDir: String,
+      threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0, "threshold must be positive (zero-overlap pairs are never emitted)")
+    val sigs = s.read.parquet(s"$indexDir/sigs")
+    val cands = candidatePairs(bandSignatures(sigs))
+    // The intersection join runs on the raw 64-bit token hash, not the
+    // token string — the same distinct-per-doc rows, ~60% less shuffle
+    // width. xxhash64 collisions within one doc pair (~|A||B|/2^64 ≈
+    // 1e-15) are the standard exact-in-practice hash-join trade.
+    val toks = s.read.parquet(s"$indexDir/toks").select("doc_id", "h")
+    val inter = cands
+      .join(toks.select(col("doc_id").as("id1"), col("h")), "id1")
+      .join(toks.select(col("doc_id").as("id2"), col("h")), Seq("id2", "h"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+    finishPairs(inter, sigs, threshold)
+  }
+
+  /** Jaccard = i / (n1 + n2 − i) from intersection counts plus the n_toks
+    * sizes riding the signature table; threshold filter + stable order. */
+  private def finishPairs(inter: DataFrame, sigs: DataFrame,
+      threshold: Double): DataFrame = {
     val sizes = sigs.select(col("doc_id"), col("n_toks"))
     inter
       .join(sizes.select(col("doc_id").as("id1"), col("n_toks").as("n1")), "id1")

@@ -33,7 +33,7 @@ class MinHashDedupSpec extends SparkSpec {
     val docs = Tables.t(spark, sf, "documents")
     val idx = graft.core.TempDirs.create("graft-minhash-idx")
     MinHashDedup.buildIndex(docs, idx)
-    val fromIdx = MinHashDedup.pairsFromIndex(docs, idx)
+    val fromIdx = MinHashDedup.pairsFromIndex(spark, idx)
     // Plan-level no-refit proof: the candidate/banding side scans the
     // persisted signature table — the 32-way min signature aggregation
     // (32 mh_* min() columns) must NOT appear in the search plan (the
@@ -41,17 +41,19 @@ class MinHashDedupSpec extends SparkSpec {
     val plan = fromIdx.queryExecution.executedPlan.toString
     assert(plan.contains(idx), s"pairs plan must scan the index dir:\n${plan.take(2000)}")
     // The signature fit is the only place the pmod universal-hash math
-    // lives; the index-read plan must be free of it entirely.
+    // lives, and tokenization only happens in buildIndex; the index-read
+    // plan must be free of both (no corpus scan at all).
     assert(!plan.contains("pmod"), "signature fit aggregation leaked into the index-read path")
+    assert(!plan.contains("explode(split"), "corpus re-tokenization leaked into the index-read path")
     val a = fromIdx.select("id1", "id2").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val b = MinHashDedup.nearDuplicates(docs)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(a == b, "index-served pairs must equal the one-shot pipeline")
-    // Fresh session, same store: the index is plain parquet on disk.
+    // Fresh session, same store: the index is plain parquet on disk, and
+    // pairsFromIndex no longer needs the corpus at all.
     val s2 = spark.newSession()
-    val docs2 = Tables.t(s2, sf, "documents")
-    val c = MinHashDedup.pairsFromIndex(docs2, idx)
+    val c = MinHashDedup.pairsFromIndex(s2, idx)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(c == b, "fresh-session pairs from the persisted index must agree")
   }
