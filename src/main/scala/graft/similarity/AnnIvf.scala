@@ -119,6 +119,17 @@ object AnnIvf {
     assign(e, persisted).write.mode("overwrite").parquet(s"$indexDir/assigned")
   }
 
+  /** Incremental index update: assign ONLY the new vectors against the
+    * persisted centroids and append them to the assignment table — the
+    * daily-ingest path of a 100 TB corpus (no refit, no touch of the
+    * existing billions of rows; periodic refit stays a separate, rarer
+    * job). Parquet append keeps old files untouched. */
+  def append(s: SparkSession, indexDir: String, newVecs: DataFrame): Unit = {
+    val centroids = s.read.parquet(s"$indexDir/centroids")
+    assign(newVecs, centroids)
+      .write.mode("append").parquet(s"$indexDir/assigned")
+  }
+
   /** Probe a persisted index: queries (qid, qemb) → top-k (qid, cand_id,
     * cos_sim). Runs only scan + broadcast-probe + rerank jobs — no fit. */
   def search(s: SparkSession, indexDir: String, q: DataFrame, nprobe: Int,

@@ -72,6 +72,29 @@ class AnnIvfSpec extends SparkSpec {
     assert(r1 == r2, "fresh-session search from the persisted index must agree")
   }
 
+  test("append adds vectors to a persisted index without refit; search finds them") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.GraftExtensions.ensureRegistered(spark)
+    val e = PlantedEmbeddings.df(spark)
+    val idx = graft.core.TempDirs.create("graft-ivf-append")
+    AnnIvf.fit(e, idx, k = 32, fitIters = 2)
+    // New vectors = near-copies of the query vector itself (cosine
+    // ≈ 0.9999+ ≫ the ~0.996 cluster siblings) with fresh ids — after
+    // append they must dominate the query's top-k.
+    val base = e.filter(col("vec_id") === 0).select("emb").as[Seq[Double]].head()
+    val newVecs = Seq(
+      (9001L, base.map(_ + 0.01)), (9002L, base.map(_ - 0.01)), (9003L, base.map(_ * 1.001)))
+      .toDF("vec_id", "emb")
+    AnnIvf.append(spark, idx, newVecs)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    val top = AnnIvf.search(spark, idx, q, nprobe = 4)
+      .select("cand_id").collect().map(_.getLong(0)).toSet
+    assert(Set(9001L, 9002L, 9003L).subsetOf(top),
+      s"appended near-duplicates missing from top-k: $top")
+  }
+
   test("ivf top-5 recall vs exact >= 0.4 and all results are true neighbors") {
     val exact = SimilarityOps.queries("q32_cosine_topk")(spark, sf)
       .select("qid", "cand_id").collect()
