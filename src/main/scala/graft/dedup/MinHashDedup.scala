@@ -163,6 +163,26 @@ object MinHashDedup {
       .write.mode("overwrite").parquet(s"$indexDir/sigs")
   }
 
+  /** Incremental update: tokenize + sign ONLY the new docs (same hash
+    * family — the index contract) and parquet-append both tables; the
+    * existing corpus is never re-read. New-vs-old near-dup pairs then
+    * fall out of the next pairsFromIndex call's band join. */
+  def appendToIndex(newDocs: DataFrame, indexDir: String, seed: Long = 42L,
+      shingleSize: Int = 1): Unit = {
+    tokens(newDocs, shingleSize)
+      .select(col("doc_id"), col("lang"), col("source"),
+        xxhash64(col("tok")).as("h"))
+      .write.mode("append").parquet(s"$indexDir/toks")
+    val cs = coeffs(seed, NUM_HASHES)
+    val hashed = tokens(newDocs, shingleSize)
+      .withColumn("hp", pmod(xxhash64(col("tok")), lit(PRIME)))
+    val aggs: Seq[Column] = cs.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("hp") * lit(a) + lit(b), lit(PRIME))).as(s"mh_$i")
+    }.toSeq :+ count(lit(1)).as("n_toks")
+    hashed.groupBy("doc_id", "lang", "source").agg(aggs.head, aggs.tail: _*)
+      .write.mode("append").parquet(s"$indexDir/sigs")
+  }
+
   /** Near-dup pairs served ENTIRELY from a persisted index: banding, the
     * bucket self-join, the |A|,|B| size lookup and the exact-intersection
     * rerank all read the stored tables — no job touches the raw corpus.

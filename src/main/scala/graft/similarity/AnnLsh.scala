@@ -129,6 +129,14 @@ object AnnLsh {
     bucketed(e, shape, probe = false, seed, dim)
       .write.mode("overwrite").parquet(s"$indexDir/buckets")
 
+  /** Incremental update: bucket ONLY the new vectors (same planes — the
+    * hash family is the index contract) and parquet-append; existing
+    * bucket files are untouched. */
+  def append(indexDir: String, newVecs: DataFrame, shape: Shape = Sharp,
+      seed: Long = 7L, dim: Int = 64): Unit =
+    bucketed(newVecs, shape, probe = false, seed, dim)
+      .write.mode("append").parquet(s"$indexDir/buckets")
+
   /** Probe a persisted index with query vectors (vec_id, emb): hash ONLY
     * the queries (plus their one-bit multi-probe flips), bucket-join
     * against the stored corpus table, rerank exactly. */

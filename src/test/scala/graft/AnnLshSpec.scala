@@ -54,6 +54,24 @@ class AnnLshSpec extends SparkSpec {
       s"Sharp planted recall $recall below 0.9 — on clustered data the sharp shape must hold")
   }
 
+  test("append buckets new vectors into a persisted index; search finds them") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.GraftExtensions.ensureRegistered(spark)
+    val e = PlantedEmbeddings.df(spark)
+    val idx = graft.core.TempDirs.create("graft-lsh-append")
+    AnnLsh.buildIndex(e, idx, AnnLsh.Sharp)
+    val base = e.filter(col("vec_id") === 0).select("emb").as[Seq[Double]].head()
+    val newVecs = Seq((9001L, base.map(_ + 0.005)), (9002L, base.map(_ * 1.001)))
+      .toDF("vec_id", "emb")
+    AnnLsh.append(idx, newVecs, AnnLsh.Sharp)
+    val q = e.filter(col("vec_id") === 0)
+    val top = AnnLsh.search(spark, idx, q, AnnLsh.Sharp)
+      .select("cand_id").collect().map(_.getLong(0)).toSet
+    assert(Set(9001L, 9002L).subsetOf(top),
+      s"appended near-copies missing from LSH top-k: $top")
+  }
+
   test("sharp shape: candidate pairs << N^2/4") {
     val e = graft.core.Tables.t(spark, sf, "embeddings")
       .select(org.apache.spark.sql.functions.col("vec_id"),

@@ -58,6 +58,26 @@ class MinHashDedupSpec extends SparkSpec {
     assert(c == b, "fresh-session pairs from the persisted index must agree")
   }
 
+  test("appendToIndex surfaces new-vs-old near-dup pairs without re-reading the corpus") {
+    val docs = Tables.t(spark, sf, "documents")
+    val idx = graft.core.TempDirs.create("graft-minhash-append")
+    MinHashDedup.buildIndex(docs, idx)
+    val before = MinHashDedup.pairsFromIndex(spark, idx)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Append an exact copy of doc 0's text under a fresh id: the next
+    // index query must pair it with doc 0 at jaccard 1.0.
+    val d0 = docs.filter(org.apache.spark.sql.functions.col("doc_id") === 0)
+      .collect().head
+    val dup = spark.createDataFrame(Seq(
+      (99999L, d0.getAs[String]("text"), d0.getAs[String]("lang"), d0.getAs[String]("source"))))
+      .toDF("doc_id", "text", "lang", "source")
+    MinHashDedup.appendToIndex(dup, idx)
+    val after = MinHashDedup.pairsFromIndex(spark, idx)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after.contains((0L, 99999L)), s"appended duplicate not paired: ${after diff before}")
+    assert(before.subsetOf(after), "append must not lose existing pairs")
+  }
+
   test("2-gram shingles tighten similarity vs unigrams") {
     val docs = Tables.t(spark, sf, "documents")
     val uni = MinHashDedup.nearDuplicates(docs, threshold = 0.3).count()
