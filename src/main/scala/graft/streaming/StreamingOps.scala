@@ -42,8 +42,16 @@ object StreamingOps {
     * cached temp dir; optionally re-append the first `dupCount` events at
     * the end (late duplicates for the dedup query). Returns the dir. */
   def prepareChunks(s: SparkSession, dir: String, nChunks: Int = 6,
-      dupCount: Int = 0): String =
-    chunkCache.getOrElseUpdate((dir, dupCount), buildChunks(s, dir, nChunks, dupCount))
+      dupCount: Int = 0): String = chunkCache.synchronized {
+    // Revalidate: a TempDirs.cleanupAll() in the same JVM may have swept
+    // the cached dir; rebuild instead of handing out a dangling path.
+    val key = (dir, dupCount)
+    chunkCache.get(key).filter(p => Files.exists(Paths.get(p))).getOrElse {
+      val p = buildChunks(s, dir, nChunks, dupCount)
+      chunkCache(key) = p
+      p
+    }
+  }
 
   private def buildChunks(s: SparkSession, dir: String, nChunks: Int,
       dupCount: Int): String = {
@@ -202,7 +210,13 @@ object StreamingOps {
   private val febSinkCache = scala.collection.concurrent.TrieMap.empty[String, String]
 
   def qForeachBatch(s: SparkSession, dir: String): DataFrame = {
-    val sinkDir = febSinkCache.getOrElseUpdate(dir, buildForeachBatchSink(s, dir))
+    val sinkDir = febSinkCache.synchronized {
+      febSinkCache.get(dir).filter(p => Files.exists(Paths.get(p))).getOrElse {
+        val p = buildForeachBatchSink(s, dir)
+        febSinkCache(dir) = p
+        p
+      }
+    }
     s.read.parquet(sinkDir)
       .groupBy("event_type").agg(count(lit(1)).as("cnt"))
       .orderBy("event_type")
