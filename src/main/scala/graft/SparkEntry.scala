@@ -18,6 +18,7 @@ object SparkEntry {
       SimilarityOps.queries ++ EventOps.queries ++ UdfOps.queries ++ Map(
         "q43_minhash_lsh" -> (graft.dedup.MinHashDedup.query _),
         "q_dedup_clusters" -> (graft.dedup.DedupClusters.query _),
+        "q_dedup_keep_best" -> (graft.dedup.DedupClusters.keepBestQuery _),
         "q_ann_ivf" -> ((s: SparkSession, dir: String) =>
           graft.similarity.AnnIvf.query(s, dir)),
         "q_ann_lsh" -> ((s: SparkSession, dir: String) =>
@@ -39,5 +40,6 @@ object SparkEntry {
       Map("q_binaryfile_meta" -> graft.multimodal.MediaPipeline.metaOracle,
         "q_salted_join" -> graft.operators.SaltedJoin.oracle,
         "q_bucketed_join" -> graft.operators.BucketedJoin.oracle,
-        "q_dedup_clusters" -> graft.dedup.DedupClusters.oracle)
+        "q_dedup_clusters" -> graft.dedup.DedupClusters.oracle,
+        "q_dedup_keep_best" -> graft.dedup.DedupClusters.keepBestOracle)
 }

@@ -71,6 +71,69 @@ object DedupClusters {
       .orderBy("doc_id")
   }
 
+  /** Canonical-doc SELECTION: within each near-dup cluster keep the
+    * highest-QUALITY doc (corpus-clean scoring formula), not merely the
+    * min-id — what a production dedup actually ships downstream. One
+    * extra per-doc projection + a max_by over the cluster groupBy; the
+    * argmax is partial-aggregable (no per-cluster sort). */
+  def keepBestQuery(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.queries.TextOps.queries("q31_jaccard_pairs")(s, dir)
+      .select("id1", "id2")
+    val comp = connectedComponents(pairs)
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val stop = Seq("the", "a", "of", "and", "is", "in", "to")
+    val quality = round(
+      lit(0.4) * least(nTok.cast("double") / 50, lit(1.0))
+        + lit(0.3) * (lit(1.0) -
+          size(filter(toks, x => x.isin(stop: _*))).cast("double") / nTok)
+        + lit(0.3) * size(array_distinct(toks)).cast("double") / nTok, 6)
+    val q = graft.core.Tables.t(s, dir, "documents")
+      .select(col("doc_id"), quality.as("quality"))
+    comp.join(q, comp("id") === q("doc_id"))
+      .groupBy(col("comp").as("rep"))
+      .agg(count(lit(1)).as("cluster_size"),
+        max_by(col("doc_id"), struct(col("quality"), (-col("doc_id")).as("o"))).as("best_doc"),
+        max(col("quality")).as("best_quality"))
+      .orderBy("rep")
+  }
+
+  val keepBestOracle: String = {
+    val pairs =
+      s"(SELECT id1, id2 FROM (${graft.queries.TextOps.oracle("q31_jaccard_pairs")}))"
+    s"""
+      WITH RECURSIVE edges AS (
+        SELECT id1 AS a, id2 AS b FROM $pairs
+        UNION
+        SELECT id2, id1 FROM $pairs),
+      nodes AS (SELECT DISTINCT a AS id FROM edges),
+      r(id, n) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.id, e.b FROM r JOIN edges e ON r.n = e.a),
+      comp AS (SELECT id, min(n) AS rep FROM r GROUP BY id),
+      m AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+          len(list_distinct(string_split(text, ' '))) AS n_distinct,
+          len(list_filter(string_split(text, ' '),
+              x -> x IN ('the','a','of','and','is','in','to'))) AS n_stop
+        FROM documents),
+      q AS (
+        SELECT doc_id, round(0.4 * least(CAST(n_tok AS DOUBLE) / 50, 1.0)
+            + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tok)
+            + 0.3 * CAST(n_distinct AS DOUBLE) / n_tok, 6) AS quality
+        FROM m),
+      j AS (SELECT c.rep, c.id, q.quality FROM comp c JOIN q ON c.id = q.doc_id),
+      ranked AS (
+        SELECT rep, id, quality,
+               row_number() OVER (PARTITION BY rep ORDER BY quality DESC, id ASC) AS rn
+        FROM j)
+      SELECT r1.rep, CAST(cnt.n AS BIGINT) AS cluster_size,
+             r1.id AS best_doc, r1.quality AS best_quality
+      FROM ranked r1 JOIN (SELECT rep, count(*) AS n FROM j GROUP BY rep) cnt USING (rep)
+      WHERE rn = 1 ORDER BY rep"""
+  }
+
   /** DuckDB oracle: transitive closure by recursive CTE over the SAME
     * pair query (q31's oracle text reused verbatim), min per node. */
   val oracle: String = {

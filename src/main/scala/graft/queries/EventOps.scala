@@ -40,10 +40,74 @@ object EventOps {
         .agg(count(lit(1)).as("cnt"),
           money(sum(dec(col("value")))).as("sum_value"))
         .orderBy("hour_start", "event_type")
+    },
+
+    // Funnel analysis: view → click → purchase, each step strictly after
+    // the user's first qualifying previous step. Three conditional-min
+    // aggregations chained by broadcastable per-user join — never a
+    // per-event self-join. Gap math in integer micros (precision canon).
+    "q_funnel" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+      val step1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val step2 = ev.filter(col("event_type") === "click")
+        .join(step1, "user_id")
+        .filter(unix_micros(col("ts")) > unix_micros(col("t1")))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      val step3 = ev.filter(col("event_type") === "purchase")
+        .join(step2, "user_id")
+        .filter(unix_micros(col("ts")) > unix_micros(col("t2")))
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      step1.agg(count(lit(1)).as("users")).select(lit("1_view").as("step"), col("users"))
+        .union(step2.agg(count(lit(1)).as("users")).select(lit("2_click").as("step"), col("users")))
+        .union(step3.agg(count(lit(1)).as("users")).select(lit("3_purchase").as("step"), col("users")))
+        .orderBy("step")
+    },
+
+    // Cohort retention: users bucketed by first-seen day, counted on each
+    // later active day as a day offset (0..7). Two aggregations (first-day
+    // per user, then per-(cohort, offset) distinct users) — the standard
+    // retention-matrix shape.
+    "q_retention" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      val first = ev.groupBy("user_id").agg(min(col("day")).as("cohort"))
+      ev.distinct().join(first, "user_id")
+        .withColumn("day_offset",
+          ((unix_micros(col("day")) - unix_micros(col("cohort"))) / (86400L * 1000000L))
+            .cast("long"))
+        .filter(col("day_offset") <= 7)
+        .groupBy(tsStr(col("cohort")).as("cohort_day"), col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        .orderBy("cohort_day", "day_offset")
     }
   )
 
   val oracle: Map[String, String] = Map(
+    "q_funnel" -> """
+      WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                  WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+             WHERE e.event_type = 'click' AND epoch_us(e.ts) > epoch_us(t1)
+             GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+             WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > epoch_us(t2)
+             GROUP BY e.user_id)
+      SELECT '1_view' AS step, count(*) AS users FROM s1
+      UNION ALL SELECT '2_click', count(*) FROM s2
+      UNION ALL SELECT '3_purchase', count(*) FROM s3
+      ORDER BY step""",
+
+    "q_retention" -> """
+      WITH d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+      first AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY user_id)
+      SELECT strftime(cohort, '%Y-%m-%d %H:%M:%S') AS cohort_day,
+             CAST(date_diff('day', cohort, day) AS BIGINT) AS day_offset,
+             count(DISTINCT user_id) AS active_users
+      FROM d JOIN first USING (user_id)
+      WHERE date_diff('day', cohort, day) <= 7
+      GROUP BY 1, 2 ORDER BY cohort_day, day_offset""",
+
     "q34_sessionization" -> """
       WITH o AS (
         SELECT user_id, event_id, ts,
