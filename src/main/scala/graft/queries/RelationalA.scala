@@ -80,6 +80,18 @@ object RelationalA {
         .limit(50)
     },
 
+    // Right outer join (completes the join matrix with q05/q_full_outer):
+    // orders restricted to a third of the customers RIGHT JOIN customer —
+    // every customer survives, two thirds with a null order side.
+    "q_right_outer" -> { (s, dir) =>
+      t(s, dir, "orders").filter(col("o_custkey") % 3 === 0)
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"), "right_outer")
+        .groupBy("c_custkey", "c_name")
+        .agg(count(col("o_orderkey")).as("order_cnt"))
+        .orderBy("c_custkey")
+    },
+
     // Full outer join: order counts (even custkeys) ⊔ event counts
     // (user_id % 3 = 0) — both sides contribute unmatched keys, so both
     // null-extension paths are exercised and hash-compared.
@@ -224,6 +236,12 @@ object RelationalA {
       FROM customer LEFT JOIN orders ON c_custkey = o_custkey
       GROUP BY c_custkey, c_name
       ORDER BY order_cnt DESC, c_custkey ASC LIMIT 50""",
+
+    "q_right_outer" -> """
+      SELECT c_custkey, c_name, count(o_orderkey) AS order_cnt
+      FROM (SELECT * FROM orders WHERE o_custkey % 3 = 0) o
+      RIGHT JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_custkey, c_name ORDER BY c_custkey""",
 
     "q_full_outer" -> """
       WITH o AS (SELECT o_custkey AS k, count(*) AS order_cnt
