@@ -67,23 +67,29 @@ object StreamingOps {
       val chunk = indexed
         .filter(col("rn") >= i * perChunk && col("rn") < (i + 1) * perChunk)
         .drop("rn")
-      writeChunk(chunk, streamDir, s"chunk_$i")
+      writeChunk(chunk, streamDir, s"chunk_$i", i)
     }
     if (dupCount > 0) {
       val dups = indexed.filter(col("rn") < dupCount).drop("rn")
-      writeChunk(dups, streamDir, s"chunk_dup")
+      writeChunk(dups, streamDir, s"chunk_dup", nChunks)
     }
     streamDir
   }
 
-  private def writeChunk(df: DataFrame, streamDir: String, name: String): Unit = {
+  private def writeChunk(df: DataFrame, streamDir: String, name: String,
+      seq: Int): Unit = {
     val stage = graft.core.TempDirs.create("graft-chunk")
     df.coalesce(1).write.mode("overwrite").parquet(stage)
     val part = Files.list(Paths.get(stage)).toArray.map(_.asInstanceOf[Path])
       .find(_.getFileName.toString.endsWith(".parquet"))
       .getOrElse(sys.error(s"no parquet part written in $stage"))
-    Files.move(part, Paths.get(streamDir, s"$name.parquet"),
-      StandardCopyOption.ATOMIC_MOVE)
+    val target = Paths.get(streamDir, s"$name.parquet")
+    Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
+    // The file source replays in modification-time order; pin mtimes to
+    // the chunk sequence explicitly instead of relying on each write
+    // taking longer than the filesystem timestamp resolution.
+    Files.setLastModifiedTime(target,
+      java.nio.file.attribute.FileTime.fromMillis(1700000000000L + seq * 60000L))
   }
 
   /** File-source replay of a prepared chunk dir. */
