@@ -54,7 +54,9 @@ object Bench {
     // was indistinguishable from real regressions in single-pass rounds
     // (r02's q04_aqe_off "+17%" was noise). Min rides along in
     // queries_min as the low-noise floor.
-    val REPS = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // Guarded parse: a malformed env value must not crash main() before
+    // the JSON line is emitted (the one-line contract).
+    val REPS = scala.util.Try(sys.env("SPARK_GRAFT_BENCH_REPS").trim.toInt).getOrElse(3)
     def stats(name: String): (Double, Double) = {
       val ok = (1 to REPS).map(_ => run(name)).filter(_ >= 0).sorted
       if (ok.isEmpty) (-1.0, -1.0) else (ok(ok.length / 2), ok.head)

@@ -80,16 +80,8 @@ object DedupClusters {
     val pairs = graft.queries.TextOps.queries("q31_jaccard_pairs")(s, dir)
       .select("id1", "id2")
     val comp = connectedComponents(pairs)
-    val toks = split(col("text"), " ")
-    val nTok = size(toks)
-    val stop = Seq("the", "a", "of", "and", "is", "in", "to")
-    val quality = round(
-      lit(0.4) * least(nTok.cast("double") / 50, lit(1.0))
-        + lit(0.3) * (lit(1.0) -
-          size(filter(toks, x => x.isin(stop: _*))).cast("double") / nTok)
-        + lit(0.3) * size(array_distinct(toks)).cast("double") / nTok, 6)
     val q = graft.core.Tables.t(s, dir, "documents")
-      .select(col("doc_id"), quality.as("quality"))
+      .select(col("doc_id"), graft.queries.TextOps.qualityExpr.as("quality"))
     comp.join(q, comp("id") === q("doc_id"))
       .groupBy(col("comp").as("rep"))
       .agg(count(lit(1)).as("cluster_size"),

@@ -169,18 +169,24 @@ object MinHashDedup {
     * fall out of the next pairsFromIndex call's band join. */
   def appendToIndex(newDocs: DataFrame, indexDir: String, seed: Long = 42L,
       shingleSize: Int = 1): Unit = {
-    tokens(newDocs, shingleSize)
+    // Tokenize+hash the new docs ONCE: persist() the hashed frame so the
+    // toks append materializes it and the signature aggregation reads the
+    // cache instead of re-tokenizing (re-reading the whole appended toks
+    // table would be worse — it scans the old corpus files too).
+    val hashedToks = tokens(newDocs, shingleSize)
       .select(col("doc_id"), col("lang"), col("source"),
         xxhash64(col("tok")).as("h"))
-      .write.mode("append").parquet(s"$indexDir/toks")
-    val cs = coeffs(seed, NUM_HASHES)
-    val hashed = tokens(newDocs, shingleSize)
-      .withColumn("hp", pmod(xxhash64(col("tok")), lit(PRIME)))
-    val aggs: Seq[Column] = cs.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("hp") * lit(a) + lit(b), lit(PRIME))).as(s"mh_$i")
-    }.toSeq :+ count(lit(1)).as("n_toks")
-    hashed.groupBy("doc_id", "lang", "source").agg(aggs.head, aggs.tail: _*)
-      .write.mode("append").parquet(s"$indexDir/sigs")
+      .persist()
+    try {
+      hashedToks.write.mode("append").parquet(s"$indexDir/toks")
+      val cs = coeffs(seed, NUM_HASHES)
+      val hashed = hashedToks.withColumn("hp", pmod(col("h"), lit(PRIME)))
+      val aggs: Seq[Column] = cs.zipWithIndex.map { case ((a, b), i) =>
+        min(pmod(col("hp") * lit(a) + lit(b), lit(PRIME))).as(s"mh_$i")
+      }.toSeq :+ count(lit(1)).as("n_toks")
+      hashed.groupBy("doc_id", "lang", "source").agg(aggs.head, aggs.tail: _*)
+        .write.mode("append").parquet(s"$indexDir/sigs")
+    } finally hashedToks.unpersist()
   }
 
   /** Near-dup pairs served ENTIRELY from a persisted index: banding, the

@@ -36,7 +36,11 @@ object AsOfOps {
     // LEFT outer as-of: the right side is restricted to a fifth of the
     // customers, so most events have NO prior order and must survive with
     // a null-extended right side (the exact rows DuckDB's ASOF LEFT JOIN
-    // produces — nulls included in the hash compare).
+    // produces — nulls included in the hash compare). The operator
+    // requires non-null key/time (documented contract), so the null-key
+    // filter on events is mirrored in the oracle's WHERE — otherwise a
+    // fixture with null user_id rows would diverge (DuckDB would keep
+    // them null-extended).
     "q_asof_left" -> { (s, dir) =>
       val w = Window.partitionBy("o_custkey", "o_orderdate")
         .orderBy(desc("o_orderkey"))
@@ -80,6 +84,7 @@ object AsOfOps {
              strftime(od.o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate
       FROM events e ASOF LEFT JOIN od
         ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+      WHERE e.user_id IS NOT NULL AND e.ts IS NOT NULL
       ORDER BY e.event_id"""
   )
 }

@@ -26,7 +26,23 @@ import graft.core.Tables._
 object TextOps {
   type Q = (SparkSession, String) => DataFrame
 
-  private val enMarkers = Seq("the", "a", "of", "and", "is", "in", "to")
+  /** Stopword/marker list shared by language-ID, corpus-clean and the
+    * best-in-cluster dedup (DedupClusters.keepBestQuery) — single source
+    * of truth so the scoring formula cannot silently diverge. */
+  val enMarkers = Seq("the", "a", "of", "and", "is", "in", "to")
+
+  /** The corpus-clean quality score (0.4·length + 0.3·non-stop +
+    * 0.3·distinct, rounded 6 dp) as a reusable per-row expression over a
+    * `text` column. */
+  def qualityExpr: org.apache.spark.sql.Column = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    round(
+      lit(0.4) * least(nTok.cast("double") / 50, lit(1.0))
+        + lit(0.3) * (lit(1.0) -
+          size(filter(toks, x => x.isin(enMarkers: _*))).cast("double") / nTok)
+        + lit(0.3) * size(array_distinct(toks)).cast("double") / nTok, 6)
+  }
 
   /** Reference WordCount semantics (/root/reference/.../WordCount.scala:15-27):
     * split on the separator class, trim+lowercase, drop empties and
@@ -257,17 +273,10 @@ object TextOps {
     // only shuffles — the shape a 100 TB corpus-clean job wants. The
     // deterministic-average canon applies: decimal sum → double ÷ count.
     "q_corpus_clean" -> { (s, dir) =>
-      val toks = split(col("text"), " ")
-      val nTok = size(toks)
-      val nDistinct = size(array_distinct(toks))
-      val nStop = size(filter(toks, x => x.isin(enMarkers: _*)))
-      val quality = round(
-        lit(0.4) * least(nTok.cast("double") / 50, lit(1.0))
-          + lit(0.3) * (lit(1.0) - nStop.cast("double") / nTok)
-          + lit(0.3) * nDistinct.cast("double") / nTok, 6)
+      val nTok = size(split(col("text"), " "))
       val scored = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("source"), col("text"),
-          nTok.cast("long").as("n_tok"), quality.as("quality"))
+          nTok.cast("long").as("n_tok"), qualityExpr.as("quality"))
         .filter(col("quality") >= 0.5)
       val reps = scored.groupBy(col("text")).agg(min("doc_id").as("doc_id"))
       scored.join(reps.select("doc_id"), "doc_id")

@@ -76,8 +76,13 @@ object UdfOps {
     // the union row re-merges the SAME sketches. Tolerance class like
     // Q37: rows-only driver check, error bound in ApproxDistinctSpec.
     "q_hll_union" -> { (s, dir) =>
+      // persist() the (tiny: one row per status) sketch table so BOTH
+      // consumers — per-status estimates and the merged ALL row — reuse
+      // one scan+sketch pass; without it each branch re-plans the full
+      // aggregation and the corpus is sketched twice.
       val sk = t(s, dir, "orders").groupBy("o_orderstatus")
         .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+        .persist()
       val per = sk.select(col("o_orderstatus"),
         hll_sketch_estimate(col("sk")).as("approx_custs"))
       val union = sk.agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_custs"))

@@ -95,7 +95,7 @@ object AnnIvf {
     // exactly the persisted path a production pipeline takes (fit is NOT
     // inlined into the search plan).
     val idx = graft.core.TempDirs.create("graft-ivf-idx")
-    fit(e, idx, k, fitIters = 2)
+    fit(e, idx, k, fitIters = 2, knownN = n)
     search(s, idx, e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("emb").as("qemb")), nprobe)
   }
@@ -105,8 +105,11 @@ object AnnIvf {
     * indexDir. At 100 TB this runs once per corpus version; every
     * subsequent [[search]] reads the index without re-running any fit
     * or assignment job. */
-  def fit(e: DataFrame, indexDir: String, k: Int, fitIters: Int = 2): Unit = {
-    val n = e.count()
+  def fit(e: DataFrame, indexDir: String, k: Int, fitIters: Int = 2,
+      knownN: Long = -1L): Unit = {
+    // knownN lets a caller that already counted the corpus (query() does,
+    // for chooseK) skip a second full-scan count job here.
+    val n = if (knownN >= 0) knownN else e.count()
     val stride = math.max(1L, n / k)
     val seeds = e.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cid"), col("emb").as("cemb"))
