@@ -56,7 +56,10 @@ object Bench {
     // queries_min as the low-noise floor.
     // Guarded parse: a malformed env value must not crash main() before
     // the JSON line is emitted (the one-line contract).
-    val REPS = scala.util.Try(sys.env("SPARK_GRAFT_BENCH_REPS").trim.toInt).getOrElse(3)
+    // Clamped to >= 1: zero/negative values would make every (1 to REPS)
+    // range empty and silently report the -1 failure sentinel for all rows.
+    val REPS = math.max(1,
+      scala.util.Try(sys.env("SPARK_GRAFT_BENCH_REPS").trim.toInt).getOrElse(3))
     def stats(name: String): (Double, Double) = {
       val ok = (1 to REPS).map(_ => run(name)).filter(_ >= 0).sorted
       if (ok.isEmpty) (-1.0, -1.0) else (ok(ok.length / 2), ok.head)

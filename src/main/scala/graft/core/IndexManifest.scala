@@ -1,0 +1,81 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Persisted-index manifest: a tiny JSON sidecar (`manifest.json`) written
+  * next to every index an operator persists (MinHash signature tables, IVF
+  * centroids, LSH bucket tables) recording the parameters that are part of
+  * the index CONTRACT — hash-family seed, band shape, K, schema version.
+  *
+  * Why: `append`/`search` only produce correct results when called with the
+  * SAME family parameters the index was built with. Before the manifest the
+  * contract lived in scaladoc only, so an append with a different seed
+  * silently corrupted the index (new rows hashed into unrelated buckets —
+  * no error, just missing pairs). Now every read/append path calls
+  * [[verify]] and fails fast on any mismatch or on a missing manifest.
+  *
+  * Written through the Hadoop FS API (not java.nio) so index dirs can live
+  * on HDFS/S3 on a real cluster, same as the parquet tables beside them.
+  */
+object IndexManifest {
+  val FILE = "manifest.json"
+
+  /** Bump when an index layout changes shape incompatibly. */
+  val SCHEMA_VERSION = "1"
+
+  private def fsPath(s: SparkSession, indexDir: String) = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/$FILE")
+    (p, p.getFileSystem(s.sparkContext.hadoopConfiguration))
+  }
+
+  /** Write the manifest (overwrites — build owns the dir). Values are kept
+    * as strings; callers stringify numbers so compare is exact. */
+  def write(s: SparkSession, indexDir: String, fields: Map[String, String]): Unit = {
+    val all = fields + ("schema_version" -> SCHEMA_VERSION)
+    val json = all.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":"$v"""" }
+      .mkString("{", ",", "}")
+    val (p, fs) = fsPath(s, indexDir)
+    val out = fs.create(p, true)
+    val w = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+      out, java.nio.charset.StandardCharsets.UTF_8))
+    try w.println(json) finally w.close()
+  }
+
+  /** Read the manifest; empty map if absent (callers decide how to fail). */
+  def read(s: SparkSession, indexDir: String): Map[String, String] = {
+    val (p, fs) = fsPath(s, indexDir)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(
+        in, "UTF-8").mkString finally in.close()
+      // Flat string-valued object — the only shape write() produces.
+      "\"([^\"]+)\"\\s*:\\s*\"([^\"]*)\"".r.findAllMatchIn(text)
+        .map(m => m.group(1) -> m.group(2)).toMap
+    }
+  }
+
+  /** Fail-fast compatibility check: every expected (param, value) must match
+    * the stored manifest exactly. Throws with the full mismatch list so the
+    * caller sees seed-vs-seed, not just "incompatible". */
+  def verify(s: SparkSession, indexDir: String,
+      expected: Map[String, String], op: String): Unit = {
+    val stored = read(s, indexDir)
+    if (stored.isEmpty)
+      throw new IllegalStateException(
+        s"$op: no $FILE under $indexDir — not a graft index, or built by a " +
+          "pre-manifest version; rebuild with buildIndex/fit")
+    val want = expected + ("schema_version" -> SCHEMA_VERSION)
+    val bad = want.toSeq.sortBy(_._1).flatMap { case (k, v) =>
+      stored.get(k) match {
+        case Some(`v`) => None
+        case Some(other) => Some(s"$k: index has '$other', caller passed '$v'")
+        case None => Some(s"$k: missing from manifest, caller passed '$v'")
+      }
+    }
+    if (bad.nonEmpty)
+      throw new IllegalStateException(
+        s"$op: incompatible index at $indexDir — ${bad.mkString("; ")}")
+  }
+}

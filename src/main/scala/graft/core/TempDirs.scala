@@ -41,6 +41,13 @@ object TempDirs {
     deleteRecursively(p)
   }
 
+  /** Snapshot of currently-registered (not yet cleaned) dirs — lets tests
+    * assert lifecycle against the registry itself instead of racing other
+    * processes over a shared /tmp listing. */
+  def registeredDirs: Seq[String] = synchronized {
+    registered.toSeq.map(_.toString)
+  }
+
   /** Delete every registered dir. Verify/Bench call this before exit; the
     * shutdown hook is the backstop for abnormal exits. */
   def cleanupAll(): Unit = synchronized {

@@ -145,8 +145,18 @@ object MinHashDedup {
     * (banding, rerank, sizes) is answered entirely from the index.
     * Persisting toks also collapses what used to be three tokenize passes
     * per query (signatures + both rerank sides) into one. */
+  /** Index-contract manifest fields for [[graft.core.IndexManifest]]: the
+    * parameters that must match between build and every later
+    * append/search, or band buckets and signatures silently diverge. */
+  private def manifestFields(seed: Long, shingleSize: Int): Map[String, String] =
+    Map("family" -> "minhash-lsh", "seed" -> seed.toString,
+      "shingle_size" -> shingleSize.toString,
+      "num_hashes" -> NUM_HASHES.toString, "bands" -> BANDS.toString)
+
   def buildIndex(docs: DataFrame, indexDir: String, seed: Long = 42L,
       shingleSize: Int = 1): Unit = {
+    graft.core.IndexManifest.write(docs.sparkSession, indexDir,
+      manifestFields(seed, shingleSize))
     tokens(docs, shingleSize)
       .select(col("doc_id"), col("lang"), col("source"),
         xxhash64(col("tok")).as("h"))
@@ -169,6 +179,11 @@ object MinHashDedup {
     * fall out of the next pairsFromIndex call's band join. */
   def appendToIndex(newDocs: DataFrame, indexDir: String, seed: Long = 42L,
       shingleSize: Int = 1): Unit = {
+    // Fail fast on a family mismatch: appending rows signed with a
+    // different seed/shingle unit would not error — it would just stop
+    // old-vs-new pairs from ever sharing a band bucket.
+    graft.core.IndexManifest.verify(newDocs.sparkSession, indexDir,
+      manifestFields(seed, shingleSize), "MinHashDedup.appendToIndex")
     // Tokenize+hash the new docs ONCE: persist() the hashed frame so the
     // toks append materializes it and the signature aggregation reads the
     // cache instead of re-tokenizing (re-reading the whole appended toks
@@ -199,6 +214,12 @@ object MinHashDedup {
   def pairsFromIndex(s: SparkSession, indexDir: String,
       threshold: Double = 0.5): DataFrame = {
     require(threshold > 0.0, "threshold must be positive (zero-overlap pairs are never emitted)")
+    // Banding layout must match what the stored sigs were built with (seed
+    // and shingle unit are baked into the stored tables, so only the
+    // family + band shape are checkable here).
+    graft.core.IndexManifest.verify(s, indexDir,
+      Map("family" -> "minhash-lsh", "num_hashes" -> NUM_HASHES.toString,
+        "bands" -> BANDS.toString), "MinHashDedup.pairsFromIndex")
     val sigs = s.read.parquet(s"$indexDir/sigs")
     val cands = candidatePairs(bandSignatures(sigs))
     // The intersection join runs on the raw 64-bit token hash, not the

@@ -76,13 +76,18 @@ object UdfOps {
     // the union row re-merges the SAME sketches. Tolerance class like
     // Q37: rows-only driver check, error bound in ApproxDistinctSpec.
     "q_hll_union" -> { (s, dir) =>
-      // persist() the (tiny: one row per status) sketch table so BOTH
-      // consumers — per-status estimates and the merged ALL row — reuse
-      // one scan+sketch pass; without it each branch re-plans the full
-      // aggregation and the corpus is sketched twice.
-      val sk = t(s, dir, "orders").groupBy("o_orderstatus")
+      // Materialize the (tiny: one row per status) sketch table to scratch
+      // parquet so BOTH consumers — per-status estimates and the merged ALL
+      // row — reuse one scan+sketch pass; without it each branch re-plans
+      // the full aggregation and the corpus is sketched twice. Scratch
+      // beats persist() here: repeated registry invocations in one JVM
+      // (Verify + Bench reps) were accumulating never-unpersisted cache
+      // entries for the process lifetime; TempDirs sweeps the files.
+      val tmp = graft.core.TempDirs.create("graft-hll-sk")
+      t(s, dir, "orders").groupBy("o_orderstatus")
         .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
-        .persist()
+        .write.mode("overwrite").parquet(s"$tmp/sk")
+      val sk = s.read.parquet(s"$tmp/sk")
       val per = sk.select(col("o_orderstatus"),
         hll_sketch_estimate(col("sk")).as("approx_custs"))
       val union = sk.agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_custs"))

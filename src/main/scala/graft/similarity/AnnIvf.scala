@@ -31,6 +31,13 @@ object AnnIvf {
   val MAX_K = 4096
   val TOP_K = 5
 
+  /** Production-default probe width: a small FIXED cell count independent
+    * of K, the setting that makes IVF sublinear (probe cost ~ nprobe·N/K
+    * rows per query). On clustered corpora — the case IVF exists for —
+    * recall ≥ 0.9 holds at this default (AnnIvfSpec planted gate); only
+    * near-uniform-random corpora need coverage-proportional probing. */
+  val DEFAULT_NPROBE = 16
+
   def chooseK(n: Long): Int =
     math.min(MAX_K, math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt))
 
@@ -88,9 +95,11 @@ object AnnIvf {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val n = e.count()
     val k = chooseK(n)
-    // ~30% cell coverage for the uniform-random fixture (see scaladoc);
-    // clustered production corpora would pass a fixed nprobe instead.
-    val nprobe = math.max(3, math.ceil(k * 0.3).toInt)
+    // Production default: fixed nprobe (capped at K for tiny corpora).
+    // The uniform-random fixture keeps its recall floor in AnnIvfSpec via
+    // an explicit coverage-proportional nprobe there; the registry query
+    // runs the setting a real clustered corpus would.
+    val nprobe = math.min(k, DEFAULT_NPROBE)
     // Registry shape = fit-once-search-once through a scratch index dir,
     // exactly the persisted path a production pipeline takes (fit is NOT
     // inlined into the search plan).
@@ -107,6 +116,10 @@ object AnnIvf {
     * or assignment job. */
   def fit(e: DataFrame, indexDir: String, k: Int, fitIters: Int = 2,
       knownN: Long = -1L): Unit = {
+    // fit/append are public entry points too: assignment evaluates the
+    // graft_cosine call_function, which resolves only after the extension
+    // registers it (idempotent — no-op when query()/search() already did).
+    graft.GraftExtensions.ensureRegistered(e.sparkSession)
     // knownN lets a caller that already counted the corpus (query() does,
     // for chooseK) skip a second full-scan count job here.
     val n = if (knownN >= 0) knownN else e.count()
@@ -115,6 +128,9 @@ object AnnIvf {
       .select(col("vec_id").as("cid"), col("emb").as("cemb"))
     val centroids =
       if (fitIters > 0) fitCentroids(e, seeds, fitIters) else seeds
+    graft.core.IndexManifest.write(e.sparkSession, indexDir,
+      Map("family" -> "ivf-cosine", "k" -> k.toString,
+        "fit_iters" -> fitIters.toString))
     centroids.write.mode("overwrite").parquet(s"$indexDir/centroids")
     // Assignment reads the PERSISTED centroids so the k-means lineage is
     // truncated — the assignment plan never replays the fit.
@@ -128,6 +144,12 @@ object AnnIvf {
     * existing billions of rows; periodic refit stays a separate, rarer
     * job). Parquet append keeps old files untouched. */
   def append(s: SparkSession, indexDir: String, newVecs: DataFrame): Unit = {
+    graft.GraftExtensions.ensureRegistered(s)
+    // IVF appends assign against the PERSISTED centroids, so the quantizer
+    // is compatible by construction — the manifest check guards against
+    // pointing append at a different index family's directory.
+    graft.core.IndexManifest.verify(s, indexDir,
+      Map("family" -> "ivf-cosine"), "AnnIvf.append")
     val centroids = s.read.parquet(s"$indexDir/centroids")
     assign(newVecs, centroids)
       .write.mode("append").parquet(s"$indexDir/assigned")
@@ -135,9 +157,11 @@ object AnnIvf {
 
   /** Probe a persisted index: queries (qid, qemb) → top-k (qid, cand_id,
     * cos_sim). Runs only scan + broadcast-probe + rerank jobs — no fit. */
-  def search(s: SparkSession, indexDir: String, q: DataFrame, nprobe: Int,
-      topK: Int = TOP_K): DataFrame = {
+  def search(s: SparkSession, indexDir: String, q: DataFrame,
+      nprobe: Int = DEFAULT_NPROBE, topK: Int = TOP_K): DataFrame = {
     graft.GraftExtensions.ensureRegistered(s)
+    graft.core.IndexManifest.verify(s, indexDir,
+      Map("family" -> "ivf-cosine"), "AnnIvf.search")
     val centroids = s.read.parquet(s"$indexDir/centroids")
     val assigned = s.read.parquet(s"$indexDir/assigned")
 

@@ -33,14 +33,22 @@ import graft.core.Tables._
 object AnnLsh {
   /** bands × bitsPerBand sign bits; multiProbe is the Hamming radius
     * probed on the query side (0 = exact bucket only, 1 = all one-bit
-    * flips; radii > 1 are not implemented). */
+    * flips, 2 = also all two-bit flips, …). Probe count per band grows as
+    * Σ_{r≤radius} C(bitsPerBand, r) — radius 2 at 12-bit bands is 79
+    * lookups/band vs 13 at radius 1, still query-side-only cost. */
   final case class Shape(bands: Int, bitsPerBand: Int, multiProbe: Int) {
-    require(multiProbe >= 0 && multiProbe <= 1, "multiProbe radius 0 or 1")
+    require(multiProbe >= 0 && multiProbe <= bitsPerBand,
+      "multiProbe radius must be in [0, bitsPerBand]")
     val signBits: Int = bands * bitsPerBand
   }
 
   /** Scale-sane default: 4096-way buckets, one-bit multi-probe. */
   val Sharp = Shape(bands = 16, bitsPerBand = 12, multiProbe = 1)
+
+  /** Sharp buckets with radius-2 probing — the next notch on the
+    * recall/cost dial for clustered corpora where radius 1 misses
+    * neighbors two sign-flips away; data-side state is unchanged. */
+  val Sharp2 = Shape(bands = 16, bitsPerBand = 12, multiProbe = 2)
 
   /** Recall-ceiling shape for near-orthogonal corpora (the round-1 shape).
     * Near-all-pairs at scale — use only when the corpus is small or
@@ -66,8 +74,9 @@ object AnnLsh {
     }
 
   /** (vec_id, emb, band, sig) bucket rows. With probe=true additionally
-    * emits, per band, the one-bit-flip probe signatures (multi-probe:
-    * query side only — the data side always stores exact buckets).
+    * emits, per band, every probe signature within Hamming radius
+    * shape.multiProbe of the exact band signature (multi-probe: query side
+    * only — the data side always stores exact buckets).
     *
     * The signBits hyperplane dot products are materialized ONCE into an
     * array column *below* the band/flip generators — the per-variant sig
@@ -81,20 +90,25 @@ object AnnLsh {
     val ps = planes(seed, shape.signBits, dim)
     val withBits = e.select(col("vec_id"), col("emb"),
       array(signatureBits(col("emb"), ps): _*).as("bits"))
-    val flips: Seq[Int] =
-      if (probe && shape.multiProbe >= 1) -1 until shape.bitsPerBand
-      else Seq(-1)
-    // slice() is 1-based; flip index f is 0-based within the band (-1 = no
-    // flip). transform's index arg i is 0-based over the band slice.
+    // Probe flip sets: all bit-position subsets of size ≤ multiProbe
+    // (combinations(0) = the empty set = the exact bucket). Generated
+    // driver-side as literals — per band this is a fixed small constant
+    // (79 at 12-bit/radius-2), never data-dependent.
+    val flipSets: Seq[Seq[Int]] =
+      (0 to (if (probe) shape.multiProbe else 0))
+        .flatMap(r => (0 until shape.bitsPerBand).combinations(r).map(_.toSeq))
+    // slice() is 1-based; flip positions are 0-based within the band.
+    // transform's index arg i is 0-based over the band slice.
     val bandSlice = expr(s"slice(bits, band * ${shape.bitsPerBand} + 1, ${shape.bitsPerBand})")
     val sig = concat_ws("",
       transform(bandSlice, (x, i) =>
-        when(i === col("flip"), lit(1) - x).otherwise(x).cast("string")))
+        when(array_contains(col("flips"), i), lit(1) - x).otherwise(x).cast("string")))
     withBits
       .select(col("vec_id"), col("emb"), col("bits"),
         explode(sequence(lit(0), lit(shape.bands - 1))).as("band"))
       .select(col("vec_id"), col("emb"), col("bits"), col("band"),
-        explode(array(flips.map(f => lit(f)): _*)).as("flip"))
+        explode(array(flipSets.map(fs =>
+          array(fs.map(i => lit(i)): _*).cast("array<int>")): _*)).as("flips"))
       .select(col("vec_id"), col("emb"), col("band"), sig.as("sig"))
   }
 
@@ -124,18 +138,34 @@ object AnnLsh {
   /** Persist the data-side bucket table — the LSH index. Build once per
     * corpus version; every [[search]] equi-joins against it without
     * re-hashing the corpus. */
+  /** Index-contract fields ([[graft.core.IndexManifest]]): seed, band
+    * shape and dim pin the hyperplane family — a mismatch on any of them
+    * makes stored and probed signatures unrelated (silently zero recall),
+    * so append/search verify before touching the bucket table. multiProbe
+    * is deliberately NOT part of the contract: it is a query-side knob. */
+  private def manifestFields(shape: Shape, seed: Long, dim: Int): Map[String, String] =
+    Map("family" -> "lsh-hyperplane", "seed" -> seed.toString,
+      "bands" -> shape.bands.toString,
+      "bits_per_band" -> shape.bitsPerBand.toString, "dim" -> dim.toString)
+
   def buildIndex(e: DataFrame, indexDir: String, shape: Shape = Sharp,
-      seed: Long = 7L, dim: Int = 64): Unit =
+      seed: Long = 7L, dim: Int = 64): Unit = {
+    graft.core.IndexManifest.write(e.sparkSession, indexDir,
+      manifestFields(shape, seed, dim))
     bucketed(e, shape, probe = false, seed, dim)
       .write.mode("overwrite").parquet(s"$indexDir/buckets")
+  }
 
   /** Incremental update: bucket ONLY the new vectors (same planes — the
     * hash family is the index contract) and parquet-append; existing
     * bucket files are untouched. */
   def append(indexDir: String, newVecs: DataFrame, shape: Shape = Sharp,
-      seed: Long = 7L, dim: Int = 64): Unit =
+      seed: Long = 7L, dim: Int = 64): Unit = {
+    graft.core.IndexManifest.verify(newVecs.sparkSession, indexDir,
+      manifestFields(shape, seed, dim), "AnnLsh.append")
     bucketed(newVecs, shape, probe = false, seed, dim)
       .write.mode("append").parquet(s"$indexDir/buckets")
+  }
 
   /** Probe a persisted index with query vectors (vec_id, emb): hash ONLY
     * the queries (plus their one-bit multi-probe flips), bucket-join
@@ -144,6 +174,8 @@ object AnnLsh {
       shape: Shape = Sharp, topK: Int = TOP_K,
       seed: Long = 7L, dim: Int = 64): DataFrame = {
     graft.GraftExtensions.ensureRegistered(s)
+    graft.core.IndexManifest.verify(s, indexDir,
+      manifestFields(shape, seed, dim), "AnnLsh.search")
     val buckets = s.read.parquet(s"$indexDir/buckets")
     val qb = bucketed(queries, shape, probe = true, seed, dim)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"),

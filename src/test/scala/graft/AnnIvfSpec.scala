@@ -34,17 +34,22 @@ class AnnIvfSpec extends SparkSpec {
     assert(a.map(_.getLong(0)).toSeq == (0L until a.length).toSeq)
   }
 
-  test("planted clusters: fit+search recall >= 0.9 as a requirement") {
+  test("planted clusters: recall >= 0.9 at the fixed production-default nprobe") {
     graft.GraftExtensions.ensureRegistered(spark)
     val e = PlantedEmbeddings.df(spark)
     val idx = graft.core.TempDirs.create("graft-ivf-planted")
     AnnIvf.fit(e, idx, k = 32, fitIters = 2)
-    val approx = AnnIvf.search(spark, idx, PlantedEmbeddings.queries(e), nprobe = 4)
-      .select("qid", "cand_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Default nprobe (16) — the setting a production clustered corpus
+    // runs; and a deliberately tight nprobe=4 must ALSO clear the gate
+    // (clusters live in few cells, so narrow probes still find them).
     val exact = PlantedEmbeddings.exactTopK(e, AnnIvf.TOP_K)
-    val recall = PlantedEmbeddings.recall(exact, approx)
-    assert(recall >= 0.9, s"ivf planted recall $recall below 0.9 — index is broken")
+    for (np <- Seq(AnnIvf.DEFAULT_NPROBE, 4)) {
+      val approx = AnnIvf.search(spark, idx, PlantedEmbeddings.queries(e), nprobe = np)
+        .select("qid", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = PlantedEmbeddings.recall(exact, approx)
+      assert(recall >= 0.9, s"ivf planted recall $recall below 0.9 at nprobe=$np")
+    }
   }
 
   test("search runs from the persisted index (no fit jobs) and survives a fresh session") {

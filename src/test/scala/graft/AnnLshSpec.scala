@@ -54,6 +54,34 @@ class AnnLshSpec extends SparkSpec {
       s"Sharp planted recall $recall below 0.9 — on clustered data the sharp shape must hold")
   }
 
+  test("radius-2 multi-probe: planted recall >= 0.9 at a bounded probe budget") {
+    import org.apache.spark.sql.functions._
+    graft.GraftExtensions.ensureRegistered(spark)
+    val e = PlantedEmbeddings.df(spark)
+    val idx = graft.core.TempDirs.create("graft-lsh-r2")
+    // Data side is radius-independent: one Sharp index serves all radii.
+    AnnLsh.buildIndex(e, idx, AnnLsh.Sharp)
+    val q = PlantedEmbeddings.queries(e)
+      .select(col("qid").as("vec_id"), col("qemb").as("emb"))
+    val exact = PlantedEmbeddings.exactTopK(e, AnnLsh.TOP_K)
+    def recallAt(shape: AnnLsh.Shape): Double = {
+      val approx = AnnLsh.search(spark, idx, q, shape)
+        .select("qid", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      PlantedEmbeddings.recall(exact, approx)
+    }
+    val r1 = recallAt(AnnLsh.Sharp)
+    val r2 = recallAt(AnnLsh.Sharp2)
+    assert(r2 >= 0.9, s"radius-2 planted recall $r2 below 0.9")
+    assert(r2 >= r1, s"widening the probe radius must not lose recall ($r1 -> $r2)")
+    // The probe budget is the closed-form fixed fan-out, not data-driven:
+    // per query per band 1 + C(12,1) + C(12,2) = 79 bucket lookups.
+    val perBand = 1 + 12 + 12 * 11 / 2
+    val fanout = AnnLsh.bucketed(q.limit(1), AnnLsh.Sharp2, probe = true).count()
+    assert(fanout == AnnLsh.Sharp2.bands * perBand,
+      s"radius-2 fan-out $fanout != ${AnnLsh.Sharp2.bands} * $perBand")
+  }
+
   test("append buckets new vectors into a persisted index; search finds them") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -69,8 +69,14 @@ class StreamingSpec extends SparkSpec {
       .select(date_trunc("hour", col("ts")).as("h"), col("event_type"))
       .distinct().count()
     assert(expected > 0, "fixture must contain genuinely late rows")
-    assert(dropped == expected,
-      s"expected all $expected late groups dropped by the watermark, got $dropped")
+    // >= not ==: the metric's unit depends on where Spark plans the
+    // watermark filter. With partial aggregation below it (current plan)
+    // it counts distinct dropped (window, event_type) groups = expected;
+    // a plan without map-side combine would count the 100 raw late rows.
+    // Either way eviction happened — the emitted-vs-batch exceptAll below
+    // is the real correctness gate.
+    assert(dropped >= expected && dropped <= 100,
+      s"expected $expected..100 late rows/groups dropped by the watermark, got $dropped")
     // And the emitted (append-mode) windows carry no late double-counts:
     // they equal the batch aggregation over the ORIGINAL events for every
     // window old enough to have closed.

@@ -26,18 +26,22 @@ class TempDirsSpec extends SparkSpec {
   }
 
   test("format roundtrip queries leave no scratch behind after cleanupAll") {
-    val before = tmpCount("graft-csv")
+    // Assert against the registry, not a /tmp directory listing: the shared
+    // java.io.tmpdir can gain/lose graft-csv dirs from concurrent processes,
+    // and counting it made this test both flaky and able to observe (or
+    // sweep) scratch owned by other live suites.
+    val before = regCount("graft-csv")
     graft.sources.Formats.queries("q_csv_roundtrip")(spark, sf).count()
-    assert(tmpCount("graft-csv") == before + 1, "roundtrip created one scratch dir")
+    val created = TempDirs.registeredDirs.filter(d =>
+      Paths.get(d).getFileName.toString.startsWith("graft-csv"))
+    assert(regCount("graft-csv") == before + 1, "roundtrip registered one scratch dir")
+    assert(created.forall(d => Files.exists(Paths.get(d))), "registered scratch exists on disk")
     TempDirs.cleanupAll()
-    // Back to the pre-test count (not zero: /tmp may hold dirs leaked by
-    // OLD builds of this library, which this change exists to stop).
-    assert(tmpCount("graft-csv") == before, "cleanupAll removed roundtrip scratch")
+    assert(regCount("graft-csv") == 0, "cleanupAll drained the registry")
+    assert(created.forall(d => !Files.exists(Paths.get(d))), "cleanupAll removed scratch from disk")
   }
 
-  private def tmpCount(prefix: String): Int = {
-    val tmp = Paths.get(System.getProperty("java.io.tmpdir"))
-    import scala.jdk.CollectionConverters._
-    Files.list(tmp).iterator().asScala.count(_.getFileName.toString.startsWith(prefix))
-  }
+  private def regCount(prefix: String): Int =
+    TempDirs.registeredDirs.count(d =>
+      Paths.get(d).getFileName.toString.startsWith(prefix))
 }
