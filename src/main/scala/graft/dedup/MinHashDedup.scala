@@ -94,14 +94,56 @@ object MinHashDedup {
         col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
-  /** Candidate pairs (id1 < id2) from shared LSH buckets within a block. */
-  def candidatePairs(bands: DataFrame): DataFrame =
-    bands.as("x").join(bands.as("y"),
+  /** Per-task bucket-size cap for [[candidatePairs]]. A degenerate hot
+    * bucket (boilerplate corpus: thousands of docs sharing one band
+    * signature in one (lang, source) block) makes the plain self-join emit
+    * all B²/2 of that bucket's pairs inside ONE task — the classic skew
+    * straggler/OOM at 100 TB. Buckets above the cap are salted into a
+    * g = ⌈B/cap⌉-way triangle of cells so the same pair set is produced by
+    * g(g+1)/2 tasks of ≤ ~cap members per side each. */
+  val DEFAULT_MAX_BUCKET = 1024
+
+  /** Candidate pairs (id1 < id2) from shared LSH buckets within a block.
+    *
+    * Skew-hardened self-join: each bucket row learns its bucket size and a
+    * deterministic salt in [0, g). The x side replicates into triangle
+    * cells (salt, j≥salt), the y side into (i≤salt, salt); equi-joining on
+    * (bucket, cell) then yields every unordered pair exactly once per
+    * bucket — cross-salt pairs once in their (min, max) salt cell, and
+    * same-salt pairs on the diagonal under the doc_id< predicate. g = 1
+    * (every bucket under the cap) degenerates to the plain single-cell
+    * self-join, so unskewed corpora pay only the bucket-count aggregation.
+    * The pair SET is identical for any cap — asserted in
+    * MinHashSkewSpec — only the per-task bound changes. */
+  def candidatePairs(bands: DataFrame,
+      maxBucket: Int = DEFAULT_MAX_BUCKET): DataFrame = {
+    val salted = saltedCells(bands, maxBucket)
+    val x = salted.select(col("lang"), col("source"), col("band"), col("sig"),
+      col("doc_id"), col("salt").as("cell_i"),
+      explode(sequence(col("salt"), col("g") - 1)).as("cell_j"))
+    val y = salted.select(col("lang"), col("source"), col("band"), col("sig"),
+      col("doc_id"), col("salt").as("cell_j"),
+      explode(sequence(lit(0), col("salt"))).as("cell_i"))
+    x.as("x").join(y.as("y"),
         col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+        col("x.cell_i") === col("y.cell_i") && col("x.cell_j") === col("y.cell_j") &&
+        (col("x.cell_i") =!= col("x.cell_j") || col("x.doc_id") < col("y.doc_id")))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("id1"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("id2"))
       .distinct()
+  }
+
+  /** Bucket rows annotated with (g, salt): g = ⌈bucket size / cap⌉ split
+    * ways, salt = deterministic hash of doc_id into [0, g). Exposed for
+    * the skew spec, which bounds per-cell membership directly. */
+  private[graft] def saltedCells(bands: DataFrame, maxBucket: Int): DataFrame =
+    bands.join(
+        bands.groupBy("lang", "source", "band", "sig")
+          .agg(count(lit(1)).as("bcnt")),
+        Seq("lang", "source", "band", "sig"))
+      .withColumn("g", ceil(col("bcnt") / lit(maxBucket.toDouble)).cast("int"))
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), col("g")).cast("int"))
 
   /** Full pipeline: candidates reranked with exact Jaccard ≥ threshold
     * over the same shingle unit the signatures used.

@@ -40,10 +40,12 @@ class MinHashDedupSpec extends SparkSpec {
     // only aggregates left are the rerank count and dedup).
     val plan = fromIdx.queryExecution.executedPlan.toString
     assert(plan.contains(idx), s"pairs plan must scan the index dir:\n${plan.take(2000)}")
-    // The signature fit is the only place the pmod universal-hash math
-    // lives, and tokenization only happens in buildIndex; the index-read
-    // plan must be free of both (no corpus scan at all).
-    assert(!plan.contains("pmod"), "signature fit aggregation leaked into the index-read path")
+    // The signature fit is the only place the min(pmod(...)) universal-hash
+    // aggregation lives, and tokenization only happens in buildIndex; the
+    // index-read plan must be free of both (no corpus scan at all). Bare
+    // pmod IS expected here — the skew-salting of the bucket self-join
+    // hashes doc_id into its split cell with pmod(xxhash64(doc_id), g).
+    assert(!plan.contains("min(pmod"), "signature fit aggregation leaked into the index-read path")
     assert(!plan.contains("explode(split"), "corpus re-tokenization leaked into the index-read path")
     val a = fromIdx.select("id1", "id2").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
