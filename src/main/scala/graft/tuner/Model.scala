@@ -73,4 +73,18 @@ object StageRunInfo {
         val idx = first.zipWithIndex.maxBy(_._1.shuffle.bytesWritten)._2
         runs.flatMap(r => r.lift(idx)).toList
     }
+
+  /** The REDUCER side of the biggest shuffle (max bytes read), positionally
+    * aligned across runs like [[stagesWithMostExpensiveShuffle]]. Its task
+    * count is what AQE actually settled on after post-shuffle coalescing —
+    * the series the tuner demo reports next to its own recommendation to
+    * show the two mechanisms converging rather than fighting. */
+  def reducersOfMostExpensiveShuffle(runs: Seq[List[StageRunInfo]]): List[StageRunInfo] =
+    runs.headOption match {
+      case None => Nil
+      case Some(first) if first.isEmpty => Nil
+      case Some(first) =>
+        val idx = first.zipWithIndex.maxBy(_._1.shuffle.bytesRead)._2
+        runs.flatMap(r => r.lift(idx)).toList
+    }
 }

@@ -49,6 +49,18 @@ class MediaPipelineSpec extends SparkSpec {
     assert(MediaPipeline.resizeStub(Array[Byte](1, 2, 3), 10).toSeq == Seq[Byte](1, 2, 3))
   }
 
+  test("payload fixture is authored at most once per session, revalidated after sweeps") {
+    import java.nio.file.{Files, Paths}
+    val d1 = MediaPipeline.payloadDir(spark, sf)
+    val d2 = MediaPipeline.payloadDir(spark, sf)
+    assert(d1 == d2, "second call must reuse the session-cached dir, not re-author")
+    // A TempDirs sweep can delete the cached dir mid-session: the cache
+    // must notice and re-author rather than scan a missing path.
+    graft.core.TempDirs.delete(d1)
+    val d3 = MediaPipeline.payloadDir(spark, sf)
+    assert(d3 != d1 && Files.exists(Paths.get(d3)), "swept cache must re-author")
+  }
+
   test("registry query runs over binaryFile-source payloads") {
     val df = MediaPipeline.query(spark, sf)
     assert(df.count() > 0)

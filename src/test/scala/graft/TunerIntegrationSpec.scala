@@ -38,6 +38,24 @@ class TunerIntegrationSpec extends SparkSpec {
     spark.conf.set("spark.sql.shuffle.partitions", before) // restore for other specs
   }
 
+  test("tuner loop reports AQE's settled counts and converges toward them") {
+    val out = graft.tuner.TunerDemo.query(spark, sf).collect()
+    assert(out.length == 3, "three tune-record iterations expected")
+    assert(out.map(_.getInt(0)).toSeq == Seq(0, 1, 2), "run ids advance")
+    val rec = out.map(_.getInt(1))
+    val settled = out.map(_.getInt(2))
+    assert(settled.forall(_ > 0), s"AQE-settled series missing: ${settled.toSeq}")
+    // Convergence direction: the tuner learns from post-AQE task counts,
+    // so the gap between its initial-count recommendation and AQE's
+    // settle point must not widen over the loop, and the final round's
+    // recommendation is the closest of the trajectory.
+    val diffs = rec.zip(settled).map { case (r, a) => math.abs(r - a) }
+    assert(diffs.last <= diffs.head,
+      s"recommendation diverged from AQE settle point: ${diffs.toSeq}")
+    assert(diffs.last == diffs.min,
+      s"final recommendation is not the closest to AQE: rec=${rec.toSeq} aqe=${settled.toSeq}")
+  }
+
   test("flight recorder persists on application end without explicit persist") {
     val dir = Files.createTempDirectory("graft-flight").toString
     val tuner = new Tuner(dir, "flight")
