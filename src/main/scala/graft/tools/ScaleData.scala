@@ -1,0 +1,119 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic local scale-up of the driver testdata: replicate every
+  * fact table `factor`× with per-replica key offsets so join cardinalities
+  * and key uniqueness scale linearly, giving the bench a second scale
+  * point (~sf1 from sf0.1) to measure scaling exponents against
+  * (BENCH_NOTES.md). Dimensions (region, nation) stay fixed, as in TPC-H.
+  *
+  *   runMain graft.tools.ScaleData /root/testdata/sf0.1 /root/repo/localdata/sf1 10
+  *
+  * Distribution-preserving tweaks (a naive 10× copy would CHANGE the
+  * workload, not scale it):
+  *   - documents: replica i > 0 salts every token with "~i", so the
+  *     near-dup pair graph becomes 10 disjoint copies of the original —
+  *     pair counts scale ~10×; raw duplication would square them (every
+  *     doc would gain 9 exact clones and the LSH buckets would fuse).
+  *   - embeddings: replica i cyclically rotates each vector by 7·i
+  *     positions — norms and the within-replica cosine structure are
+  *     preserved, replicas stay mutually near-orthogonal; raw copies
+  *     would plant N exact duplicates and distort ANN candidate volume.
+  *   - events: event_id/user_id offset (user offset = customer offset so
+  *     the stream-static join keys stay aligned); ts kept verbatim as the
+  *     raw nanos long (the sink schema stays loadable by Tables.t, and a
+  *     10× event rate per hour window is exactly what "the service got
+  *     busier" looks like).
+  *   - Every other column is copied verbatim: value distributions, date
+  *     ranges, group cardinalities (l_returnflag, o_orderstatus, …) keep
+  *     their sf0.1 shape.
+  */
+object ScaleData {
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse("/root/repo/localdata/sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    expand(spark, src, dst, factor)
+    spark.stop()
+  }
+
+  def expand(s: SparkSession, src: String, dst: String, factor: Int): Unit = {
+    def rd(name: String): DataFrame = s.read.parquet(s"$src/$name.parquet")
+    def wr(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+    def keyStride(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).head().getLong(0) + 1L
+    // Replica index column: every source row appears once per replica.
+    def reps(df: DataFrame): DataFrame =
+      df.withColumn("rep", explode(sequence(lit(0), lit(factor - 1))).cast("long"))
+    def off(key: String, stride: Long) = col(key) + col("rep") * lit(stride)
+
+    // Dims: fixed, verbatim (TPC-H keeps nation/region constant across sf).
+    wr(rd("region"), "region")
+    wr(rd("nation"), "nation")
+
+    val ck = keyStride(rd("customer"), "c_custkey")
+    val ok = keyStride(rd("orders"), "o_orderkey")
+    val pk = keyStride(rd("part"), "p_partkey")
+    val sk = keyStride(rd("supplier"), "s_suppkey")
+
+    wr(reps(rd("customer")).withColumn("c_custkey", off("c_custkey", ck))
+      .drop("rep"), "customer")
+    wr(reps(rd("supplier")).withColumn("s_suppkey", off("s_suppkey", sk))
+      .drop("rep"), "supplier")
+    wr(reps(rd("part")).withColumn("p_partkey", off("p_partkey", pk))
+      .drop("rep"), "part")
+    wr(reps(rd("orders"))
+      .withColumn("o_orderkey", off("o_orderkey", ok))
+      .withColumn("o_custkey", off("o_custkey", ck))
+      .drop("rep"), "orders")
+    wr(reps(rd("lineitem"))
+      .withColumn("l_orderkey", off("l_orderkey", ok))
+      .withColumn("l_partkey", off("l_partkey", pk))
+      .withColumn("l_suppkey", off("l_suppkey", sk))
+      .drop("rep"), "lineitem")
+
+    // events: raw nanos long for ts (TIMESTAMP(NANOS) is unreadable by
+    // Spark, and Tables.t expects the div-1000 path to apply unchanged).
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = s.read.parquet(s"$src/events.parquet")
+    val ek = keyStride(ev, "event_id")
+    wr(reps(ev)
+      .withColumn("event_id", off("event_id", ek))
+      .withColumn("user_id", off("user_id", ck)) // joins c_custkey
+      .drop("rep"), "events")
+
+    val docs = rd("documents")
+    val dk = keyStride(docs, "doc_id")
+    val salted = when(col("rep") === 0, col("text")).otherwise(
+      concat_ws(" ", transform(split(col("text"), " "),
+        t => when(t === "", t).otherwise(concat(t, lit("~"), col("rep"))))))
+    wr(reps(docs)
+      .withColumn("doc_id", off("doc_id", dk))
+      .withColumn("text", salted)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .drop("rep"), "documents")
+
+    val emb = rd("embeddings")
+    val vk = keyStride(emb, "vec_id")
+    val dim = 64
+    val shift = (pmod(col("rep") * 7, lit(dim))).cast("int")
+    val rotated = when(col("rep") === 0, col("embedding")).otherwise(
+      concat(slice(col("embedding"), shift + 1, lit(dim) - shift),
+        slice(col("embedding"), lit(1), shift)))
+    wr(reps(emb)
+      .withColumn("vec_id", off("vec_id", vk))
+      .withColumn("embedding", rotated)
+      .drop("rep"), "embeddings")
+  }
+}

@@ -1,0 +1,36 @@
+#!/usr/bin/env bash
+# One-command gate: everything the driver's round gate checks, locally.
+#
+#   tools/gate.sh            # full: sbt test + correctness mirror + bench + cross-round diff
+#   SKIP_BENCH=1 tools/gate.sh   # faster inner loop (no sf0.1 bench)
+#
+# Exits nonzero on: any failing scalatest, any DuckDB oracle mismatch, a
+# registry query lost or demoted vs the last CORRECTNESS_r*.json, or any
+# headline query >15% slower than the last BENCH_r*.json (median-of-3,
+# same scale factor). Green output ends with GATE GREEN.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SF_TEST="${SF_TEST:-/root/testdata/sf0.01}"
+SF_BENCH="${SF_BENCH:-/root/testdata/sf0.1}"
+
+echo "== gate 1/3: sbt test =="
+sbt -batch test
+
+echo "== gate 2/3: correctness mirror ($SF_TEST) =="
+sbt -batch "runMain graft.Verify $SF_TEST /tmp/gate_verify" > /tmp/gate_verify.log 2>&1 \
+  || { tail -30 /tmp/gate_verify.log; echo "GATE FAIL: Verify crashed"; exit 1; }
+python3 tools/check.py /tmp/gate_verify "$SF_TEST"
+python3 tools/gate_diff.py correctness /tmp/gate_verify
+
+if [[ "${SKIP_BENCH:-0}" != "1" ]]; then
+  echo "== gate 3/3: bench ($SF_BENCH) =="
+  SPARK_GRAFT_SF_DIR="$SF_BENCH" sbt -batch "runMain graft.Bench" > /tmp/gate_bench.log 2>&1 \
+    || { tail -30 /tmp/gate_bench.log; echo "GATE FAIL: Bench crashed"; exit 1; }
+  # Bench mirrors its one-line JSON contract to /tmp/graft_bench.json.
+  python3 tools/gate_diff.py bench /tmp/graft_bench.json
+else
+  echo "== gate 3/3: bench skipped (SKIP_BENCH=1) =="
+fi
+
+echo "GATE GREEN"

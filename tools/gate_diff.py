@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""Regression diff against the previous round's driver artifacts.
+
+  gate_diff.py correctness <verify_out_dir>   # no query lost vs last CORRECTNESS_r*.json
+  gate_diff.py bench <bench_json>             # no >15% median regression vs last BENCH_r*.json
+
+Used by tools/gate.sh. The correctness PASS/FAIL itself comes from
+tools/check.py; this script adds the cross-round checks the single-run
+gate cannot see: a registry query silently disappearing, or a timed query
+getting slower than the tolerance since the last recorded round.
+"""
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TOLERANCE = float(os.environ.get("GATE_BENCH_TOLERANCE", "1.15"))
+
+
+def latest(pattern):
+    paths = sorted(glob.glob(os.path.join(REPO, pattern)),
+                   key=lambda p: int(re.search(r"_r(\d+)", p).group(1)))
+    return paths[-1] if paths else None
+
+
+def fail(msg):
+    print(f"GATE FAIL: {msg}")
+    sys.exit(1)
+
+
+def correctness(verify_out):
+    prev_path = latest("CORRECTNESS_r*.json")
+    if not prev_path:
+        print("gate_diff: no previous CORRECTNESS round, skipping set diff")
+        return
+    prev = json.load(open(prev_path))
+    present = {d for d in os.listdir(verify_out)
+               if os.path.isdir(os.path.join(verify_out, d))}
+    missing = sorted(q for q in prev if q not in present)
+    if missing:
+        fail(f"queries present in {os.path.basename(prev_path)} but missing "
+             f"from this run's registry: {missing}")
+    # A query that was oracle-checked before must still be oracle-checked
+    # (dropping an oracle demotes the check without failing anything).
+    oracles = json.load(open(os.path.join(verify_out, "oracle_sql.json")))
+    demoted = sorted(q for q, r in prev.items()
+                     if r.get("err") is None and q not in oracles)
+    if demoted:
+        fail(f"queries that had a DuckDB oracle in {os.path.basename(prev_path)} "
+             f"no longer have one: {demoted}")
+    added = sorted(q for q in present if q not in prev)
+    print(f"gate_diff correctness OK vs {os.path.basename(prev_path)}: "
+          f"{len(present)} queries, {len(added)} new, 0 lost, 0 demoted")
+
+
+def bench(bench_json):
+    prev_path = latest("BENCH_r*.json")
+    if not prev_path:
+        print("gate_diff: no previous BENCH round, skipping perf diff")
+        return
+    prev_doc = json.load(open(prev_path))
+    prev = prev_doc.get("parsed") or prev_doc  # driver wrapper vs raw line
+    cur = json.load(open(bench_json))
+    if cur.get("sf") and str(prev.get("sf")) not in str(cur.get("sf")):
+        print(f"gate_diff: bench sf mismatch (prev {prev.get('sf')}, "
+              f"cur {cur.get('sf')}) — perf diff skipped")
+        return
+    regressions = []
+    for q, t_prev in (prev.get("queries") or {}).items():
+        t_cur = (cur.get("queries") or {}).get(q)
+        if t_cur is None:
+            regressions.append(f"{q}: missing from current bench")
+        elif t_cur < 0:
+            regressions.append(f"{q}: failed (sentinel {t_cur})")
+        elif t_prev > 0 and t_cur > t_prev * TOLERANCE:
+            regressions.append(
+                f"{q}: {t_cur:.2f}s vs {t_prev:.2f}s (+{100*(t_cur/t_prev-1):.0f}%)")
+    if regressions:
+        fail("bench regressions vs " + os.path.basename(prev_path) + ": "
+             + "; ".join(regressions))
+    print(f"gate_diff bench OK vs {os.path.basename(prev_path)}: "
+          f"total {cur.get('value', 0):.2f}s "
+          f"(prev {prev.get('value', 0):.2f}s, tolerance {TOLERANCE}x/query)")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) < 3:
+        print(__doc__)
+        sys.exit(2)
+    mode, arg = sys.argv[1], sys.argv[2]
+    if mode == "correctness":
+        correctness(arg)
+    elif mode == "bench":
+        bench(arg)
+    else:
+        print(__doc__)
+        sys.exit(2)
