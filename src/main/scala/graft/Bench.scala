@@ -97,7 +97,10 @@ object Bench {
     // object) when the scaled dir is absent so the one-line contract
     // never depends on local state.
     val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/root/repo/localdata/sf1")
-    val scaleFactor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toDouble
+    // Guarded like REPS (one-line contract) and clamped > 1 so the
+    // log-ratio exponent denominator stays positive and finite.
+    val scaleFactor = math.max(1.0001,
+      scala.util.Try(sys.env("SPARK_GRAFT_SCALE_FACTOR").trim.toDouble).getOrElse(10.0))
     // The default factor 10 presumes the sf0.1 base dir; a different base
     // (e.g. sf0.001 smoke runs) skips the scale block unless the caller
     // states the factor explicitly.
@@ -109,6 +112,11 @@ object Bench {
         val extras = scaleSuite.filterNot(headline.contains)
         extras.foreach(runAt(_, sfDir)) // warm the non-headline plans
         val base = scaleSuite.map(n => n -> runAt(n, sfDir)).toMap
+        // Warm pass at the scaled dir too: base timings ride the earlier
+        // headline warmup, so a cold single pass at scaleDir (footer
+        // caches, first shuffle at that size) would bias every exponent
+        // upward relative to the steady-state base numbers.
+        scaleSuite.foreach(runAt(_, scaleDir))
         val big = scaleSuite.map(n => n -> runAt(n, scaleDir)).toMap
         def obj(m: Map[String, Double]) = scaleSuite
           .map(n => "\"" + n + "\":" + m(n)).mkString("{", ",", "}")

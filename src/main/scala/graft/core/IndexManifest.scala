@@ -32,6 +32,16 @@ object IndexManifest {
     * as strings; callers stringify numbers so compare is exact. */
   def write(s: SparkSession, indexDir: String, fields: Map[String, String]): Unit = {
     val all = fields + ("schema_version" -> SCHEMA_VERSION)
+    // The flat unescaped format below round-trips ONLY for quote-,
+    // backslash- and control-free strings; reject anything else up front
+    // rather than writing a manifest read() would silently mis-parse.
+    all.foreach { case (k, v) =>
+      Seq(k, v).foreach { str =>
+        require(!str.exists(c => c == '"' || c == '\\' || c.isControl),
+          s"IndexManifest field ${k}=${v} contains a quote/backslash/control " +
+            "char — unsupported in the flat manifest format")
+      }
+    }
     val json = all.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":"$v"""" }
       .mkString("{", ",", "}")

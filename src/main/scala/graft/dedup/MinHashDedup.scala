@@ -136,14 +136,21 @@ object MinHashDedup {
 
   /** Bucket rows annotated with (g, salt): g = ⌈bucket size / cap⌉ split
     * ways, salt = deterministic hash of doc_id into [0, g). Exposed for
-    * the skew spec, which bounds per-cell membership directly. */
-  private[graft] def saltedCells(bands: DataFrame, maxBucket: Int): DataFrame =
-    bands.join(
-        bands.groupBy("lang", "source", "band", "sig")
-          .agg(count(lit(1)).as("bcnt")),
-        Seq("lang", "source", "band", "sig"))
+    * the skew spec, which bounds per-cell membership directly.
+    *
+    * bcnt is a window count over the bucket key, not a separate
+    * groupBy + equi-join back onto the rows: the window rides ONE hash
+    * exchange of the band table instead of aggregating it a second time
+    * and shuffling the join — the unconditional skew-insurance cost every
+    * unskewed corpus was paying in round 4 (q43 3.77 → 5.14 s). */
+  private[graft] def saltedCells(bands: DataFrame, maxBucket: Int): DataFrame = {
+    val bucket = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "source", "band", "sig")
+    bands
+      .withColumn("bcnt", count(lit(1)).over(bucket))
       .withColumn("g", ceil(col("bcnt") / lit(maxBucket.toDouble)).cast("int"))
       .withColumn("salt", pmod(xxhash64(col("doc_id")), col("g")).cast("int"))
+  }
 
   /** Full pipeline: candidates reranked with exact Jaccard ≥ threshold
     * over the same shingle unit the signatures used.
@@ -197,8 +204,6 @@ object MinHashDedup {
 
   def buildIndex(docs: DataFrame, indexDir: String, seed: Long = 42L,
       shingleSize: Int = 1): Unit = {
-    graft.core.IndexManifest.write(docs.sparkSession, indexDir,
-      manifestFields(seed, shingleSize))
     tokens(docs, shingleSize)
       .select(col("doc_id"), col("lang"), col("source"),
         xxhash64(col("tok")).as("h"))
@@ -213,6 +218,11 @@ object MinHashDedup {
     }.toSeq :+ count(lit(1)).as("n_toks")
     hashed.groupBy("doc_id", "lang", "source").agg(aggs.head, aggs.tail: _*)
       .write.mode("overwrite").parquet(s"$indexDir/sigs")
+    // Manifest LAST: its presence certifies a complete build, so a build
+    // that dies mid-write leaves a dir verify() rejects, not a half-index
+    // that passes the fail-fast check.
+    graft.core.IndexManifest.write(docs.sparkSession, indexDir,
+      manifestFields(seed, shingleSize))
   }
 
   /** Incremental update: tokenize + sign ONLY the new docs (same hash

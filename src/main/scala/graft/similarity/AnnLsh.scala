@@ -150,10 +150,11 @@ object AnnLsh {
 
   def buildIndex(e: DataFrame, indexDir: String, shape: Shape = Sharp,
       seed: Long = 7L, dim: Int = 64): Unit = {
-    graft.core.IndexManifest.write(e.sparkSession, indexDir,
-      manifestFields(shape, seed, dim))
     bucketed(e, shape, probe = false, seed, dim)
       .write.mode("overwrite").parquet(s"$indexDir/buckets")
+    // Manifest LAST: presence certifies a complete bucket table.
+    graft.core.IndexManifest.write(e.sparkSession, indexDir,
+      manifestFields(shape, seed, dim))
   }
 
   /** Incremental update: bucket ONLY the new vectors (same planes — the

@@ -69,8 +69,38 @@ class Tuner(metricsRoot: String, appName: String) {
 
   /** Full loop step: tune from history, then record this run. */
   def tuneAndRun[T](spark: SparkSession)(body: => T): (T, Int, Int) = {
-    val partitions = applyTo(spark)
-    val (result, runId) = withRecording(spark)(body)
-    (result, partitions, runId)
+    val r = tuneAndRunTracked(spark)(body)
+    (r.result, r.partitions, r.runId)
+  }
+
+  /** [[tuneAndRun]] that exposes what one store read already yields: the
+    * pre-run history the recommendation was derived from, and this run's
+    * own stage infos assembled straight from the listener buffers. A
+    * caller that wants the post-run history (e.g. the demo's AQE-settle
+    * series) appends `recorded` to `priorHistory` instead of re-reading
+    * the store — one history scan per iteration, not two (round-4
+    * q_tuner_loop regression). */
+  def tuneAndRunTracked[T](spark: SparkSession)(body: => T): TunedRun[T] = {
+    val history = store.history(spark)
+    val target = StageRunInfo.stagesWithMostExpensiveShuffle(history)
+    val partitions =
+      new ComputePartitions(spark.conf.getAll).fromStageMetricSharedCluster(target)
+    spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    val runId = store.nextRunId(spark)
+    val listener = new MetricsListener(runId)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val result = body
+      org.apache.spark.graftaccess.ListenerBusAccess.waitUntilEmpty(spark.sparkContext)
+      store.persist(spark, listener, runId)
+      // Same rows persist() just wrote, assembled with the same logic
+      // history() uses — so priorHistory :+ recorded == the store state.
+      val recorded = StageRunInfo.assemble(listener.stageRows, listener.taskRows)
+      TunedRun(result, partitions, runId, history, recorded)
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 }
+
+/** One tracked tuning-loop step — see [[Tuner.tuneAndRunTracked]]. */
+case class TunedRun[T](result: T, partitions: Int, runId: Int,
+    priorHistory: List[List[StageRunInfo]], recorded: List[StageRunInfo])

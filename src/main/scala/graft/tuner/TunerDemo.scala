@@ -18,20 +18,22 @@ object TunerDemo {
     val tuner = new Tuner(tmp, "demo")
     val before = s.conf.get("spark.sql.shuffle.partitions")
     try {
-      val trajectory = (0 until 3).map { _ =>
-        val (_, partitions, runId) = tuner.tuneAndRun(s) {
+      val runs = (0 until 3).map { _ =>
+        tuner.tuneAndRunTracked(s) {
           graft.queries.RelationalA.queries("q01_pricing_summary")(s, dir).count()
         }
-        (runId, partitions)
       }
       // AQE-settled series: task count of the reducer stage of the biggest
       // shuffle, per recorded run (positional alignment like the tuner's
-      // own target-stage history).
+      // own target-stage history). Assembled from the final iteration's
+      // own read + its listener-recorded run — the store is never read a
+      // fourth time just for this series.
+      val fullHistory = runs.last.priorHistory :+ runs.last.recorded
       val settled = StageRunInfo
-        .reducersOfMostExpensiveShuffle(tuner.store.history(s))
+        .reducersOfMostExpensiveShuffle(fullHistory)
         .map(_.numPartitionsUsed)
-      trajectory.zipWithIndex.map { case ((runId, rec), i) =>
-        (runId, rec, settled.lift(i).getOrElse(-1))
+      runs.zipWithIndex.map { case (r, i) =>
+        (r.runId, r.partitions, settled.lift(i).getOrElse(-1))
       }.toDF("run_id", "recommended_partitions", "aqe_settled_partitions")
         .orderBy("run_id")
     } finally s.conf.set("spark.sql.shuffle.partitions", before)

@@ -18,6 +18,9 @@ echo "== gate 1/3: sbt test =="
 sbt -batch test
 
 echo "== gate 2/3: correctness mirror ($SF_TEST) =="
+# Clear stale output first: a query dropped from the registry must show up
+# as a lost query, not green-light against its previous run's parquet.
+rm -rf /tmp/gate_verify
 sbt -batch "runMain graft.Verify $SF_TEST /tmp/gate_verify" > /tmp/gate_verify.log 2>&1 \
   || { tail -30 /tmp/gate_verify.log; echo "GATE FAIL: Verify crashed"; exit 1; }
 python3 tools/check.py /tmp/gate_verify "$SF_TEST"
