@@ -177,14 +177,15 @@ object MinHashDedup {
     signatures(docs, seed, shingleSize)
       .write.mode("overwrite").parquet(s"$tmp/sigs")
     val sigs = docs.sparkSession.read.parquet(s"$tmp/sigs")
-    val cands = candidatePairs(bandSignatures(sigs))
+    // Pair list materialized too: the rerank reads it twice (hub fan-out
+    // count + join side) and a re-derivation would replay the whole band
+    // self-join; the pairs table is tiny next to the corpus.
+    candidatePairs(bandSignatures(sigs))
+      .write.mode("overwrite").parquet(s"$tmp/cands")
+    val cands = docs.sparkSession.read.parquet(s"$tmp/cands")
     val toks = tokens(docs, shingleSize)
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val inter = cands
-      .join(toks.select(col("doc_id").as("id1"), col("h")), "id1")
-      .join(toks.select(col("doc_id").as("id2"), col("h")), Seq("id2", "h"))
-      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
-    finishPairs(inter, sigs, threshold)
+    finishPairs(intersectionCounts(cands, toks), sigs, threshold)
   }
 
   /** Persist the minhash index: the 64-bit token-hash table (one tokenize
@@ -273,17 +274,65 @@ object MinHashDedup {
       Map("family" -> "minhash-lsh", "num_hashes" -> NUM_HASHES.toString,
         "bands" -> BANDS.toString), "MinHashDedup.pairsFromIndex")
     val sigs = s.read.parquet(s"$indexDir/sigs")
-    val cands = candidatePairs(bandSignatures(sigs))
+    val tmp = graft.core.TempDirs.create("graft-minhash-cands")
+    candidatePairs(bandSignatures(sigs))
+      .write.mode("overwrite").parquet(s"$tmp/cands")
+    val cands = s.read.parquet(s"$tmp/cands")
     // The intersection join runs on the raw 64-bit token hash, not the
     // token string — the same distinct-per-doc rows, ~60% less shuffle
     // width. xxhash64 collisions within one doc pair (~|A||B|/2^64 ≈
     // 1e-15) are the standard exact-in-practice hash-join trade.
     val toks = s.read.parquet(s"$indexDir/toks").select("doc_id", "h")
-    val inter = cands
-      .join(toks.select(col("doc_id").as("id1"), col("h")), "id1")
+    finishPairs(intersectionCounts(cands, toks), sigs, threshold)
+  }
+
+  /** Per-pair fan-out cap for the exact-intersection rerank. A hub doc
+    * appearing in ~10⁴ candidate pairs concentrates ALL of its pair rows ×
+    * token rows in the one task owning its id1 hash — the same straggler
+    * class candidatePairs was salted against, one join later. */
+  val DEFAULT_MAX_PAIR_FANOUT = 4096
+
+  /** Docs whose candidate fan-out (pairs as id1) exceeds the cap, with
+    * their split count gs = ⌈fan / cap⌉. ≤ |pairs|/cap rows by
+    * construction — always broadcastable. */
+  private[graft] def hubFanouts(cands: DataFrame, maxFanout: Int): DataFrame =
+    cands.groupBy("id1").agg(count(lit(1)).as("fan"))
+      .filter(col("fan") > maxFanout)
+      .select(col("id1").as("hub_id"),
+        ceil(col("fan") / lit(maxFanout.toDouble)).cast("int").as("gs"))
+
+  /** Candidate pairs annotated with a rerank salt: hub pairs spread over
+    * [0, gs) by a deterministic hash of the OTHER doc id, everything else
+    * salt 0. Exposed for the skew spec, which bounds per-(id1, salt) cell
+    * membership directly. */
+  private[graft] def saltedPairs(cands: DataFrame, hubs: DataFrame): DataFrame =
+    cands.join(broadcast(hubs), col("id1") === col("hub_id"), "left")
+      .withColumn("salt",
+        pmod(xxhash64(col("id2")), coalesce(col("gs"), lit(1))).cast("int"))
+      .select("id1", "id2", "salt")
+
+  /** |A∩B| per candidate pair via two equi-joins over flat (doc, hash)
+    * rows — skew-hardened on the id1 side: hub docs' token rows are
+    * replicated gs ways (non-hub docs: once, salt 0 — the common case pays
+    * one broadcast left join and an explode of a 1-element range) and the
+    * pair side is salted to match, so no task receives more than ~cap
+    * pairs × tokens for any one doc. Join output is row-for-row identical
+    * to the unsalted shape (asserted in MinHashRerankSkewSpec). The second
+    * join keys on (id2, h) — the token hash disperses it, no salting
+    * needed. `cands` is consumed twice (fan-out count + join side), so
+    * callers pass a materialized frame. */
+  private[graft] def intersectionCounts(cands: DataFrame, toks: DataFrame,
+      maxFanout: Int = DEFAULT_MAX_PAIR_FANOUT): DataFrame = {
+    val hubs = hubFanouts(cands, maxFanout)
+    val toksSalted = toks
+      .join(broadcast(hubs), col("doc_id") === col("hub_id"), "left")
+      .withColumn("salt",
+        explode(sequence(lit(0), coalesce(col("gs"), lit(1)) - 1)))
+      .select(col("doc_id").as("id1"), col("salt"), col("h"))
+    saltedPairs(cands, hubs)
+      .join(toksSalted, Seq("id1", "salt"))
       .join(toks.select(col("doc_id").as("id2"), col("h")), Seq("id2", "h"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
-    finishPairs(inter, sigs, threshold)
   }
 
   /** Jaccard = i / (n1 + n2 − i) from intersection counts plus the n_toks

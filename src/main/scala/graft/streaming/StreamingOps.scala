@@ -175,6 +175,29 @@ object StreamingOps {
       .orderBy("user_id")
   }
 
+  // ---- Update-mode stateful aggregation (the third output mode: Q38-Q40
+  // drain Complete, qLateDrop Append, q42 is Update but through
+  // flatMapGroupsWithState, not a built-in aggregation). Update mode
+  // re-emits a group's CURRENT aggregate in every micro-batch that changes
+  // it, so the memory sink accumulates the update trajectory; the final
+  // state per key is its last update — recovered as max_by(·, cnt), since
+  // a group is only re-emitted when new rows arrived and its count
+  // strictly grew. Equality with the batch twin proves the per-key state
+  // carried correctly across micro-batches. ----
+  def qStreamUpdate(s: SparkSession, dir: String): DataFrame = {
+    val out = drain(
+      replay(s, prepareChunks(s, dir))
+        .withWatermark("ts", "1 hour")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          Tables.money(sum(Tables.dec(col("value")))).as("sum_value")),
+      "q_update_sink", OutputMode.Update())
+    out.groupBy("event_type")
+      .agg(max("cnt").as("cnt"),
+        max_by(col("sum_value"), col("cnt")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   // ---- Append-mode watermark eviction: the production contract the
   // Complete-mode equivalence harness can only declare. The replay ends
   // with a chunk of COPIES of the first 100 events (hours older than the
@@ -266,6 +289,7 @@ object StreamingOps {
     "q_stream_stream_join" -> (qStreamStreamJoin _),
     "q_stream_foreach_batch" -> (qForeachBatch _),
     "q_stream_late_drop" -> (qLateDrop _),
+    "q_stream_update" -> (qStreamUpdate _),
     "q38_stream_tumbling" -> (q38 _),
     "q39_stream_sliding" -> (q39 _),
     "q40_stream_session" -> (q40 _),
@@ -298,6 +322,11 @@ object StreamingOps {
       WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
               <= (SELECT max(ts) FROM events) - INTERVAL 30 MINUTE
       GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_stream_update" -> """
+      SELECT event_type, count(*) AS cnt,
+             CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+      FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q38_stream_tumbling" -> """
       SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,

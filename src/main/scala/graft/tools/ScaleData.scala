@@ -54,8 +54,11 @@ object ScaleData {
     def keyStride(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head().getLong(0) + 1L
     // Replica index column: every source row appears once per replica.
+    // Cast in a second projection — a generator cannot be nested inside
+    // another expression (UNSUPPORTED_GENERATOR.NESTED_IN_EXPRESSIONS).
     def reps(df: DataFrame): DataFrame =
-      df.withColumn("rep", explode(sequence(lit(0), lit(factor - 1))).cast("long"))
+      df.withColumn("rep", explode(sequence(lit(0), lit(factor - 1))))
+        .withColumn("rep", col("rep").cast("long"))
     def off(key: String, stride: Long) = col(key) + col("rep") * lit(stride)
 
     // Dims: fixed, verbatim (TPC-H keeps nation/region constant across sf).

@@ -32,6 +32,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamRows == batchRows)
   }
 
+  test("update mode re-emits changed aggregates; final state equals the batch twin") {
+    val finalState = StreamingOps.qStreamUpdate(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val batchRows = graft.core.Tables.t(spark, sf, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        graft.core.Tables.money(sum(graft.core.Tables.dec(col("value")))).as("sum_value"))
+      .orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(finalState == batchRows)
+    // Genuinely update-mode: the sink holds a TRAJECTORY of per-key
+    // updates (one row per changed group per micro-batch), not one row
+    // per key (append/complete-final would). Six chunks touching every
+    // event type ⇒ strictly more sink rows than keys.
+    val sink = spark.table("q_update_sink")
+    val keys = finalState.size.toLong
+    assert(sink.count() > keys,
+      s"sink has ${sink.count()} rows for $keys keys — no update trajectory")
+    // Counts per key are strictly increasing across updates (each
+    // re-emission reflects newly arrived rows), so max_by is well-defined.
+    val dupCnt = sink.groupBy("event_type", "cnt").count()
+      .filter(col("count") > 1).count()
+    assert(dupCnt == 0, "duplicate (key, cnt) updates — count did not strictly grow")
+  }
+
   test("stream-stream interval join equals the batch self-join") {
     val streamRows = StreamingOps.qStreamStreamJoin(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -14,8 +14,10 @@ cd "$(dirname "$0")/.."
 SF_TEST="${SF_TEST:-/root/testdata/sf0.01}"
 SF_BENCH="${SF_BENCH:-/root/testdata/sf0.1}"
 
-echo "== gate 1/3: sbt test =="
-sbt -batch test
+echo "== gate 1/3: sbt test + PLANS.md regen =="
+# PlanDump rides the same sbt invocation so the committed plan dumps can
+# never go stale relative to the code the gate just proved green.
+sbt -batch test "runMain graft.tools.PlanDump"
 
 echo "== gate 2/3: correctness mirror ($SF_TEST) =="
 # Clear stale output first: a query dropped from the registry must show up

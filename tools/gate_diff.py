@@ -17,6 +17,10 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TOLERANCE = float(os.environ.get("GATE_BENCH_TOLERANCE", "1.15"))
+# Sub-second queries swing well past 15% on machine-load noise alone
+# (r04: q18_topk +35% with untouched code). A regression must exceed the
+# ratio tolerance AND this many absolute seconds to fail the gate.
+ABS_FLOOR = float(os.environ.get("GATE_BENCH_ABS_FLOOR", "0.3"))
 
 
 def latest(pattern):
@@ -74,7 +78,8 @@ def bench(bench_json):
             regressions.append(f"{q}: missing from current bench")
         elif t_cur < 0:
             regressions.append(f"{q}: failed (sentinel {t_cur})")
-        elif t_prev > 0 and t_cur > t_prev * TOLERANCE:
+        elif (t_prev > 0 and t_cur > t_prev * TOLERANCE
+              and t_cur - t_prev > ABS_FLOOR):
             regressions.append(
                 f"{q}: {t_cur:.2f}s vs {t_prev:.2f}s (+{100*(t_cur/t_prev-1):.0f}%)")
     if regressions:
