@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.tools.ScaleData
+
+/** The scale-point generator is load-bearing evidence tooling (the
+  * measured exponents in BENCH_NOTES.md are only meaningful if the
+  * expansion preserved semantics), so its invariants are spec-locked:
+  * exact ×factor fact cardinality, fixed dims, key uniqueness, intact
+  * FKs, and the distribution-preserving tweaks — disjoint replica token
+  * vocabularies (near-dup graph = factor disjoint copies) and
+  * norm-preserving embedding rotations. Round 4 shipped this generator
+  * with zero execution evidence and an analysis-time crash; this spec
+  * would have caught that in `sbt test`. */
+class ScaleDataSpec extends SparkSpec {
+
+  private val Factor = 3
+  private lazy val outDir: String = {
+    val d = graft.core.TempDirs.create("graft-scaledata-spec")
+    ScaleData.expand(spark, sf, d, Factor)
+    d
+  }
+
+  private def cnt(dir: String, t: String): Long =
+    spark.read.parquet(s"$dir/$t.parquet").count()
+
+  test("facts scale exactly x factor; dims stay fixed") {
+    Seq("customer", "orders", "lineitem", "part", "supplier",
+        "documents", "embeddings").foreach { t =>
+      assert(cnt(outDir, t) == Factor * cnt(sf, t), s"$t not x$Factor")
+    }
+    Seq("region", "nation").foreach { t =>
+      assert(cnt(outDir, t) == cnt(sf, t), s"dim $t changed")
+    }
+  }
+
+  test("offset keys stay unique and FKs stay intact") {
+    val orders = spark.read.parquet(s"$outDir/orders.parquet")
+    val lineitem = spark.read.parquet(s"$outDir/lineitem.parquet")
+    val customer = spark.read.parquet(s"$outDir/customer.parquet")
+    assert(orders.select("o_orderkey").distinct().count() == orders.count())
+    assert(customer.select("c_custkey").distinct().count() == customer.count())
+    val orphans = orders.join(customer,
+      orders("o_custkey") === customer("c_custkey"), "left_anti").count()
+    assert(orphans == 0, s"$orphans orders lost their customer")
+    // Join cardinality scales exactly x factor — replicas never cross.
+    val joined = lineitem.join(orders,
+      lineitem("l_orderkey") === orders("o_orderkey")).count()
+    val baseJoined = spark.read.parquet(s"$sf/lineitem.parquet").as("l")
+      .join(spark.read.parquet(s"$sf/orders.parquet").as("o"),
+        col("l.l_orderkey") === col("o.o_orderkey")).count()
+    assert(joined == Factor * baseJoined)
+  }
+
+  test("replica token vocabularies are disjoint (near-dup graph = N copies)") {
+    val docs = spark.read.parquet(s"$outDir/documents.parquet")
+    // Replica stride is max(key)+1, matching ScaleData.keyStride.
+    val baseN = spark.read.parquet(s"$sf/documents.parquet")
+      .agg(max("doc_id")).head().getLong(0) + 1L
+    val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("rep", (col("doc_id") / baseN).cast("int"))
+    // A token appearing in two replicas would fuse their LSH buckets and
+    // square the pair count instead of scaling it linearly.
+    val crossRep = toks.groupBy("tok")
+      .agg(countDistinct("rep").as("nreps"))
+      .filter(col("nreps") > 1).count()
+    assert(crossRep == 0, s"$crossRep tokens shared across replicas")
+  }
+
+  test("embedding rotation preserves norms and replica count") {
+    val emb = spark.read.parquet(s"$outDir/embeddings.parquet")
+    val norm = aggregate(col("embedding"), lit(0.0d), (a, x) => a + x * x)
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+    val baseNorms = base.select(round(norm, 4).as("n")).orderBy("n")
+      .collect().map(_.getDouble(0))
+    val vk = base.agg(max("vec_id")).head().getLong(0) + 1L
+    // Every replica's norm multiset equals the base multiset exactly.
+    (0 until Factor).foreach { r =>
+      val repNorms = emb.filter(col("vec_id") >= r * vk && col("vec_id") < (r + 1) * vk)
+        .select(round(norm, 4).as("n")).orderBy("n")
+        .collect().map(_.getDouble(0))
+      assert(repNorms.sameElements(baseNorms), s"replica $r norms diverged")
+    }
+  }
+}
