@@ -336,10 +336,81 @@ object TextOps {
         .select(col("doc_id"), (col("pos") / 128).cast("long").as("chunk_id"))
         .groupBy("doc_id", "chunk_id").agg(count(lit(1)).as("n_toks"))
         .orderBy("doc_id", "chunk_id")
+    },
+
+    // Cross-document span ownership (the C4/RefinedWeb line-dedup
+    // analogue over 5-gram spans): a span occurring in several docs is
+    // owned by the smallest doc_id; other docs count it as borrowed —
+    // the removal signal a corpus-level span-dedup pass filters on. Two
+    // equi-key shuffles (span ownership agg + ownership join back), both
+    // partial-aggregable; never doc×doc.
+    "q_span_dedup" -> { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val spans = when(size(toks) >= 5,
+        transform(sequence(lit(1), size(toks) - 4),
+          i => concat_ws(" ", slice(toks, i, lit(5))))).otherwise(array())
+      val spanRows = t(s, dir, "documents")
+        .select(col("doc_id"), explode(array_distinct(spans)).as("span"))
+      val owned = spanRows.groupBy("span").agg(min("doc_id").as("owner"))
+      spanRows.join(owned, "span")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("owner") =!= col("doc_id"), 1L).otherwise(0L)).as("n_borrowed"))
+        .select(col("doc_id"), col("n_spans"), col("n_borrowed"),
+          round(col("n_borrowed").cast("double") / col("n_spans"), 6).as("borrowed_frac"))
+        .orderBy("doc_id")
+    },
+
+    // Deterministic train/val/test assignment: md5-bucket the doc key
+    // into 256 bins, carve 230/13/13 — the split never depends on row
+    // order or partitioning, so any engine (or rerun) assigns every doc
+    // identically. Stratified report per (lang, subset); the assignment
+    // itself is a map-side projection, the report one aggregation.
+    "q_split_assign" -> { (s, dir) =>
+      val bucket = expr(
+        "(instr('0123456789abcdef', substring(md5(cast(doc_id AS string)), 1, 1)) - 1) * 16" +
+          " + (instr('0123456789abcdef', substring(md5(cast(doc_id AS string)), 2, 1)) - 1)")
+      t(s, dir, "documents")
+        .withColumn("subset",
+          when(bucket < 230, "train").when(bucket < 243, "val").otherwise("test"))
+        .groupBy("lang", "subset")
+        .agg(count(lit(1)).as("docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("tokens"))
+        .orderBy("lang", "subset")
     }
   )
 
   val oracle: Map[String, String] = Map(
+    "q_span_dedup" -> """
+      WITH tokd AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      sp AS (
+        SELECT doc_id, unnest(list_distinct(
+          CASE WHEN len(ts) >= 5
+            THEN list_transform(range(1, len(ts) - 3),
+                   i -> array_to_string(list_slice(ts, i, i + 4), ' '))
+            ELSE [] END)) AS span
+        FROM tokd),
+      own AS (SELECT span, min(doc_id) AS owner FROM sp GROUP BY span)
+      SELECT s.doc_id, count(*) AS n_spans,
+             CAST(sum(CASE WHEN own.owner <> s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_borrowed,
+             round(CAST(sum(CASE WHEN own.owner <> s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 6) AS borrowed_frac
+      FROM sp s JOIN own ON s.span = own.span
+      GROUP BY s.doc_id ORDER BY s.doc_id""",
+
+    "q_split_assign" -> """
+      WITH b AS (
+        SELECT lang, text,
+          (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+          + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bk
+        FROM documents)
+      SELECT lang,
+             CASE WHEN bk < 230 THEN 'train'
+                  WHEN bk < 243 THEN 'val' ELSE 'test' END AS subset,
+             count(*) AS docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
+
     "q_pii_scrub" -> """
       SELECT doc_id,
         CAST(len(regexp_extract_all(text || ' contact user_' || doc_id

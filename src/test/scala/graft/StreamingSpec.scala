@@ -32,6 +32,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamRows == batchRows)
   }
 
+  test("RocksDB state store: windowed agg state identical under the scale-tier provider") {
+    // HDFS-backed state (the default) holds every key in executor heap —
+    // fine at spec scale, an OOM at 100 TB streaming state. RocksDB is
+    // the provider a production deployment runs; a wrong provider class
+    // fails query startup (no silent fallback), so green here proves the
+    // aggregation state really lived in RocksDB.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val streamRows = StreamingOps.q38(spark, sf).collect().toSeq
+      val batchRows = EventOps.queries("q35_hourly_buckets")(spark, sf).collect().toSeq
+      assert(streamRows == batchRows)
+    } finally before match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("update mode re-emits changed aggregates; final state equals the batch twin") {
     val finalState = StreamingOps.qStreamUpdate(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
