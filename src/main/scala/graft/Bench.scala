@@ -29,7 +29,7 @@ object Bench {
     "q01_pricing_summary", "q04_multiway_join", "q15_window_rank",
     "q18_topk", "q31_jaccard_pairs", "q32_cosine_topk",
     "q34_sessionization", "q43_minhash_lsh", "q_simhash",
-    "q_dedup_clusters", "q_ann_ivf", "q_ann_lsh")
+    "q_dedup_clusters", "q_ann_ivf", "q_ann_lsh", "q_span_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -341,9 +341,10 @@ object TextOps {
     // Cross-document span ownership (the C4/RefinedWeb line-dedup
     // analogue over 5-gram spans): a span occurring in several docs is
     // owned by the smallest doc_id; other docs count it as borrowed —
-    // the removal signal a corpus-level span-dedup pass filters on. Two
-    // equi-key shuffles (span ownership agg + ownership join back), both
-    // partial-aggregable; never doc×doc.
+    // the removal signal a corpus-level span-dedup pass filters on.
+    // Ownership is a window min over the span partition, NOT a groupBy +
+    // join-back: one exchange of the span rows and ONE corpus scan (the
+    // join shape would re-derive spanRows for its second consumer).
     "q_span_dedup" -> { (s, dir) =>
       val toks = split(col("text"), " ")
       val spans = when(size(toks) >= 5,
@@ -351,8 +352,8 @@ object TextOps {
           i => concat_ws(" ", slice(toks, i, lit(5))))).otherwise(array())
       val spanRows = t(s, dir, "documents")
         .select(col("doc_id"), explode(array_distinct(spans)).as("span"))
-      val owned = spanRows.groupBy("span").agg(min("doc_id").as("owner"))
-      spanRows.join(owned, "span")
+      spanRows
+        .withColumn("owner", min("doc_id").over(Window.partitionBy("span")))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_spans"),
           sum(when(col("owner") =!= col("doc_id"), 1L).otherwise(0L)).as("n_borrowed"))
