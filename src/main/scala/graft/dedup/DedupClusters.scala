@@ -27,9 +27,21 @@ object DedupClusters {
   /** Component label (min doc_id reachable) for every doc in `pairs`. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val s = pairs.sparkSession
-    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
-      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
     val tmp = graft.core.TempDirs.create("graft-cc")
+    // Materialize the edge list ONCE: `pairs` is usually an expensive
+    // plan (q31's blocked token self-join), and every propagation round
+    // joins the edges — an unmaterialized edge frame replays that plan
+    // per round, turning k rounds into k full pair recomputations
+    // (measured: 110 s for q_dedup_clusters at the 10× scale point,
+    // ~q31-per-round; materialized it is pairs-once + k cheap joins).
+    // Both orientations from ONE pass over the pair plan (a union of two
+    // selects would scan it twice even inside the single write).
+    pairs.select(explode(array(
+        struct(col("id1").as("a"), col("id2").as("b")),
+        struct(col("id2").as("a"), col("id1").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .write.mode("overwrite").parquet(s"$tmp/edges")
+    val edges = s.read.parquet(s"$tmp/edges")
     var labels = edges.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
     var changed = 1L
