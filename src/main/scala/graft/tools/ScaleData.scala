@@ -88,13 +88,23 @@ object ScaleData {
 
     // events: raw nanos long for ts (TIMESTAMP(NANOS) is unreadable by
     // Spark, and Tables.t expects the div-1000 path to apply unchanged).
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = s.read.parquet(s"$src/events.parquet")
-    val ek = keyStride(ev, "event_id")
-    wr(reps(ev)
-      .withColumn("event_id", off("event_id", ek))
-      .withColumn("user_id", off("user_id", ck)) // joins c_custkey
-      .drop("rep"), "events")
+    // Conf restored afterward — expand() also runs on shared test
+    // sessions, where leaving nanosAsLong set would change how a later
+    // plain spark.read sees events.parquet.
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val prevNanos = s.conf.getOption(nanosKey)
+    s.conf.set(nanosKey, "true")
+    try {
+      val ev = s.read.parquet(s"$src/events.parquet")
+      val ek = keyStride(ev, "event_id")
+      wr(reps(ev)
+        .withColumn("event_id", off("event_id", ek))
+        .withColumn("user_id", off("user_id", ck)) // joins c_custkey
+        .drop("rep"), "events")
+    } finally prevNanos match {
+      case Some(v) => s.conf.set(nanosKey, v)
+      case None => s.conf.unset(nanosKey)
+    }
 
     val docs = rd("documents")
     val dk = keyStride(docs, "doc_id")
