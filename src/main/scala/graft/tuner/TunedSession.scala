@@ -92,10 +92,14 @@ class Tuner(metricsRoot: String, appName: String) {
     try {
       val result = body
       org.apache.spark.graftaccess.ListenerBusAccess.waitUntilEmpty(spark.sparkContext)
-      store.persist(spark, listener, runId)
-      // Same rows persist() just wrote, assembled with the same logic
-      // history() uses — so priorHistory :+ recorded == the store state.
-      val recorded = StageRunInfo.assemble(listener.stageRows, listener.taskRows)
+      // ONE snapshot feeds both the store write and the in-memory view:
+      // the persist jobs' own stage events land on the still-attached
+      // listener, so a second read after persist would see stages the
+      // store never wrote (asserted equal in TunerIntegrationSpec).
+      val stageSnap = listener.stageRows
+      val taskSnap = listener.taskRows
+      store.persistRows(spark, stageSnap, taskSnap, runId)
+      val recorded = StageRunInfo.assemble(stageSnap, taskSnap)
       TunedRun(result, partitions, runId, history, recorded)
     } finally spark.sparkContext.removeSparkListener(listener)
   }

@@ -38,6 +38,25 @@ class TunerIntegrationSpec extends SparkSpec {
     spark.conf.set("spark.sql.shuffle.partitions", before) // restore for other specs
   }
 
+  test("tracked run's (priorHistory :+ recorded) equals a fresh store read") {
+    // The q_tuner_loop one-read optimization rests on this equality: the
+    // listener-assembled current run plus the pre-run history must be
+    // indistinguishable from re-reading the persisted store afterward.
+    val dir = Files.createTempDirectory("graft-tracked").toString
+    val tuner = new Tuner(dir, "tracked")
+    def job(): Long = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_returnflag").count().count()
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val r1 = tuner.tuneAndRunTracked(spark)(job())
+      val r2 = tuner.tuneAndRunTracked(spark)(job())
+      assert(r1.priorHistory.isEmpty && r2.priorHistory.length == 1)
+      val reread = tuner.store.history(spark)
+      assert(reread == r2.priorHistory :+ r2.recorded,
+        "tracked view diverged from the persisted store")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("tuner loop reports AQE's settled counts and converges toward them") {
     val out = graft.tuner.TunerDemo.query(spark, sf).collect()
     assert(out.length == 3, "three tune-record iterations expected")
