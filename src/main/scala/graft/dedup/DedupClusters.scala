@@ -25,7 +25,16 @@ import org.apache.spark.sql.functions._
 object DedupClusters {
 
   /** Component label (min doc_id reachable) for every doc in `pairs`. */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIters)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds it ran
+    * until fixpoint — the scale diagnostic (rounds track component
+    * diameter, which must NOT grow with corpus size when the expansion
+    * adds disjoint copies; reported at both scale points in
+    * BENCH_NOTES.md). */
+  def connectedComponentsWithRounds(pairs: DataFrame,
+      maxIters: Int = 20): (DataFrame, Int) = {
     val s = pairs.sparkSession
     val tmp = graft.core.TempDirs.create("graft-cc")
     // Materialize the edge list ONCE: `pairs` is usually an expensive
@@ -68,7 +77,7 @@ object DedupClusters {
         s"connectedComponents did not converge after $maxIters iterations " +
           s"($changed labels still changing) — labels would be wrong; raise maxIters " +
           "(component diameter exceeds the iteration budget)")
-    labels
+    (labels, iter)
   }
 
   /** Registry entry: cluster every doc that appears in an exact Q31
