@@ -84,51 +84,87 @@ object Bench {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       off
     }
-    val qs = results.map { case (k, (med, _)) => "\"" + k + "\":" + med }
+    // 4-decimal rendering everywhere: full double digits bloat the one
+    // stdout line the driver parses (see the 2000-char tail note below).
+    def fmt(d: Double): String =
+      if (d < 0) "-1" else f"$d%.4f"
+    val qs = results.map { case (k, (med, _)) => "\"" + k + "\":" + fmt(med) }
       .mkString("{", ",", "}")
-    val qsMin = results.map { case (k, (_, mn)) => "\"" + k + "\":" + mn }
+    val qsMin = results.map { case (k, (_, mn)) => "\"" + k + "\":" + fmt(mn) }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
 
-    // Second scale point (~10× data, see graft.tools.ScaleData): single
-    // timed pass per query at BOTH dirs → measured per-query scaling
+    // Second scale point (~10× data, see graft.tools.ScaleData): timed
+    // passes per query at BOTH dirs → measured per-query scaling
     // exponents e = log(t_big/t_base)/log(factor). e ≈ 1 is linear; the
     // judge-facing analysis lives in BENCH_NOTES.md. Skipped (empty
     // object) when the scaled dir is absent so the one-line contract
     // never depends on local state.
     val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/root/repo/localdata/sf1")
-    // Guarded like REPS (one-line contract) and clamped > 1 so the
-    // log-ratio exponent denominator stays positive and finite.
-    val scaleFactor = math.max(1.0001,
-      scala.util.Try(sys.env("SPARK_GRAFT_SCALE_FACTOR").trim.toDouble).getOrElse(10.0))
+    // Factor: unset → 10 (the default sf0.1 → localdata/sf1 decade). Set
+    // but malformed or <= 1 → SKIP the scale block: silently substituting
+    // a default would emit plausible-looking but wrong exponents, and a
+    // <= 1 factor makes the log-ratio denominator meaningless (ADVICE r5).
+    val scaleFactorOpt: Option[Double] = sys.env.get("SPARK_GRAFT_SCALE_FACTOR") match {
+      case None => Some(10.0)
+      case Some(raw) =>
+        val parsed = scala.util.Try(raw.trim.toDouble).toOption.filter(_ > 1.0)
+        if (parsed.isEmpty)
+          System.err.println(s"[bench] SPARK_GRAFT_SCALE_FACTOR='$raw' is not " +
+            "a number > 1 — scale block skipped")
+        parsed
+    }
     // The default factor 10 presumes the sf0.1 base dir; a different base
     // (e.g. sf0.001 smoke runs) skips the scale block unless the caller
     // states the factor explicitly.
-    val scaleEnabled = new java.io.File(s"$scaleDir/lineitem.parquet").exists() &&
+    val scaleEnabled = scaleFactorOpt.isDefined &&
+      new java.io.File(s"$scaleDir/lineitem.parquet").exists() &&
       (sfDir.contains("sf0.1") || sys.env.contains("SPARK_GRAFT_SCALE_FACTOR"))
-    val scaleJson =
-      if (!scaleEnabled) "{}"
+    // (compactScale, fullScale): the stdout line must stay SHORT — the
+    // driver parses the last line out of a 2000-char stdout tail, and
+    // round-5's line (full base/scaled maps inline) overflowed it and
+    // recorded parsed:null. stdout carries dir/factor/exponents; the
+    // per-dir timings ride the /tmp/graft_bench.json mirror + BENCH_NOTES.
+    val (scaleJson, scaleJsonFull) =
+      if (!scaleEnabled) ("{}", "{}")
       else {
+        val factor = scaleFactorOpt.get
         val extras = scaleSuite.filterNot(headline.contains)
         extras.foreach(runAt(_, sfDir)) // warm the non-headline plans
-        val base = scaleSuite.map(n => n -> runAt(n, sfDir)).toMap
+        // Min of two timed passes per dir: the round-5 driver run showed
+        // single-pass timings inflated ~2× by transient machine load
+        // (q01 at sf1: 20 s driver vs 9.8 s reproducible), flipping
+        // sub-linear exponents super-linear. Contention only ever adds
+        // time, so the min is the defensible steady-state estimate.
+        def minOfTwo(dir: String): Map[String, Double] = {
+          val passes = Seq.fill(2)(scaleSuite.map(n => n -> runAt(n, dir)).toMap)
+          scaleSuite.map { n =>
+            val ok = passes.map(_(n)).filter(_ >= 0)
+            n -> (if (ok.isEmpty) -1.0 else ok.min)
+          }.toMap
+        }
+        val base = minOfTwo(sfDir)
         // Warm pass at the scaled dir too: base timings ride the earlier
-        // headline warmup, so a cold single pass at scaleDir (footer
+        // headline warmup, so a cold first pass at scaleDir (footer
         // caches, first shuffle at that size) would bias every exponent
         // upward relative to the steady-state base numbers.
         scaleSuite.foreach(runAt(_, scaleDir))
-        val big = scaleSuite.map(n => n -> runAt(n, scaleDir)).toMap
+        val big = minOfTwo(scaleDir)
         def obj(m: Map[String, Double]) = scaleSuite
-          .map(n => "\"" + n + "\":" + m(n)).mkString("{", ",", "}")
+          .map(n => "\"" + n + "\":" + fmt(m(n))).mkString("{", ",", "}")
         val exps = scaleSuite.map { n =>
           val e =
             if (base(n) <= 0 || big(n) <= 0) -1.0
-            else math.log(big(n) / base(n)) / math.log(scaleFactor)
+            else math.log(big(n) / base(n)) / math.log(factor)
           "\"" + n + "\":" + (math.round(e * 100) / 100.0)
         }.mkString("{", ",", "}")
-        s"""{"dir":"$scaleDir","factor":$scaleFactor,"base_sec":${obj(base)},"scaled_sec":${obj(big)},"exponents":$exps}"""
+        (s"""{"dir":"$scaleDir","factor":$factor,"exponents":$exps}""",
+          s"""{"dir":"$scaleDir","factor":$factor,"base_sec":${obj(base)},"scaled_sec":${obj(big)},"exponents":$exps}""")
       }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"reps":$REPS,"sf":"$sfDir","scale":$scaleJson}"""
+    def jsonLine(scale: String) =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"reps":$REPS,"sf":"$sfDir","scale":$scale}"""
+    val json = jsonLine(scaleJson)
+    val jsonFull = jsonLine(scaleJsonFull)
     // Contract hardening (round-1 driver recorded parsed:null): stop Spark
     // FIRST so no late log line can land after the JSON, mirror the JSON to
     // a well-known file, then emit it as the final bare stdout line. Log
@@ -139,11 +175,16 @@ object Bench {
     spark.stop()
     System.err.flush()
     try {
+      // The mirror gets the FULL record (per-dir scale timings included);
+      // stdout gets the compact line that fits the driver's 2000-char tail.
       val w = new java.io.PrintWriter("/tmp/graft_bench.json")
-      try w.println(json) finally w.close()
+      try w.println(jsonFull) finally w.close()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write /tmp/graft_bench.json: ${e.getMessage}")
     }
+    if (json.length > 1900)
+      System.err.println(s"[bench] WARNING: stdout JSON line is ${json.length} " +
+        "chars — the driver's tail window is 2000; trim the line")
     println(json)
     System.out.flush()
   }

@@ -52,6 +52,18 @@ object IndexManifest {
     try w.println(json) finally w.close()
   }
 
+  /** Delete the manifest if present. Builders call this FIRST, before
+    * overwriting any index table: manifest-last alone only certifies the
+    * first build into a dir — a REBUILD that dies between table writes
+    * would otherwise leave the previous build's manifest sitting next to
+    * mixed old/new tables, and verify() (which compares parameters, not
+    * data) would accept the wreck. Delete-first + write-last makes the
+    * manifest's presence certify a complete build in every case. */
+  def invalidate(s: SparkSession, indexDir: String): Unit = {
+    val (p, fs) = fsPath(s, indexDir)
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+
   /** Read the manifest; empty map if absent (callers decide how to fail). */
   def read(s: SparkSession, indexDir: String): Map[String, String] = {
     val (p, fs) = fsPath(s, indexDir)

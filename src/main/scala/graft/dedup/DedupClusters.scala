@@ -77,6 +77,12 @@ object DedupClusters {
         s"connectedComponents did not converge after $maxIters iterations " +
           s"($changed labels still changing) — labels would be wrong; raise maxIters " +
           "(component diameter exceeds the iteration budget)")
+    // The final round's join was the last reader of the edge table (the
+    // returned labels plan scans only the newest iter snapshot), so the
+    // corpus-pair-sized edges can be dropped NOW — leaving them until
+    // process-exit cleanup inflates the scratch-disk high-water mark
+    // across a multi-query bench run (ADVICE r5).
+    graft.core.TempDirs.delete(s"$tmp/edges")
     (labels, iter)
   }
 

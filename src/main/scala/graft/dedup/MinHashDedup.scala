@@ -205,6 +205,10 @@ object MinHashDedup {
 
   def buildIndex(docs: DataFrame, indexDir: String, seed: Long = 42L,
       shingleSize: Int = 1): Unit = {
+    // Invalidate FIRST: a rebuild that dies between the toks and sigs
+    // writes must not leave the previous build's manifest certifying a
+    // mixed-table dir (see IndexManifest.invalidate).
+    graft.core.IndexManifest.invalidate(docs.sparkSession, indexDir)
     tokens(docs, shingleSize)
       .select(col("doc_id"), col("lang"), col("source"),
         xxhash64(col("tok")).as("h"))

@@ -120,6 +120,10 @@ object AnnIvf {
     // graft_cosine call_function, which resolves only after the extension
     // registers it (idempotent — no-op when query()/search() already did).
     graft.GraftExtensions.ensureRegistered(e.sparkSession)
+    // Invalidate FIRST (see IndexManifest.invalidate): a re-fit that dies
+    // between the centroids and assigned writes must not leave the prior
+    // build's manifest certifying a mixed-table dir.
+    graft.core.IndexManifest.invalidate(e.sparkSession, indexDir)
     // knownN lets a caller that already counted the corpus (query() does,
     // for chooseK) skip a second full-scan count job here.
     val n = if (knownN >= 0) knownN else e.count()

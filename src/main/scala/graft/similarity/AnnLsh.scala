@@ -150,6 +150,9 @@ object AnnLsh {
 
   def buildIndex(e: DataFrame, indexDir: String, shape: Shape = Sharp,
       seed: Long = 7L, dim: Int = 64): Unit = {
+    // Invalidate FIRST (see IndexManifest.invalidate): rebuilds must not
+    // leave a stale manifest over a partially overwritten bucket table.
+    graft.core.IndexManifest.invalidate(e.sparkSession, indexDir)
     bucketed(e, shape, probe = false, seed, dim)
       .write.mode("overwrite").parquet(s"$indexDir/buckets")
     // Manifest LAST: presence certifies a complete bucket table.

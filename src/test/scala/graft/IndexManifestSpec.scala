@@ -85,4 +85,30 @@ class IndexManifestSpec extends SparkSpec {
     }
     assert(ex2.getMessage.contains("family"))
   }
+
+  test("failed rebuild over an existing index leaves no stale manifest") {
+    import spark.implicits._
+    val idx = TempDirs.create("graft-mh-rebuild")
+    MinHashDedup.buildIndex(docsFixture, idx, seed = 42L)
+    IndexManifest.verify(spark, idx, Map("family" -> "minhash-lsh"), "spec")
+    // A rebuild whose first table write dies mid-flight: the udf throws on
+    // every row, so the toks overwrite fails after the old manifest was
+    // already invalidated.
+    val boom = udf((s: String) => {
+      if (s != null) throw new RuntimeException("boom"); s
+    })
+    intercept[Exception] {
+      MinHashDedup.buildIndex(
+        docsFixture.withColumn("text", boom(col("text"))), idx, seed = 42L)
+    }
+    // Presence certifies a COMPLETE build: the wrecked dir must carry no
+    // manifest (the previous build's was deleted before the first
+    // overwrite), so every read/append path fails fast instead of
+    // accepting mixed old/new tables whose parameters happen to match.
+    assert(IndexManifest.read(spark, idx).isEmpty,
+      "stale manifest survived a failed rebuild")
+    intercept[IllegalStateException] {
+      MinHashDedup.appendToIndex(docsFixture, idx, seed = 42L)
+    }
+  }
 }

@@ -16,9 +16,13 @@ class MinHashRerankPropertySpec extends SparkSpec {
   private val fixtureGen: Gen[Fixture] = for {
     nDocs <- Gen.choose(5, 40)
     nPairs <- Gen.choose(1, 120)
+    // b = (a + delta) mod nDocs with delta >= 1 guarantees a != b without
+    // a Gen filter — a filtered Gen can evaluate to None and silently
+    // shrink the sample set below the advertised count (ADVICE r5).
     pairs <- Gen.listOfN(nPairs, for {
       a <- Gen.choose(0L, nDocs - 1L)
-      b <- Gen.choose(0L, nDocs - 1L) if a != b
+      delta <- Gen.choose(1L, nDocs - 1L)
+      b = (a + delta) % nDocs
     } yield (math.min(a, b), math.max(a, b)))
     toks <- Gen.sequence[Seq[Seq[(Long, Long)]], Seq[(Long, Long)]](
       (0L until nDocs).map(d =>
@@ -32,7 +36,10 @@ class MinHashRerankPropertySpec extends SparkSpec {
 
   test("salted intersection counts are identical to unsalted for arbitrary inputs and caps") {
     import spark.implicits._
-    samples(5).zipWithIndex.foreach { case (f, i) =>
+    val fixtures = samples(5)
+    assert(fixtures.size == 5,
+      s"generator must yield every requested sample (got ${fixtures.size}/5)")
+    fixtures.zipWithIndex.foreach { case (f, i) =>
       val cands = f.pairs.toDF("id1", "id2")
       val toks = f.toks.toDF("doc_id", "h")
       val reference = MinHashDedup

@@ -60,12 +60,27 @@ def correctness(verify_out):
 
 
 def bench(bench_json):
-    prev_path = latest("BENCH_r*.json")
-    if not prev_path:
-        print("gate_diff: no previous BENCH round, skipping perf diff")
+    # Walk rounds newest-first and diff against the most recent one with a
+    # usable queries map: r05 recorded parsed:null (the stdout line
+    # overflowed the driver's 2000-char tail), and its truncated tail can't
+    # be recovered — without this fallback the diff would silently compare
+    # against an empty map and pass on anything.
+    paths = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")),
+                   key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+                   reverse=True)
+    prev, prev_path = None, None
+    for p in paths:
+        doc = json.load(open(p))
+        cand = doc.get("parsed") or doc  # driver wrapper vs raw line
+        if cand.get("queries"):
+            prev, prev_path = cand, p
+            break
+        print(f"gate_diff: {os.path.basename(p)} has no parsed queries map "
+              "(parsed:null), falling back to an earlier round")
+    if prev is None:
+        print("gate_diff: no previous BENCH round with parsed queries, "
+              "skipping perf diff")
         return
-    prev_doc = json.load(open(prev_path))
-    prev = prev_doc.get("parsed") or prev_doc  # driver wrapper vs raw line
     cur = json.load(open(bench_json))
     if cur.get("sf") and str(prev.get("sf")) not in str(cur.get("sf")):
         print(f"gate_diff: bench sf mismatch (prev {prev.get('sf')}, "
@@ -78,10 +93,18 @@ def bench(bench_json):
             regressions.append(f"{q}: missing from current bench")
         elif t_cur < 0:
             regressions.append(f"{q}: failed (sentinel {t_cur})")
-        elif (t_prev > 0 and t_cur > t_prev * TOLERANCE
-              and t_cur - t_prev > ABS_FLOOR):
-            regressions.append(
-                f"{q}: {t_cur:.2f}s vs {t_prev:.2f}s (+{100*(t_cur/t_prev-1):.0f}%)")
+        elif t_prev > 0 and t_cur > t_prev * TOLERANCE:
+            if t_cur - t_prev > ABS_FLOOR:
+                regressions.append(
+                    f"{q}: {t_cur:.2f}s vs {t_prev:.2f}s (+{100*(t_cur/t_prev-1):.0f}%)")
+            else:
+                # Over the ratio tolerance but under the absolute floor:
+                # almost certainly sub-second load noise, but a real
+                # small-query regression would hide here forever if it
+                # never got printed (ADVICE r5) — surface, don't fail.
+                print(f"gate_diff bench NOTE (under {ABS_FLOOR}s floor, not "
+                      f"failing): {q}: {t_cur:.2f}s vs {t_prev:.2f}s "
+                      f"(+{100*(t_cur/t_prev-1):.0f}%)")
     if regressions:
         fail("bench regressions vs " + os.path.basename(prev_path) + ": "
              + "; ".join(regressions))
