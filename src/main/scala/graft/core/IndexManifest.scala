@@ -64,7 +64,12 @@ object IndexManifest {
     if (fs.exists(p)) fs.delete(p, false)
   }
 
-  /** Read the manifest; empty map if absent (callers decide how to fail). */
+  /** Read the manifest; empty map if absent (callers decide how to fail).
+    * Throws on any content [[write]] could not have produced — a nested or
+    * hand-edited manifest must fail loudly, not parse silently-wrong: this
+    * file guards the build parameters of three index families, and a
+    * lenient parse that "finds" some pairs inside unexpected structure
+    * would let verify() accept a manifest whose real content it never saw. */
   def read(s: SparkSession, indexDir: String): Map[String, String] = {
     val (p, fs) = fsPath(s, indexDir)
     if (!fs.exists(p)) Map.empty
@@ -72,10 +77,52 @@ object IndexManifest {
       val in = fs.open(p)
       val text = try scala.io.Source.fromInputStream(
         in, "UTF-8").mkString finally in.close()
-      // Flat string-valued object — the only shape write() produces.
-      "\"([^\"]+)\"\\s*:\\s*\"([^\"]*)\"".r.findAllMatchIn(text)
-        .map(m => m.group(1) -> m.group(2)).toMap
+      parseFlat(text)
     }
+  }
+
+  /** Strict parser for exactly the flat `{"k":"v",...}` shape [[write]]
+    * emits (no nesting, no escapes, no non-string values, no whitespace
+    * between tokens other than a trailing newline). Anything else throws. */
+  private[graft] def parseFlat(text: String): Map[String, String] = {
+    val t = text.trim
+    var i = 0
+    def fail(what: String): Nothing = throw new IllegalStateException(
+      s"malformed index manifest ($what at offset $i): not the flat " +
+        "string-map format IndexManifest.write produces — rebuild the index")
+    def expect(c: Char): Unit = {
+      if (i >= t.length || t(i) != c) fail(s"expected '$c'")
+      i += 1
+    }
+    def str(): String = {
+      expect('"')
+      val start = i
+      while (i < t.length && t(i) != '"') {
+        if (t(i) == '\\' || t(i).isControl) fail("escape or control char")
+        i += 1
+      }
+      if (i >= t.length) fail("unterminated string")
+      val s = t.substring(start, i)
+      i += 1
+      s
+    }
+    expect('{')
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    if (i < t.length && t(i) == '}') i += 1
+    else {
+      var more = true
+      while (more) {
+        val k = str()
+        expect(':')
+        val v = str()
+        if (out.contains(k)) fail(s"duplicate key '$k'")
+        out += k -> v
+        if (i < t.length && t(i) == ',') i += 1
+        else { expect('}'); more = false }
+      }
+    }
+    if (i != t.length) fail("trailing content")
+    out.toMap
   }
 
   /** Fail-fast compatibility check: every expected (param, value) must match

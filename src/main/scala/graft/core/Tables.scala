@@ -25,8 +25,15 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      // Two layouts exist: the driver fixture's TIMESTAMP(NANOS), which the
+      // conf above surfaces as a nanos long, and ScaleData's sf1+ tables,
+      // already TIMESTAMP micros on disk (so DuckDB can oracle the events
+      // family at scale). Branch on the read dtype; both end as identical
+      // µs-truncated timestamps.
+      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else df
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Exact decimal view of a double column — makes aggregation

@@ -36,6 +36,7 @@ object ScaleData {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("/root/repo/localdata/sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val tag = args.lift(3).getOrElse("")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -43,11 +44,23 @@ object ScaleData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    expand(spark, src, dst, factor)
+    expand(spark, src, dst, factor, tag)
     spark.stop()
   }
 
-  def expand(s: SparkSession, src: String, dst: String, factor: Int): Unit = {
+  /** @param tag distinguishes CHAINED expansions' token salts: level-1
+    *   replica i salts tokens `t~i`, and a level-2 run over that output
+    *   with an empty tag would salt its replica j as `t~j` — colliding
+    *   with level-1 replica i = j and planting exact duplicate documents
+    *   across the two levels (fused LSH buckets, inflated pair counts).
+    *   A sf1→sf10 run passes e.g. "b" so level-2 salts read `t~b3`,
+    *   disjoint from every level-1 salt by construction. Embedding
+    *   rotations have no such fix (only 64 distinct rotations exist), so
+    *   chained outputs document the embedding caveat in BENCH_NOTES.md
+    *   and embedding-family queries are excluded from chained-dir
+    *   measurements. */
+  def expand(s: SparkSession, src: String, dst: String, factor: Int,
+      tag: String = ""): Unit = {
     def rd(name: String): DataFrame = s.read.parquet(s"$src/$name.parquet")
     def wr(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
@@ -86,16 +99,28 @@ object ScaleData {
       .withColumn("l_suppkey", off("l_suppkey", sk))
       .drop("rep"), "lineitem")
 
-    // events: raw nanos long for ts (TIMESTAMP(NANOS) is unreadable by
-    // Spark, and Tables.t expects the div-1000 path to apply unchanged).
-    // Conf restored afterward — expand() also runs on shared test
-    // sessions, where leaving nanosAsLong set would change how a later
-    // plain spark.read sees events.parquet.
+    // events: written as TIMESTAMP micros (ts div 1000 — the same ns→µs
+    // truncation Tables.t and DuckDB both apply to the driver fixture's
+    // TIMESTAMP(NANOS) column), so DuckDB types the scaled table as
+    // TIMESTAMP and the events-family oracles hash-match at sf1+ (the r06
+    // raw-INT64 layout read as BIGINT and excluded the whole family from
+    // the scale-correctness evidence). Tables.t branches on the read
+    // dtype, so both layouts stay loadable. Conf restored afterward —
+    // expand() also runs on shared test sessions, where leaving
+    // nanosAsLong set would change how a later plain spark.read sees
+    // events.parquet.
     val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
     val prevNanos = s.conf.getOption(nanosKey)
     s.conf.set(nanosKey, "true")
     try {
-      val ev = s.read.parquet(s"$src/events.parquet")
+      val ev0 = s.read.parquet(s"$src/events.parquet")
+      // Chained expansion (e.g. sf1 → sf10) reads an already
+      // timestamp-typed source; only the driver's nanos-long layout needs
+      // the µs conversion.
+      val ev =
+        if (ev0.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          ev0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        else ev0
       val ek = keyStride(ev, "event_id")
       wr(reps(ev)
         .withColumn("event_id", off("event_id", ek))
@@ -110,7 +135,7 @@ object ScaleData {
     val dk = keyStride(docs, "doc_id")
     val salted = when(col("rep") === 0, col("text")).otherwise(
       concat_ws(" ", transform(split(col("text"), " "),
-        t => when(t === "", t).otherwise(concat(t, lit("~"), col("rep"))))))
+        t => when(t === "", t).otherwise(concat(t, lit("~" + tag), col("rep"))))))
     wr(reps(docs)
       .withColumn("doc_id", off("doc_id", dk))
       .withColumn("text", salted)
