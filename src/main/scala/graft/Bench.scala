@@ -79,10 +79,28 @@ object Bench {
     // every rep of one query, which no statistic can recover from (the
     // r06 driver run inflated q15/q_simhash medians AND mins 68-70% with
     // untouched code; gate_diff now arbitrates on queries_min).
+    // SPARK_GRAFT_BENCH_MODE=grouped restores the pre-round-7 query-major
+    // loop (REPS back-to-back reps per query). Kept as an explicit mode
+    // because the two are NOT comparable: back-to-back reps inherit each
+    // other's JIT/page-cache/shuffle-file warmth, so grouped mins read
+    // systematically lower on cache-heavy queries (q43 ~-15%) — that is
+    // measurement warmth, not engine speed. Interleaved is the honest
+    // steady-state estimate and the default; gate_diff refuses cross-mode
+    // diffs (see BENCH_NOTES round-7 methodology entry for the A/B).
+    val MODE = sys.env.get("SPARK_GRAFT_BENCH_MODE") match {
+      case Some("grouped") => "grouped"
+      case _ => "interleaved"
+    }
     def suiteStats(names: Seq[String]): Seq[(String, (Double, Double))] = {
-      val passes = Seq.fill(REPS)(names.map(n => n -> run(n)).toMap)
+      val perQuery: Map[String, Seq[Double]] =
+        if (MODE == "grouped")
+          names.map(n => n -> Seq.fill(REPS)(run(n))).toMap
+        else {
+          val passes = Seq.fill(REPS)(names.map(n => n -> run(n)).toMap)
+          names.map(n => n -> passes.map(_(n))).toMap
+        }
       names.map { n =>
-        val ok = passes.map(_(n)).filter(_ >= 0).sorted
+        val ok = perQuery(n).filter(_ >= 0).sorted
         n -> (if (ok.isEmpty) (-1.0, -1.0) else (ok(ok.length / 2), ok.head))
       }
     }
@@ -191,7 +209,7 @@ object Bench {
           s"""{"dir":"$scaleDir","factor":$factor,"base_sec":${obj(base)},"scaled_sec":${obj(big)},"exponents":$exps}""")
       }
     def jsonLine(scale: String) =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"reps":$REPS,"sf":"$sfDir","scale":$scale}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"reps":$REPS,"mode":"$MODE","sf":"$sfDir","scale":$scale}"""
     val json = jsonLine(scaleJson)
     val jsonFull = jsonLine(scaleJsonFull)
     // Contract hardening (round-1 driver recorded parsed:null): stop Spark

@@ -378,8 +378,77 @@ object TextOps {
         .agg(count(lit(1)).as("docs"),
           sum(size(split(col("text"), " ")).cast("long")).as("tokens"))
         .orderBy("lang", "subset")
+    },
+
+    // Temperature-based multilingual re-sampling (the mT5/XLM-R mixing
+    // scheme): natural token share p_l per lang → re-weighted share
+    // q_l = p_l^α / Σ p^α (α = 0.3) → per-lang sampling factor
+    // f_l = q_l / p_l → deterministic per-doc epoch count
+    // ⌊f⌋ + (md5-bucket < 256·frac(f)). The factor table has one row per
+    // lang, so the join back to the corpus is a broadcast and the
+    // assignment a map-side projection — at 100 TB the corpus is scanned
+    // once and never shuffled; the two scalar reductions (total tokens,
+    // Σ p^α) are one-row broadcast joins, the tfidf-N pattern. The
+    // epoch threshold is rounded to an integer bucket count BEFORE the
+    // comparison so an ulp of pow() divergence between engines cannot
+    // flip a doc's assignment.
+    "q_temperature_mix" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val langTok = docs.groupBy("lang")
+        .agg(count(lit(1)).as("docs"), sum("n_tok").as("tokens"))
+      val tot = langTok.agg(sum("tokens").cast("double").as("tot_tokens"))
+      val withP = langTok.crossJoin(broadcast(tot))
+        .withColumn("p", col("tokens").cast("double") / col("tot_tokens"))
+        .withColumn("pa", pow(col("p"), 0.3))
+      val spa = withP.agg(sum("pa").as("spa"))
+      val fct = withP.crossJoin(broadcast(spa))
+        .withColumn("q", col("pa") / col("spa"))
+        .withColumn("f", col("q") / col("p"))
+        .withColumn("base", floor(col("f")).cast("long"))
+        .withColumn("thr", round((col("f") - col("base")) * 256, 0))
+        .select("lang", "docs", "tokens", "p", "q", "f", "base", "thr")
+      val epochs = docs.join(broadcast(fct), "lang")
+        .select(col("lang"),
+          (col("base") + when(bucketExpr < col("thr"), 1L).otherwise(0L))
+            .as("epochs"))
+        .groupBy("lang").agg(sum("epochs").as("planned_copies"))
+      fct.join(epochs, "lang")
+        .select(col("lang"), col("docs"), col("tokens"),
+          round(col("p"), 6).as("p_nat"),
+          round(col("q"), 6).as("p_temp"),
+          round(col("f"), 6).as("factor"),
+          col("planned_copies"))
+        .orderBy("lang")
+    },
+
+    // Sharded training-data export manifest: md5-bucket each doc into 16
+    // shards (bucket % 16 — engine-portable, order/partitioning
+    // independent) and report per-shard doc/token counts and the id
+    // range. The manifest is what an export job writes next to the
+    // shards so a trainer can plan reads without listing files; the
+    // assignment is a map-side projection and the manifest one 16-row
+    // aggregation — at 100 TB the write itself is
+    // `repartition(n, shard).write.partitionBy(shard)`, exercised in
+    // ShardExportSpec.
+    "q_shard_manifest" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), (bucketExpr % 16).cast("long").as("shard"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("docs"), sum("n_tok").as("tokens"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("shard")
     }
   )
+
+  /** 0..255 bucket from the first two md5 hex chars of doc_id — the
+    * deterministic sampling key shared by q_data_mix / q_split_assign
+    * (spelled inline there) and the temperature-mix / shard operators. */
+  private def bucketExpr = expr(
+    "(instr('0123456789abcdef', substring(md5(cast(doc_id AS string)), 1, 1)) - 1) * 16" +
+      " + (instr('0123456789abcdef', substring(md5(cast(doc_id AS string)), 2, 1)) - 1)")
 
   val oracle: Map[String, String] = Map(
     "q_span_dedup" -> """
@@ -621,7 +690,47 @@ object TextOps {
         round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
           / count(*), 6) AS avg_quality
       FROM kept JOIN reps USING (doc_id)
-      GROUP BY lang, source ORDER BY lang, source"""
+      GROUP BY lang, source ORDER BY lang, source""",
+
+    "q_temperature_mix" -> """
+      WITH d AS (
+        SELECT doc_id, lang,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+          (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+          + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+        FROM documents),
+      lt AS (SELECT lang, count(*) AS docs, CAST(sum(n_tok) AS BIGINT) AS tokens
+             FROM d GROUP BY lang),
+      tot AS (SELECT CAST(sum(tokens) AS DOUBLE) AS tot_tokens FROM lt),
+      w AS (SELECT lang, docs, tokens, tokens / tot_tokens AS p,
+                   pow(tokens / tot_tokens, 0.3) AS pa
+            FROM lt, tot),
+      s AS (SELECT sum(pa) AS spa FROM w),
+      fct AS (SELECT lang, docs, tokens, p, pa / spa AS q, (pa / spa) / p AS f,
+                     CAST(floor((pa / spa) / p) AS BIGINT) AS base,
+                     round(((pa / spa) / p - floor((pa / spa) / p)) * 256, 0) AS thr
+              FROM w, s),
+      ep AS (SELECT d.lang,
+                    CAST(sum(base + CASE WHEN d.bucket < thr THEN 1 ELSE 0 END) AS BIGINT)
+                      AS planned_copies
+             FROM d JOIN fct ON d.lang = fct.lang GROUP BY d.lang)
+      SELECT fct.lang, docs, tokens,
+             round(p, 6) AS p_nat, round(q, 6) AS p_temp, round(f, 6) AS factor,
+             planned_copies
+      FROM fct JOIN ep ON fct.lang = ep.lang
+      ORDER BY fct.lang""",
+
+    "q_shard_manifest" -> """
+      WITH b AS (
+        SELECT doc_id,
+          CAST(((instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+          + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 16
+            AS BIGINT) AS shard,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents)
+      SELECT shard, count(*) AS docs, CAST(sum(n_tok) AS BIGINT) AS tokens,
+             min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      FROM b GROUP BY shard ORDER BY shard"""
   )
 }
 

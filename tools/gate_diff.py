@@ -104,6 +104,31 @@ def bench(bench_json):
         print(f"gate_diff: bench sf mismatch (prev {prev.get('sf')}, "
               f"cur {cur.get('sf')}) — perf diff skipped")
         return
+    # Repetition-mode guard: grouped (pre-r7 query-major) reps inherit each
+    # other's JIT/page-cache/shuffle warmth, so their mins read ~15% lower
+    # on cache-heavy queries than interleaved (pass-major) reps of the SAME
+    # code (BENCH_NOTES round-7 A/B). A cross-mode diff therefore flags
+    # measurement warmth as a code regression. Prefer the most recent
+    # usable round recorded in the SAME mode; if none exists, report the
+    # cross-mode numbers as NOTEs and let the current run establish the
+    # baseline for its mode.
+    cur_mode = cur.get("mode") or "interleaved"
+    strict = (prev.get("mode") or "grouped") == cur_mode
+    if not strict:
+        for p in paths:
+            try:
+                doc = json.load(open(p))
+            except (json.JSONDecodeError, OSError):
+                continue
+            cand = doc.get("parsed") or doc
+            if cand.get("queries") and (cand.get("mode") or "grouped") == cur_mode:
+                prev, prev_path, strict = cand, p, True
+                break
+    if not strict:
+        print(f"gate_diff: no prior round in mode={cur_mode} (prev "
+              f"{os.path.basename(prev_path)} is "
+              f"{prev.get('mode') or 'grouped'}) — cross-mode diff is "
+              "informational only; this run establishes the baseline")
     # Arbitrate on the min-of-passes map when BOTH rounds carry it: r06's
     # driver run inflated medians 20-70% on untouched code under sustained
     # machine load, while the interleaved per-pass min is the defensible
@@ -137,8 +162,11 @@ def bench(bench_json):
                       f"failing): {q}: {t_cur:.2f}s vs {t_prev:.2f}s "
                       f"(+{100*(t_cur/t_prev-1):.0f}%)")
     if regressions:
-        fail(f"bench regressions ({basis}) vs " + os.path.basename(prev_path)
-             + ": " + "; ".join(regressions))
+        if strict:
+            fail(f"bench regressions ({basis}) vs "
+                 + os.path.basename(prev_path) + ": " + "; ".join(regressions))
+        for r in regressions:
+            print(f"gate_diff bench NOTE (cross-mode, not failing): {r}")
     print(f"gate_diff bench OK ({basis}) vs {os.path.basename(prev_path)}: "
           f"total {cur.get('value', 0):.2f}s "
           f"(prev {prev.get('value', 0):.2f}s, tolerance {TOLERANCE}x/query)")
