@@ -440,6 +440,62 @@ object TextOps {
         .agg(count(lit(1)).as("docs"), sum("n_tok").as("tokens"),
           min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
         .orderBy("shard")
+    },
+
+    // BM25 ranking against a query token set (Robertson/Lucene variant,
+    // k1=1.2 b=0.75, idf = ln((N-df+.5)/(df+.5)+1) — always positive):
+    // the relevance-filter/RAG-retrieval staple. Scale shape: the token
+    // explode is FILTERED to the query's tokens before any shuffle (at
+    // 100 TB the match set, not the corpus, pays the tf aggregation),
+    // df and the (N, avgdl) scalars are broadcast one-row/tiny joins,
+    // and the top-20 is a TakeOrdered, never a full sort. Scores are
+    // rounded to 6 dp BEFORE ranking (tfidf canon) with doc_id
+    // tie-break so last-ulp ln()/sum differences cannot flip the cut.
+    "q_bm25_rank" -> { (s, dir) =>
+      val qToks = Seq("spark", "window", "hash")
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+      val stats = d.agg(count(lit(1)).cast("double").as("n"),
+        avg(col("dl").cast("double")).as("avgdl"))
+      val tf = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok").isin(qToks: _*))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+      val sat = col("tf") * (lit(1.2) + 1) /
+        (col("tf") + lit(1.2) * (lit(1) - 0.75 + lit(0.75) * col("dl") / col("avgdl")))
+      tf.join(broadcast(df), "tok").join(d, "doc_id").crossJoin(broadcast(stats))
+        .groupBy("doc_id").agg(round(sum(idf * sat), 6).as("bm25"))
+        .orderBy(desc("bm25"), asc("doc_id"))
+        .limit(20)
+    },
+
+    // Directed token-set containment C(A→B) = |A∩B| / |A| >= 0.8 within
+    // (lang, source) blocks: the near-SUPERSET detector — a doc wrapped
+    // in boilerplate contains its original almost whole while symmetric
+    // Jaccard (Q31) dilutes below threshold. Rides Q31's blocked
+    // equi-join: intersections computed ONCE per unordered pair (a < b),
+    // then both directions emitted by a cheap union against the size
+    // table — no second corpus self-join for the reverse direction.
+    "q_containment_pairs" -> { (s, dir) =>
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .filter(col("tok") =!= "")
+      val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val inter = tok.as("a").join(tok.as("b"),
+          col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .agg(count(lit(1)).as("ix"))
+      val directed = inter.select(col("id1").as("src_doc"), col("id2").as("dst_doc"), col("ix"))
+        .union(inter.select(col("id2"), col("id1"), col("ix")))
+        .join(sizes.withColumnRenamed("doc_id", "src_doc"), "src_doc")
+      val c = col("ix").cast("double") / col("sz")
+      directed.filter(c >= 0.8)
+        .select(col("src_doc"), col("dst_doc"), round(c, 6).as("containment"))
+        .orderBy("src_doc", "dst_doc")
     }
   )
 
@@ -730,7 +786,49 @@ object TextOps {
         FROM documents)
       SELECT shard, count(*) AS docs, CAST(sum(n_tok) AS BIGINT) AS tokens,
              min(doc_id) AS min_doc, max(doc_id) AS max_doc
-      FROM b GROUP BY shard ORDER BY shard"""
+      FROM b GROUP BY shard ORDER BY shard""",
+
+    "q_bm25_rank" -> """
+      WITH d AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS dl,
+                        string_split(text,' ') AS ts
+                 FROM documents),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                       avg(CAST(dl AS DOUBLE)) AS avgdl FROM d),
+      tok AS (SELECT doc_id, unnest(ts) AS tok FROM d),
+      tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tok
+             WHERE tok IN ('spark','window','hash') GROUP BY 1, 2),
+      df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+      sc AS (SELECT tf.doc_id,
+               sum( ln((n - df + 0.5) / (df + 0.5) + 1)
+                    * tf * (1.2 + 1)
+                    / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) ) AS raw
+             FROM tf JOIN df USING (tok) JOIN d USING (doc_id), stats
+             GROUP BY tf.doc_id)
+      SELECT doc_id, round(raw, 6) AS bm25 FROM sc
+      ORDER BY bm25 DESC, doc_id LIMIT 20""",
+
+    "q_containment_pairs" -> """
+      WITH tok AS (
+        SELECT doc_id, lang, source,
+               unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents),
+      tk AS (SELECT * FROM tok WHERE tok <> ''),
+      sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+                FROM tk GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(count(*) AS BIGINT) AS ix
+        FROM tk a JOIN tk b ON a.lang = b.lang AND a.source = b.source
+          AND a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      directed AS (
+        SELECT id1 AS src_doc, id2 AS dst_doc, ix FROM inter
+        UNION ALL
+        SELECT id2, id1, ix FROM inter)
+      SELECT src_doc, dst_doc,
+             round(CAST(ix AS DOUBLE) / s.sz, 6) AS containment
+      FROM directed JOIN sizes s ON src_doc = s.doc_id
+      WHERE CAST(ix AS DOUBLE) / s.sz >= 0.8
+      ORDER BY src_doc, dst_doc"""
   )
 }
 
