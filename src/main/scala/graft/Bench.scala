@@ -29,7 +29,11 @@ object Bench {
     "q01_pricing_summary", "q04_multiway_join", "q15_window_rank",
     "q18_topk", "q31_jaccard_pairs", "q32_cosine_topk",
     "q34_sessionization", "q43_minhash_lsh", "q_simhash",
-    "q_dedup_clusters", "q_ann_ivf", "q_ann_lsh", "q_span_dedup")
+    "q_dedup_clusters", "q_ann_ivf", "q_ann_lsh", "q_span_dedup",
+    // Round-7 pipeline additions measure their exponents too — a new
+    // operator ships with scale evidence, not just a design argument.
+    "q_bm25_rank", "q_containment_pairs", "q_temperature_mix",
+    "q_shard_manifest", "q_prefix_dup", "q_rare_token_ratio")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -496,6 +496,52 @@ object TextOps {
       directed.filter(c >= 0.8)
         .select(col("src_doc"), col("dst_doc"), round(c, 6).as("containment"))
         .orderBy("src_doc", "dst_doc")
+    },
+
+    // Exact-prefix duplicate clusters: docs sharing their first 8 tokens
+    // — the cheap CommonCrawl-style screen that catches templated /
+    // mirrored pages before any MinHash work. One scan, one shuffle; the
+    // group key is md5 of the prefix (32-char fixed) so the exchange
+    // never carries the prefix text itself, and md5 keeps the key
+    // engine-portable for the oracle. min(doc_id) is the canonical
+    // survivor, same convention as exact dedup (Q30).
+    "q_prefix_dup" -> { (s, dir) =>
+      val pref = concat_ws(" ", slice(split(col("text"), " "), 1, 8))
+      t(s, dir, "documents")
+        .select(col("doc_id"), md5(pref).as("prefix_key"))
+        .groupBy("prefix_key")
+        .agg(count(lit(1)).as("docs"), min("doc_id").as("canonical_doc"))
+        .filter(col("docs") > 1)
+        .orderBy("prefix_key")
+    },
+
+    // Corpus-relative rare-token ratio: the fraction of a doc's token
+    // occurrences whose corpus frequency sits below 0.25× the mean token
+    // frequency — the OCR-garbage / fabricated-text signal (real docs
+    // draw from the common vocabulary; noise draws from the long tail).
+    // Relative threshold, not absolute count, so the definition survives
+    // corpus growth. Shape: per-doc tf aggregates map-side before the
+    // (doc_id, tok) shuffle; the corpus-frequency table aggregates FROM
+    // tf (vocabulary-sized input, not the corpus); the mean is a one-row
+    // broadcast. The tf subtree appears three times in the logical DAG
+    // but executes ONCE: AQE exchange reuse collapses the cf and mean
+    // copies to ReusedExchange (verified on the executed plan), so the
+    // corpus is scanned and token-shuffled a single time.
+    "q_rare_token_ratio" -> { (s, dir) =>
+      val tf = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val cf = tf.groupBy("tok").agg(sum("tf").as("cf"))
+      val mean = cf.agg(avg(col("cf").cast("double")).as("mean_cf"))
+      tf.join(cf, "tok").crossJoin(broadcast(mean))
+        .groupBy("doc_id")
+        .agg(sum("tf").as("n_tok"),
+          sum(when(col("cf") < lit(0.25) * col("mean_cf"), col("tf"))
+            .otherwise(lit(0L))).as("rare"))
+        .select(col("doc_id"), col("n_tok"),
+          round(col("rare").cast("double") / col("n_tok"), 6).as("rare_frac"))
+        .orderBy("doc_id")
     }
   )
 
@@ -828,7 +874,32 @@ object TextOps {
              round(CAST(ix AS DOUBLE) / s.sz, 6) AS containment
       FROM directed JOIN sizes s ON src_doc = s.doc_id
       WHERE CAST(ix AS DOUBLE) / s.sz >= 0.8
-      ORDER BY src_doc, dst_doc"""
+      ORDER BY src_doc, dst_doc""",
+
+    "q_prefix_dup" -> """
+      WITH p AS (
+        SELECT doc_id,
+               md5(array_to_string(list_slice(string_split(text, ' '), 1, 8),
+                   ' ')) AS prefix_key
+        FROM documents)
+      SELECT prefix_key, CAST(count(*) AS BIGINT) AS docs,
+             min(doc_id) AS canonical_doc
+      FROM p GROUP BY prefix_key HAVING count(*) > 1
+      ORDER BY prefix_key""",
+
+    "q_rare_token_ratio" -> """
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                   FROM documents),
+      tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+             FROM tok WHERE tok <> '' GROUP BY 1, 2),
+      cf AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY tok),
+      m AS (SELECT avg(CAST(cf AS DOUBLE)) AS mean_cf FROM cf)
+      SELECT tf.doc_id, CAST(sum(tf) AS BIGINT) AS n_tok,
+             round(CAST(sum(CASE WHEN cf < 0.25 * mean_cf THEN tf ELSE 0 END)
+                        AS DOUBLE) / sum(tf), 6) AS rare_frac
+      FROM tf JOIN cf USING (tok), m
+      GROUP BY tf.doc_id
+      ORDER BY tf.doc_id"""
   )
 }
 
