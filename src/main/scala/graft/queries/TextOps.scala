@@ -542,6 +542,36 @@ object TextOps {
         .select(col("doc_id"), col("n_tok"),
           round(col("rare").cast("double") / col("n_tok"), 6).as("rare_frac"))
         .orderBy("doc_id")
+    },
+
+    // Document-level PMI collocations: pmi(a,b) = ln(co·N / (df_a·df_b))
+    // over the top-100 vocabulary by document frequency — the phrase /
+    // collocation miner behind tokenizer-merge and boilerplate-phrase
+    // analysis. Scale shape: the corpus restricts to a BROADCAST top-100
+    // vocab before the self-join, so the per-doc pair fan-out is bounded
+    // at C(100,2) regardless of doc length, and the pair aggregate has at
+    // most 4950 keys. Vocab rank ties break on the token string so the
+    // top-100 cut is deterministic across engines; pmi rounds to 6 dp
+    // before the final order/limit with a (tok_a, tok_b) tie-break.
+    "q_pmi_pairs" -> { (s, dir) =>
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .filter(col("tok") =!= "")
+      val vocab = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+        .orderBy(desc("df"), asc("tok")).limit(100)
+      val n = t(s, dir, "documents").agg(count(lit(1)).cast("double").as("n"))
+      val vtok = tok.join(broadcast(vocab), "tok")
+      val co = vtok.as("a").join(vtok.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
+        .groupBy(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"),
+          col("a.df").as("df_a"), col("b.df").as("df_b"))
+        .agg(count(lit(1)).as("co"))
+      co.filter(col("co") >= 5).crossJoin(broadcast(n))
+        .select(col("tok_a"), col("tok_b"), col("co"),
+          round(log(col("co") * col("n") /
+            (col("df_a") * col("df_b")).cast("double")), 6).as("pmi"))
+        .orderBy(desc("pmi"), asc("tok_a"), asc("tok_b"))
+        .limit(20)
     }
   )
 
@@ -899,7 +929,28 @@ object TextOps {
                         AS DOUBLE) / sum(tf), 6) AS rare_frac
       FROM tf JOIN cf USING (tok), m
       GROUP BY tf.doc_id
-      ORDER BY tf.doc_id"""
+      ORDER BY tf.doc_id""",
+
+    "q_pmi_pairs" -> """
+      WITH tok AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      tk AS (SELECT * FROM tok WHERE tok <> ''),
+      vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tk
+                GROUP BY tok ORDER BY df DESC, tok LIMIT 100),
+      n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      vtok AS (SELECT tk.doc_id, tk.tok, vocab.df
+               FROM tk JOIN vocab USING (tok)),
+      co AS (
+        SELECT a.tok AS tok_a, b.tok AS tok_b, a.df AS df_a, b.df AS df_b,
+               CAST(count(*) AS BIGINT) AS co
+        FROM vtok a JOIN vtok b
+          ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY 1, 2, 3, 4)
+      SELECT tok_a, tok_b, co,
+             round(ln(co * n / CAST(df_a * df_b AS DOUBLE)), 6) AS pmi
+      FROM co, n WHERE co >= 5
+      ORDER BY pmi DESC, tok_a, tok_b LIMIT 20"""
   )
 }
 
