@@ -175,6 +175,57 @@ object StreamingOps {
       .orderBy("user_id")
   }
 
+  // ---- Spark-4 arbitrary state: transformWithState + StatefulProcessor.
+  // The successor API to flatMapGroupsWithState (q42): typed per-key
+  // state handles (ValueState/ListState/MapState) with TTL and timer
+  // support, and it REQUIRES the RocksDB state store provider — the
+  // scale-tier store where state lives off-heap instead of in executor
+  // memory, which is the point at 100 TB streaming state. Tracks a
+  // running (count, max value) per user; both are monotone, so the final
+  // state per key is the max over its Update-mode emission trajectory. ----
+  private class UserRunningStats
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, (Long, Long, Double)] {
+    @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Double)]("stats",
+        org.apache.spark.sql.Encoders.product[(Long, Double)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Double)] = {
+      var (c, m) =
+        if (st.exists()) st.get() else (0L, Double.NegativeInfinity)
+      rows.foreach { e => c += 1; m = math.max(m, e.value) }
+      st.update((c, m))
+      Iterator((key, c, m))
+    }
+  }
+
+  def qStreamTws(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = replay(s, prepareChunks(s, dir)).as[Event]
+        .groupByKey(_.user_id)
+        .transformWithState(new UserRunningStats,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update)
+        .toDF("user_id", "n_events", "max_value")
+      val out = drain(stream, "q_tws_sink", OutputMode.Update())
+      out.groupBy("user_id")
+        .agg(max("n_events").as("n_events"), max("max_value").as("max_value"))
+        .orderBy("user_id")
+    } finally before match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   // ---- Update-mode stateful aggregation (the third output mode: Q38-Q40
   // drain Complete, qLateDrop Append, q42 is Update but through
   // flatMapGroupsWithState, not a built-in aggregation). Update mode
@@ -294,7 +345,8 @@ object StreamingOps {
     "q39_stream_sliding" -> (q39 _),
     "q40_stream_session" -> (q40 _),
     "q41_stream_dedup" -> (q41 _),
-    "q42_stream_stateful" -> (q42 _))
+    "q42_stream_stateful" -> (q42 _),
+    "q_stream_tws" -> (qStreamTws _))
 
   /** DuckDB twins: the streaming results must equal these batch queries. */
   val oracle: Map[String, String] = Map(
@@ -364,6 +416,10 @@ object StreamingOps {
 
     "q42_stream_stateful" -> """
       SELECT user_id, count(*) AS n_events
+      FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q_stream_tws" -> """
+      SELECT user_id, count(*) AS n_events, max(value) AS max_value
       FROM events GROUP BY user_id ORDER BY user_id"""
   )
 }

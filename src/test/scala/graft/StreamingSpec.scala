@@ -143,4 +143,20 @@ class StreamingSpec extends SparkSpec {
     assert(row.getLong(0) == row.getLong(1),
       "emitted rows must equal distinct event ids (duplicates dropped)")
   }
+
+  test("transformWithState equals the batch twin and restores the provider conf") {
+    // The Spark-4 StatefulProcessor API refuses to start on the default
+    // HDFS-backed provider, so green here proves the per-key state lived
+    // in RocksDB; the query sets that conf itself and must hand the
+    // session back unchanged.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    val streamRows = StreamingOps.queries("q_stream_tws")(spark, sf).collect().toSeq
+    assert(spark.conf.getOption(key) == before, "provider conf must be restored")
+    val batchRows = graft.core.Tables.t(spark, sf, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), max("value").as("max_value"))
+      .orderBy("user_id").collect().toSeq
+    assert(streamRows == batchRows)
+  }
 }
