@@ -204,26 +204,74 @@ object StreamingOps {
     }
   }
 
-  def qStreamTws(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** transformWithState refuses any provider but RocksDB; set it for the
+    * duration of the query and hand the session conf back unchanged. */
+  private def withRocksDb[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val before = s.conf.getOption(key)
     s.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val stream = replay(s, prepareChunks(s, dir)).as[Event]
-        .groupByKey(_.user_id)
-        .transformWithState(new UserRunningStats,
-          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update)
-        .toDF("user_id", "n_events", "max_value")
-      val out = drain(stream, "q_tws_sink", OutputMode.Update())
-      out.groupBy("user_id")
-        .agg(max("n_events").as("n_events"), max("max_value").as("max_value"))
-        .orderBy("user_id")
-    } finally before match {
+    try body finally before match {
       case Some(v) => s.conf.set(key, v)
       case None => s.conf.unset(key)
     }
+  }
+
+  def qStreamTws(s: SparkSession, dir: String): DataFrame = withRocksDb(s) {
+    import s.implicits._
+    val stream = replay(s, prepareChunks(s, dir)).as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new UserRunningStats,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update)
+      .toDF("user_id", "n_events", "max_value")
+    val out = drain(stream, "q_tws_sink", OutputMode.Update())
+    out.groupBy("user_id")
+      .agg(max("n_events").as("n_events"), max("max_value").as("max_value"))
+      .orderBy("user_id")
+  }
+
+  // ---- MapState variant: per-user map of event_type → running count.
+  // The typed map lives as individual (grouping key, user key) entries in
+  // RocksDB — updating one event type does NOT rewrite the user's whole
+  // state blob, which is the difference that matters when per-key state
+  // is wide (the GroupState/ValueState shape rewrites everything every
+  // batch). Only types touched in a batch are re-emitted. ----
+  private class UserTypeCounts
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, (Long, String, Long)] {
+    @transient private var m:
+        org.apache.spark.sql.streaming.MapState[String, Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      m = getHandle.getMapState[String, Long]("type_counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, String, Long)] = {
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { e =>
+        val c = if (m.containsKey(e.event_type)) m.getValue(e.event_type) else 0L
+        m.updateValue(e.event_type, c + 1)
+        touched += e.event_type
+      }
+      touched.iterator.map(t => (key, t, m.getValue(t)))
+    }
+  }
+
+  def qStreamTwsMap(s: SparkSession, dir: String): DataFrame = withRocksDb(s) {
+    import s.implicits._
+    val stream = replay(s, prepareChunks(s, dir)).as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new UserTypeCounts,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update)
+      .toDF("user_id", "event_type", "cnt")
+    val out = drain(stream, "q_tws_map_sink", OutputMode.Update())
+    // Per-(user, type) counts are monotone across the Update trajectory.
+    out.groupBy("user_id", "event_type")
+      .agg(max("cnt").as("cnt"))
+      .orderBy("user_id", "event_type")
   }
 
   // ---- Update-mode stateful aggregation (the third output mode: Q38-Q40
@@ -346,7 +394,8 @@ object StreamingOps {
     "q40_stream_session" -> (q40 _),
     "q41_stream_dedup" -> (q41 _),
     "q42_stream_stateful" -> (q42 _),
-    "q_stream_tws" -> (qStreamTws _))
+    "q_stream_tws" -> (qStreamTws _),
+    "q_stream_tws_map" -> (qStreamTwsMap _))
 
   /** DuckDB twins: the streaming results must equal these batch queries. */
   val oracle: Map[String, String] = Map(
@@ -420,6 +469,10 @@ object StreamingOps {
 
     "q_stream_tws" -> """
       SELECT user_id, count(*) AS n_events, max(value) AS max_value
-      FROM events GROUP BY user_id ORDER BY user_id"""
+      FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q_stream_tws_map" -> """
+      SELECT user_id, event_type, count(*) AS cnt
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

@@ -159,4 +159,14 @@ class StreamingSpec extends SparkSpec {
       .orderBy("user_id").collect().toSeq
     assert(streamRows == batchRows)
   }
+
+  test("transformWithState MapState counts equal the batch per-type group-by") {
+    val streamRows = StreamingOps.queries("q_stream_tws_map")(spark, sf)
+      .collect().toSeq
+    val batchRows = graft.core.Tables.t(spark, sf, "events")
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("user_id", "event_type").collect().toSeq
+    assert(streamRows == batchRows)
+  }
 }
