@@ -572,6 +572,26 @@ object TextOps {
             (col("df_a") * col("df_b")).cast("double")), 6).as("pmi"))
         .orderBy(desc("pmi"), asc("tok_a"), asc("tok_b"))
         .limit(20)
+    },
+
+    // BPE merge-pair counting — the tokenizer-training inner loop: count
+    // adjacent character pairs inside every word; the argmax pair is the
+    // next BPE merge. One step shown (real training repeats this agg
+    // after applying the merge — same shape every iteration). Scale
+    // shape: fully partial-aggregable — the explode feeds a map-side
+    // combine and the shuffle carries 2-char keys with counts, so
+    // reducer input is bounded by the PAIR VOCABULARY per mapper, not by
+    // corpus size. Top-20 is a TakeOrdered with a pair tie-break.
+    "q_bpe_merges" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("pair"))
+        .limit(20)
     }
   )
 
@@ -950,7 +970,15 @@ object TextOps {
       SELECT tok_a, tok_b, co,
              round(ln(co * n / CAST(df_a * df_b AS DOUBLE)), 6) AS pmi
       FROM co, n WHERE co >= 5
-      ORDER BY pmi DESC, tok_a, tok_b LIMIT 20"""
+      ORDER BY pmi DESC, tok_a, tok_b LIMIT 20""",
+
+    "q_bpe_merges" -> """
+      WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      w2 AS (SELECT w FROM w WHERE len(w) >= 2),
+      p AS (SELECT substring(w, CAST(i AS INTEGER), 2) AS pair
+            FROM w2, LATERAL (SELECT unnest(range(1, len(w))) AS i))
+      SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+      FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20"""
   )
 }
 
