@@ -34,7 +34,7 @@ object Bench {
     // operator ships with scale evidence, not just a design argument.
     "q_bm25_rank", "q_containment_pairs", "q_temperature_mix",
     "q_shard_manifest", "q_prefix_dup", "q_rare_token_ratio",
-    "q_pmi_pairs", "q_bpe_merges")
+    "q_pmi_pairs", "q_bpe_merges", "q_label_centroid")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

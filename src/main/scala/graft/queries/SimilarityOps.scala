@@ -103,6 +103,23 @@ object SimilarityOps {
           hex(substring(col("text"), 1, 4)).as("head_hex"),
           md5(col("text")).as("body_md5"))
         .orderBy("doc_id")
+    },
+
+    // Per-label mean-pooled centroid — the group summary vector a
+    // mix-steering / contrastive-sampling pipeline maintains per domain.
+    // posexplode widens rows by the fixed embedding dim (not by corpus
+    // size), the per-(label, dim) mean aggregates partially map-side,
+    // and the output is labels×dim rows — no array reassembly and no
+    // full-vector shuffle. 6 dp rounding absorbs the sum-order ulp
+    // difference between Spark's partial averages and the oracle's
+    // sequential one.
+    "q_label_centroid" -> { (s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("label"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+        .groupBy("label", "dim")
+        .agg(round(avg("x"), 6).as("mean_x"), count(lit(1)).as("n_vecs"))
+        .orderBy("label", "dim")
     }
   )
 
@@ -147,6 +164,15 @@ object SimilarityOps {
              CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
              hex(substring(text, 1, 4)) AS head_hex,
              md5(text) AS body_md5
-      FROM documents ORDER BY doc_id"""
+      FROM documents ORDER BY doc_id""",
+
+    "q_label_centroid" -> """
+      WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb
+                 FROM embeddings),
+      x AS (SELECT label, CAST(i - 1 AS INTEGER) AS dim, emb[i] AS x
+            FROM (SELECT label, emb, generate_subscripts(emb, 1) AS i FROM e))
+      SELECT label, dim, round(avg(x), 6) AS mean_x,
+             CAST(count(*) AS BIGINT) AS n_vecs
+      FROM x GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }
