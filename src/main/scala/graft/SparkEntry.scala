@@ -15,7 +15,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalA.queries ++ RelationalB.queries ++ RelationalC.queries ++
       AsOfOps.queries ++ Winnowing.queries ++ TextOps.queries ++
-      SimilarityOps.queries ++ EventOps.queries ++ UdfOps.queries ++ Map(
+      SimilarityOps.queries ++ EventOps.queries ++ UdfOps.queries ++
+      LayoutOps.queries ++ GraphOps.queries ++ Map(
         "q43_minhash_lsh" -> (graft.dedup.MinHashDedup.query _),
         "q_dedup_clusters" -> (graft.dedup.DedupClusters.query _),
         "q_dedup_keep_best" -> (graft.dedup.DedupClusters.keepBestQuery _),
@@ -36,6 +37,7 @@ object SparkEntry {
     RelationalA.oracle ++ RelationalB.oracle ++ RelationalC.oracle ++
       AsOfOps.oracle ++ Winnowing.oracle ++ TextOps.oracle ++
       SimilarityOps.oracle ++ EventOps.oracle ++ UdfOps.oracle ++
+      LayoutOps.oracle ++ GraphOps.oracle ++
       graft.streaming.StreamingOps.oracle ++ graft.sources.Formats.oracle ++
       Map("q_binaryfile_meta" -> graft.multimodal.MediaPipeline.metaOracle,
         "q_salted_join" -> graft.operators.SaltedJoin.oracle,

