@@ -80,6 +80,49 @@ object EventOps {
         .groupBy(tsStr(col("cohort")).as("cohort_day"), col("day_offset"))
         .agg(countDistinct(col("user_id")).as("active_users"))
         .orderBy("cohort_day", "day_offset")
+    },
+
+    // Markov transition matrix over per-user event streams: bigram
+    // (prev_type → next_type) counts via lag over the (ts, event_id)
+    // total order, plus the row-normalized transition probability. One
+    // window shuffle on user_id + one ≤|types|²-row aggregation.
+    "q_event_transitions" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val pairs = t(s, dir, "events")
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val totals = Window.partitionBy("prev_type")
+      pairs
+        .withColumn("p", round(col("cnt").cast("double")
+          / sum("cnt").over(totals), 6))
+        .orderBy("prev_type", "next_type")
+    },
+
+    // Half-life decayed engagement score per user, fully deterministic:
+    // weight for an event k days before the corpus's last day is 2^-k
+    // (floored at k = 20), applied as an INTEGER product — value enters
+    // as the proven DECIMAL(18,4) canon scaled to int units, the decay
+    // as a left-shift of the complement (iv · 2^(20-k)) — so the
+    // per-user sum is exact 64-bit arithmetic in both engines and no
+    // libm exp()/pow() ulp ever reaches a rounding boundary. The anchor
+    // day rides along as a 1-row cross-joined scalar (never collected).
+    "q_decay_sum" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("user_id"),
+          (dec(col("value")) * 10000).cast("long").as("iv"),
+          unix_micros(date_trunc("day", col("ts"))).as("day_us"))
+      val anchor = ev.agg(max("day_us").as("anchor_us"))
+      ev.crossJoin(anchor)
+        .withColumn("k", least(
+          ((col("anchor_us") - col("day_us")) / (86400L * 1000000L)).cast("int"),
+          lit(20)))
+        .withColumn("term", col("iv") * expr("shiftleft(CAST(1 AS BIGINT), 20 - k)"))
+        .groupBy("user_id")
+        .agg(round(sum("term").cast("double") / (1048576.0 * 10000.0), 6)
+          .as("decay_score"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
     }
   )
 
@@ -107,6 +150,39 @@ object EventOps {
       FROM d JOIN first USING (user_id)
       WHERE date_diff('day', cohort, day) <= 7
       GROUP BY 1, 2 ORDER BY cohort_day, day_offset""",
+
+    "q_event_transitions" -> """
+      WITH pairs AS (
+        SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_type,
+               event_type AS next_type
+        FROM events),
+      cnts AS (
+        SELECT prev_type, next_type, count(*) AS cnt FROM pairs
+        WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      SELECT prev_type, next_type, cnt,
+             round(CAST(cnt AS DOUBLE)
+                     / sum(cnt) OVER (PARTITION BY prev_type), 6) AS p
+      FROM cnts ORDER BY prev_type, next_type""",
+
+    "q_decay_sum" -> """
+      WITH ev AS (
+        SELECT user_id,
+               CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS iv,
+               epoch_us(date_trunc('day', ts)) AS day_us
+        FROM events),
+      anchor AS (SELECT max(day_us) AS anchor_us FROM ev),
+      terms AS (
+        SELECT user_id,
+               iv * (CAST(1 AS BIGINT)
+                 << (20 - least(CAST((anchor_us - day_us) / 86400000000 AS INT), 20)))
+                 AS term
+        FROM ev, anchor)
+      SELECT user_id,
+             round(CAST(sum(term) AS DOUBLE) / (1048576.0 * 10000.0), 6)
+               AS decay_score,
+             count(*) AS n_events
+      FROM terms GROUP BY user_id ORDER BY user_id""",
 
     "q34_sessionization" -> """
       WITH o AS (

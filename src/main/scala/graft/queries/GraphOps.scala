@@ -64,6 +64,41 @@ object GraphOps {
         .limit(20)
     },
 
+    // Triangle count over the part co-occurrence graph on a degree-capped
+    // subgraph (standard hub-truncation: drop nodes with degree > 128
+    // BEFORE wedge generation, so the wedge join is bounded by cap·|E| —
+    // linear in edges with a fixed constant — instead of Σd², which a
+    // single celebrity key makes quadratic at 100 TB). Canonical src<dst
+    // orientation means each triangle is generated exactly once as
+    // a<b<c. The truncation is part of the declared semantics; the
+    // output reports how much of the graph survived the cap.
+    "q_triangle_count" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e0 = li.as("a")
+        .join(li.as("b"), Seq("l_orderkey"))
+        .where(col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+      val deg = e0.select(col("src").as("node"))
+        .union(e0.select(col("dst").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") <= 128).select("node")
+      val e = e0
+        .join(keep.withColumnRenamed("node", "src"), "src")
+        .join(keep.withColumnRenamed("node", "dst"), "dst")
+        .select("src", "dst")
+      val wedges = e.as("x")
+        .join(e.as("y"), col("x.dst") === col("y.src"))
+        .select(col("x.src").as("u"), col("x.dst").as("v"), col("y.dst").as("w"))
+      val tri = wedges
+        .join(e.as("z"), col("u") === col("z.src") && col("w") === col("z.dst"))
+      tri.agg(count(lit(1)).as("n_triangles"))
+        .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(keep.agg(count(lit(1)).as("n_nodes")))
+        .select("n_nodes", "n_edges", "n_triangles")
+    },
+
     "q_edit_distance" -> { (s, dir) =>
       val short = t(s, dir, "documents")
         .filter(col("n_chars") <= 200)
@@ -113,6 +148,28 @@ object GraphOps {
       SELECT node, round(rank, 6) AS rank FROM r5
       ORDER BY rank DESC, node LIMIT 20"""
     },
+
+    "q_triangle_count" -> """
+      WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      e0 AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey),
+      deg AS (
+        SELECT node, count(*) AS d
+        FROM (SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0)
+        GROUP BY node),
+      keep AS (SELECT node FROM deg WHERE d <= 128),
+      e AS (
+        SELECT src, dst FROM e0
+        JOIN keep ka ON e0.src = ka.node
+        JOIN keep kb ON e0.dst = kb.node)
+      SELECT (SELECT count(*) FROM keep) AS n_nodes,
+             (SELECT count(*) FROM e) AS n_edges,
+             (SELECT count(*)
+              FROM e x JOIN e y ON x.dst = y.src
+                       JOIN e z ON z.src = x.src AND z.dst = y.dst)
+               AS n_triangles""",
 
     "q_edit_distance" -> """
       WITH short AS (
