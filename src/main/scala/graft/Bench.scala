@@ -34,7 +34,15 @@ object Bench {
     // operator ships with scale evidence, not just a design argument.
     "q_bm25_rank", "q_containment_pairs", "q_temperature_mix",
     "q_shard_manifest", "q_prefix_dup", "q_rare_token_ratio",
-    "q_pmi_pairs", "q_bpe_merges", "q_label_centroid")
+    "q_pmi_pairs", "q_bpe_merges", "q_label_centroid",
+    // Layout/sketch/graph/event additions. q_edit_distance is EXCLUDED
+    // by design: its per-pair cost is O(len²) (~400× a jaccard
+    // intersection), so the honest scale path for edit-distance verify
+    // is "rerank after MinHash/prefix blocking", not the profiling
+    // query itself — running it at sf1 would measure a shape no 100 TB
+    // pipeline would run (BENCH_NOTES.md).
+    "q_zorder_key", "q_key_skew", "q_cms_topk", "q_pagerank_parts",
+    "q_triangle_count", "q_event_transitions", "q_decay_sum")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

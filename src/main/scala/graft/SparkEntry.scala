@@ -24,6 +24,8 @@ object SparkEntry {
           graft.similarity.AnnIvf.query(s, dir)),
         "q_ann_lsh" -> ((s: SparkSession, dir: String) =>
           graft.similarity.AnnLsh.query(s, dir)),
+        "q_ann_pq" -> ((s: SparkSession, dir: String) =>
+          graft.similarity.AnnPq.query(s, dir)),
         "q_multimodal_features" -> (graft.multimodal.MediaPipeline.query _),
         "q_binaryfile_meta" -> (graft.multimodal.MediaPipeline.metaQuery _),
         "q_tuner_loop" -> (graft.tuner.TunerDemo.query _),

@@ -1,0 +1,186 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables._
+
+/** Product-quantization ANN (ADC flavor) — the third index family next to
+  * IVF cells ([[AnnIvf]]) and hyperplane buckets ([[AnnLsh]]), and the one
+  * whose 100 TB story is MEMORY: a dim-64 float vector (256 B) compresses
+  * to M = 8 sub-codes (8 B at 256 codewords), so the scored table shrinks
+  * 32× and the scan that ranks candidates reads codes, never vectors.
+  *
+  * Fit: vectors are unit-normalized (so inner product = cosine), split
+  * into M contiguous dim/M subvectors, and each subspace learns its own
+  * codebook by deterministic Lloyd iterations (stride-sampled seeds, L2
+  * argmin, min-code tie-break) — all M fits ride ONE long-form frame
+  * keyed by (m, code), so the shuffle count does not grow with M.
+  *
+  * Search (asymmetric distance computation): each query dots its M
+  * subvectors against the ≤ M·256-row codebook → a broadcastable lookup
+  * table; the codes table joins that LUT map-side and a partial-aggregable
+  * sum over m reconstructs approx cosine per (query, vector). The top
+  * RERANK_FACTOR·k approximate candidates are reranked with exact cosine
+  * against the original vectors (index-stored, fetched by equi-join) —
+  * the standard PQ refine step that restores exactness at the top.
+  *
+  * Persisted-index contract mirrors the sibling families: fit() writes
+  * codebook + codes + normalized vectors under a manifest
+  * (family=pq-adc); search() runs scan+join jobs only; append() codes new
+  * vectors against the FROZEN codebook (daily-ingest path, no refit).
+  * Recall ≥ 0.9 on planted clusters is a requirement (AnnPqSpec).
+  */
+object AnnPq {
+  val M = 8               // subspaces
+  val MAX_CODES = 256     // codewords per subspace (1-byte codes)
+  val TOP_K = 5
+  val RERANK_FACTOR = 4   // approx candidates reranked exactly per query
+
+  def chooseCodes(n: Long): Int =
+    math.min(MAX_CODES, math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt))
+
+  /** Σ (a-b)² over two equal-length double arrays (codegen'd HOFs). */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Unit-normalize, then explode into (vec_id, m, sv) long form; dim must
+    * divide evenly into M subspaces (the fixture dim 64 → 8×8). */
+  private def subvectors(e: DataFrame): DataFrame = {
+    val norm = sqrt(dot(col("emb"), col("emb")))
+    val nemb = transform(col("emb"), x => x / norm)
+    e.select(col("vec_id"), nemb.as("nemb"),
+        (size(col("emb")) / M).cast("int").as("sd"))
+      .select(col("vec_id"), col("nemb"), col("sd"),
+        explode(sequence(lit(0), lit(M - 1))).as("m"))
+      .select(col("vec_id"), col("m"),
+        slice(col("nemb"), col("m") * col("sd") + 1, col("sd")).as("sv"))
+  }
+
+  /** Nearest codeword per (vec_id, m): L2 argmin against the broadcast
+    * codebook, min-code tie-break, partial-aggregable min_by reduce. The
+    * subvector rides through the reduce (struct payload) so the Lloyd
+    * update never joins back to the corpus. */
+  private def encodeFull(sv: DataFrame, codebook: DataFrame): DataFrame =
+    sv.join(broadcast(codebook), "m")
+      .select(col("vec_id"), col("m"), col("sv"), col("code"),
+        l2sq(col("sv"), col("cw")).as("d"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(struct(col("code"), col("sv")),
+        struct(col("d"), col("code"))).as("best"))
+      .select(col("vec_id"), col("m"),
+        col("best.code").as("code"), col("best.sv").as("sv"))
+
+  private def encode(sv: DataFrame, codebook: DataFrame): DataFrame =
+    encodeFull(sv, codebook).drop("sv")
+
+  /** Per-subspace Lloyd fit on the long-form frame: one assignment + one
+    * centroid-update shuffle per iteration covers ALL M subspaces (seeds
+    * are the stride-sample canon shared with AnnIvf). */
+  def fitCodebook(sv: DataFrame, n: Long, codes: Int, iters: Int): DataFrame = {
+    val stride = math.max(1L, n / codes)
+    var cb = sv
+      .filter(col("vec_id") % stride === 0 && col("vec_id") / stride < codes)
+      .select(col("m"), (col("vec_id") / stride).cast("int").as("code"),
+        col("sv").as("cw"))
+    for (_ <- 0 until iters) {
+      cb = encodeFull(sv, cb)
+        .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("m"), col("code"), col("pos")).agg(avg(col("x")).as("v"))
+        .groupBy(col("m"), col("code"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+          s => s.getField("v")).as("cw"))
+    }
+    cb
+  }
+
+  /** Fit once, persist codebook + codes + normalized vectors, manifest
+    * last (crash-consistency canon shared with the sibling families). */
+  def fit(e: DataFrame, indexDir: String, iters: Int = 2): Unit = {
+    val s = e.sparkSession
+    graft.core.IndexManifest.invalidate(s, indexDir)
+    val sv = subvectors(e)
+    val n = e.count()
+    val codes = chooseCodes(n)
+    fitCodebook(sv, n, codes, iters)
+      .write.mode("overwrite").parquet(s"$indexDir/codebook")
+    val cb = s.read.parquet(s"$indexDir/codebook")
+    encode(sv, cb).write.mode("overwrite").parquet(s"$indexDir/codes")
+    // Normalized full vectors ride in the index for the exact rerank step
+    // (fetched by equi-join on the shortlisted candidate ids only).
+    val norm = sqrt(dot(col("emb"), col("emb")))
+    e.select(col("vec_id"), transform(col("emb"), x => x / norm).as("nemb"))
+      .write.mode("overwrite").parquet(s"$indexDir/vectors")
+    graft.core.IndexManifest.write(s, indexDir,
+      Map("family" -> "pq-adc", "m" -> M.toString,
+        "codes" -> codes.toString))
+  }
+
+  /** Code new vectors against the frozen codebook and append — the
+    * ingest path; the codebook is never refit here. */
+  def append(s: SparkSession, indexDir: String, newVecs: DataFrame): Unit = {
+    graft.core.IndexManifest.verify(s, indexDir,
+      Map("family" -> "pq-adc"), "AnnPq.append")
+    val cb = s.read.parquet(s"$indexDir/codebook")
+    encode(subvectors(newVecs), cb)
+      .write.mode("append").parquet(s"$indexDir/codes")
+    val norm = sqrt(dot(col("emb"), col("emb")))
+    newVecs.select(col("vec_id"), transform(col("emb"), x => x / norm).as("nemb"))
+      .write.mode("append").parquet(s"$indexDir/vectors")
+  }
+
+  /** ADC search: LUT join + partial-agg score sum + exact rerank of the
+    * shortlist. q = (qid, qemb). */
+  def search(s: SparkSession, indexDir: String, q: DataFrame,
+      topK: Int = TOP_K): DataFrame = {
+    graft.core.IndexManifest.verify(s, indexDir,
+      Map("family" -> "pq-adc"), "AnnPq.search")
+    val cb = s.read.parquet(s"$indexDir/codebook")
+    val codesT = s.read.parquet(s"$indexDir/codes")
+    val vectors = s.read.parquet(s"$indexDir/vectors")
+    val qsv = subvectors(q.select(col("qid").as("vec_id"), col("qemb").as("emb")))
+      .select(col("vec_id").as("qid"), col("m"), col("sv").as("qsv"))
+    // LUT: |queries| × M × codes rows of partial dot products — tiny, and
+    // broadcast so the big codes table never shuffles for scoring.
+    val lut = qsv.join(broadcast(cb), "m")
+      .select(col("qid"), col("m"), col("code"),
+        dot(col("qsv"), col("cw")).as("pd"))
+    val approx = codesT.join(broadcast(lut), Seq("m", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("pd")).as("approx_sim"))
+      .filter(col("vec_id") =!= col("qid"))
+    val shortW = Window.partitionBy("qid")
+      .orderBy(desc("approx_sim"), asc("vec_id"))
+    val shortlist = approx
+      .withColumn("rn", row_number().over(shortW))
+      .filter(col("rn") <= topK * RERANK_FACTOR)
+      .select(col("qid"), col("vec_id"))
+    // Exact rerank: true cosine (normalized dot) on the shortlist only.
+    val qn = q.select(col("qid"), {
+      val norm = sqrt(dot(col("qemb"), col("qemb")))
+      transform(col("qemb"), x => x / norm).as("qn")
+    })
+    val w = Window.partitionBy("qid").orderBy(desc("cos_sim"), asc("cand_id"))
+    shortlist.join(vectors, "vec_id").join(qn, "qid")
+      .select(col("qid"), col("vec_id").as("cand_id"),
+        round(dot(col("qn"), col("nemb")), 6).as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .orderBy("qid", "rn")
+  }
+
+  /** Registry query: fit-once-search-once through a scratch index dir on
+    * the driver embeddings table (same shape as q_ann_ivf / q_ann_lsh). */
+  def query(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val idx = graft.core.TempDirs.create("graft-pq-idx")
+    fit(e, idx, iters = 2)
+    search(s, idx, e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb")))
+  }
+}
