@@ -125,6 +125,33 @@ object EventOps {
         .orderBy("user_id")
     },
 
+    // Session-path mining: the q34 sessionization logic (30-min gap
+    // break) reduced to per-session event-type paths, then the top-20
+    // most common journeys. The path string is built by an ordered
+    // in-session aggregation; distinct journeys are few, so the final
+    // count shuffle is tiny. Paths are capped at the first 8 events
+    // (bounded row width — an unbounded concat would grow with the
+    // longest session at 100 TB).
+    "q_session_paths" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val prev = lag("ts", 1).over(w)
+      val brk = when(prev.isNull ||
+        unix_micros(col("ts")) - unix_micros(prev) > 1800L * 1000000L, 1).otherwise(0)
+      t(s, dir, "events")
+        .withColumn("sess", sum(brk).over(running))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id", "sess").orderBy("ts", "event_id")))
+        .filter(col("rn") <= 8)
+        .groupBy("user_id", "sess")
+        .agg(array_join(transform(array_sort(collect_list(
+          struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+        .orderBy(desc("n_sessions"), asc("path"))
+        .limit(20)
+    },
+
     // Winsorized robust stats: clip value at the per-type p01/p99
     // (interpolated percentiles, the q_percentiles canon) and aggregate
     // the clipped column with the decimal-sum canon. The percentile
@@ -236,6 +263,31 @@ object EventOps {
                AS decay_score,
              count(*) AS n_events
       FROM terms GROUP BY user_id ORDER BY user_id""",
+
+    "q_session_paths" -> """
+      WITH s AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT user_id, event_type, ts, event_id,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sess
+        FROM s),
+      numbered AS (
+        SELECT user_id, sess, event_type,
+               row_number() OVER (PARTITION BY user_id, sess
+                                  ORDER BY ts, event_id) AS rn
+        FROM sess),
+      paths AS (
+        SELECT user_id, sess,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM numbered WHERE rn <= 8 GROUP BY user_id, sess)
+      SELECT path, count(*) AS n_sessions FROM paths
+      GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20""",
 
     "q_winsorize" -> """
       WITH pcts AS (

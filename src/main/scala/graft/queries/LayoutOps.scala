@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables._
 
@@ -99,6 +100,39 @@ object LayoutOps {
         .orderBy("bucket")
     },
 
+    // Deterministic per-group "reservoir": the k smallest md5(doc_id)
+    // ranks per lang — a uniform, reproducible k-sample per group (the
+    // md5 order is independent of the data's physical order, so the
+    // sample is stable across partitionings and engines — rerunnable at
+    // 100 TB without a seed registry). One window shuffle on lang.
+    "q_reservoir_sample" -> { (s, dir) =>
+      val w = Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .orderBy("lang", "rk")
+    },
+
+    // Data-quality profiler: per-column null and distinct counts plus
+    // min/max over orders — the table-stats pass every ingest runs. One
+    // aggregation job; distincts are exact (at 100 TB you'd swap in
+    // approx_count_distinct, the declared T-class variant — q37 covers
+    // that contract).
+    "q_null_profile" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      o.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("null_orderdate"),
+        countDistinct(col("o_custkey")).as("nd_custkey"),
+        countDistinct(col("o_orderstatus")).as("nd_status"),
+        countDistinct(col("o_orderpriority")).as("nd_priority"),
+        min(col("o_orderkey")).as("min_orderkey"),
+        max(col("o_orderkey")).as("max_orderkey"),
+        money(sum(dec(col("o_totalprice")))).as("sum_price"))
+    },
+
     // Count-min sketch heavy hitters: 3×4096 counters vs exact top-20.
     "q_cms_topk" -> { (s, dir) =>
       val tf = t(s, dir, "documents")
@@ -137,6 +171,28 @@ object LayoutOps {
       SELECT CAST(len(bin(cnt)) AS INT) AS bucket, count(*) AS n_keys,
              CAST(sum(cnt) AS BIGINT) AS n_rows, max(cnt) AS max_cnt
       FROM kc GROUP BY 1 ORDER BY 1""",
+
+    "q_reservoir_sample" -> """
+      WITH r AS (
+        SELECT lang, doc_id, n_chars,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents)
+      SELECT lang, doc_id, n_chars, rk FROM r
+      WHERE rk <= 5 ORDER BY lang, rk""",
+
+    "q_null_profile" -> """
+      SELECT count(*) AS n_rows,
+             CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_orderdate,
+             count(DISTINCT o_custkey) AS nd_custkey,
+             count(DISTINCT o_orderstatus) AS nd_status,
+             count(DISTINCT o_orderpriority) AS nd_priority,
+             min(o_orderkey) AS min_orderkey,
+             max(o_orderkey) AS max_orderkey,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS sum_price
+      FROM orders""",
 
     "q_cms_topk" -> {
       val sketch = (0 until 3).map { i =>
