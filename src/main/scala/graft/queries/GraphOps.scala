@@ -134,14 +134,17 @@ object GraphOps {
                  JOIN r${k - 1} ON e.src = r${k - 1}.node, n
           GROUP BY e.dst)"""
       }.mkString(",\n      ")
+      // MATERIALIZED (a DuckDB-only hint; Spark never parses oracles)
+      // keeps the edge table from being re-inlined — and the self-join
+      // re-run — once per iteration reference.
       s"""
-      WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       e0 AS (
         SELECT a.l_partkey AS src, b.l_partkey AS dst
         FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
         WHERE a.l_partkey <> b.l_partkey),
-      e AS (SELECT DISTINCT src, dst FROM e0),
-      deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+      e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0),
+      deg AS MATERIALIZED (SELECT src, count(*) AS d FROM e GROUP BY src),
       n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
       r0 AS (SELECT deg.src AS node, 1.0 / n.n AS rank FROM deg, n),
       $iters
@@ -150,8 +153,8 @@ object GraphOps {
     },
 
     "q_triangle_count" -> """
-      WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-      e0 AS (
+      WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      e0 AS MATERIALIZED (
         SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
         FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
         WHERE a.l_partkey < b.l_partkey),
@@ -160,7 +163,7 @@ object GraphOps {
         FROM (SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0)
         GROUP BY node),
       keep AS (SELECT node FROM deg WHERE d <= 128),
-      e AS (
+      e AS MATERIALIZED (
         SELECT src, dst FROM e0
         JOIN keep ka ON e0.src = ka.node
         JOIN keep kb ON e0.dst = kb.node)
