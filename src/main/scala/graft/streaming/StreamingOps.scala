@@ -383,9 +383,44 @@ object StreamingOps {
       .orderBy("lid", "rid")
   }
 
+  /** LEFT OUTER stream-stream interval join: events with no later
+    * same-user event within 5 minutes surface with a null partner — the
+    * outer-join capability class the inner join above cannot show.
+    * Outer rows only materialize once the watermark passes the row's
+    * join horizon (lts + 5 min), so rows near end-of-stream are still
+    * legitimately pending when the drain stops; the comparison window
+    * is therefore restricted to lts ≤ max_ts − 36 min (watermark 30 min
+    * + 5 min interval + 1 min strictness margin), applied POST-drain and
+    * mirrored exactly by the batch oracle. Same state-eviction contract
+    * as production: the interval bound makes both sides' state
+    * watermark-evictable. */
+  def qStreamStreamLeft(s: SparkSession, dir: String): DataFrame = {
+    val chunks = prepareChunks(s, dir)
+    val cutoff = Tables.t(s, dir, "events")
+      .agg(max(unix_micros(col("ts"))).as("m"))
+      .head().getLong(0) - 36L * 60L * 1000000L
+    val l = replay(s, chunks).withWatermark("ts", "30 minutes")
+      .select(col("event_id").as("lid"), col("user_id").as("luser"),
+        col("ts").as("lts"))
+    val r = replay(s, chunks).withWatermark("ts", "30 minutes")
+      .select(col("event_id").as("rid"), col("user_id").as("ruser"),
+        col("ts").as("rts"))
+    val pairs = l.join(r,
+      col("luser") === col("ruser") &&
+      col("rts") >= col("lts") &&
+      col("rts") <= col("lts") + expr("INTERVAL 5 MINUTES") &&
+      col("lid") < col("rid"),
+      "leftOuter")
+    drain(pairs, "q_ssj_left_sink", OutputMode.Append())
+      .filter(unix_micros(col("lts")) <= cutoff)
+      .select(col("lid"), col("rid"), col("luser").as("user_id"))
+      .orderBy(col("lid"), col("rid").asc_nulls_first)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_static_join" -> (qStreamStaticJoin _),
     "q_stream_stream_join" -> (qStreamStreamJoin _),
+    "q_stream_join_left" -> (qStreamStreamLeft _),
     "q_stream_foreach_batch" -> (qForeachBatch _),
     "q_stream_late_drop" -> (qLateDrop _),
     "q_stream_update" -> (qStreamUpdate _),
@@ -416,6 +451,17 @@ object StreamingOps {
        AND r.ts <= l.ts + INTERVAL 5 MINUTE
        AND l.event_id < r.event_id
       ORDER BY lid, rid""",
+
+    "q_stream_join_left" -> """
+      SELECT l.event_id AS lid, r.event_id AS rid, l.user_id
+      FROM events l LEFT JOIN events r
+        ON l.user_id = r.user_id
+       AND r.ts >= l.ts
+       AND r.ts <= l.ts + INTERVAL 5 MINUTE
+       AND l.event_id < r.event_id
+      WHERE epoch_us(l.ts) <=
+        (SELECT max(epoch_us(ts)) FROM events) - CAST(2160000000 AS BIGINT)
+      ORDER BY lid, rid NULLS FIRST""",
     "q_stream_late_drop" -> """
       SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
              event_type, count(*) AS cnt

@@ -92,6 +92,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamRows == batchRows)
   }
 
+  test("left-outer stream-stream join emits watermark-finalized null partners") {
+    val out = StreamingOps.qStreamStreamLeft(spark, sf).collect()
+    val outer = out.filter(_.isNullAt(1))
+    assert(outer.nonEmpty, "outer path never exercised — no null partners")
+    val streamRows = out
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    val ev = graft.core.Tables.t(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val cutoff = ev.agg(max(unix_micros(col("ts")))).head().getLong(0) -
+      36L * 60L * 1000000L
+    val batchRows = ev.toDF("lid", "luser", "lts")
+      .join(ev.toDF("rid", "ruser", "rts"),
+        col("luser") === col("ruser") && col("rts") >= col("lts") &&
+        col("rts") <= col("lts") + expr("INTERVAL 5 MINUTES") &&
+        col("lid") < col("rid"),
+        "leftOuter")
+      .filter(unix_micros(col("lts")) <= cutoff)
+      .select("lid", "rid")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(streamRows == batchRows)
+  }
+
   test("append mode drops the late chunk at the watermark — counted, not declared") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val chunks = StreamingOps.prepareChunks(spark, sf, dupCount = 100)
