@@ -592,6 +592,38 @@ object TextOps {
         .groupBy("pair").agg(count(lit(1)).as("cnt"))
         .orderBy(desc("cnt"), asc("pair"))
         .limit(20)
+    },
+
+    // Bigram language-model scoring (the CCNet-style perplexity-proxy
+    // quality filter): per-doc mean negative log P(w2|w1) under the
+    // corpus's own bigram MLE. Two vocab-keyed aggregations build the
+    // model (c2 = bigram counts, c1 = prefix totals derived FROM c2,
+    // never a second corpus scan); scoring is two equi-joins on the
+    // bigram/prefix keys — every shuffle is linear in corpus tokens or
+    // bounded by vocabulary. Each -ln term is rounded to 6 dp and
+    // decimal-cast BEFORE the per-doc sum (the TF-IDF ln() parity
+    // canon, made order-independent by the exact decimal aggregation).
+    "q_bigram_lm" -> { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), t -> t <> '')").as("ts"))
+        .filter(size(col("ts")) >= 2)
+      val bg = toks.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ts) - 1)," +
+          " i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"))
+        .as("pair"))
+      val c2 = bg.groupBy("pair").agg(count(lit(1)).as("c2"))
+      val c1 = c2.groupBy(expr("split_part(pair, ' ', 1)").as("w1"))
+        .agg(sum("c2").as("c1"))
+      bg.join(c2, "pair")
+        .join(c1, expr("split_part(pair, ' ', 1)") === col("w1"))
+        .select(col("doc_id"),
+          round(-log(col("c2").cast("double") / col("c1").cast("double")), 6)
+            .cast("decimal(18,6)").as("term"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum("term").cast("double") / count(lit(1)), 6).as("avg_nll"))
+        .orderBy("doc_id")
     }
   )
 
@@ -978,7 +1010,30 @@ object TextOps {
       p AS (SELECT substring(w, CAST(i AS INTEGER), 2) AS pair
             FROM w2, LATERAL (SELECT unnest(range(1, len(w))) AS i))
       SELECT pair, CAST(count(*) AS BIGINT) AS cnt
-      FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20"""
+      FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""",
+
+    "q_bigram_lm" -> """
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        FROM documents),
+      t2 AS (SELECT doc_id, ts FROM toks WHERE len(ts) >= 2),
+      bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ts)),
+                 i -> ts[i] || ' ' || ts[i + 1])) AS pair
+        FROM t2),
+      c2 AS (SELECT pair, count(*) AS c2 FROM bg GROUP BY pair),
+      c1 AS (SELECT split_part(pair, ' ', 1) AS w1, sum(c2) AS c1
+             FROM c2 GROUP BY 1),
+      terms AS (
+        SELECT bg.doc_id,
+               CAST(round(-ln(CAST(c2.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE)), 6)
+                 AS DECIMAL(18,6)) AS term
+        FROM bg JOIN c2 USING (pair)
+                JOIN c1 ON split_part(bg.pair, ' ', 1) = c1.w1)
+      SELECT doc_id, count(*) AS n_bigrams,
+             round(CAST(sum(term) AS DOUBLE) / count(*), 6) AS avg_nll
+      FROM terms GROUP BY doc_id ORDER BY doc_id"""
   )
 }
 
