@@ -26,6 +26,8 @@ object SparkEntry {
           graft.similarity.AnnLsh.query(s, dir)),
         "q_ann_pq" -> ((s: SparkSession, dir: String) =>
           graft.similarity.AnnPq.query(s, dir)),
+        "q_ann_ivfpq" -> ((s: SparkSession, dir: String) =>
+          graft.similarity.AnnIvfPq.query(s, dir)),
         "q_bpe_encode" -> (graft.functions.Bpe.query _),
         "q_multimodal_features" -> (graft.multimodal.MediaPipeline.query _),
         "q_binaryfile_meta" -> (graft.multimodal.MediaPipeline.metaQuery _),

@@ -43,11 +43,15 @@ object AnnPq {
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
-  /** Unit-normalize, then explode into (vec_id, m, sv) long form; dim must
-    * divide evenly into M subspaces (the fixture dim 64 → 8×8). */
-  private def subvectors(e: DataFrame): DataFrame = {
-    val norm = sqrt(dot(col("emb"), col("emb")))
-    val nemb = transform(col("emb"), x => x / norm)
+  /** Unit-normalize (optional — IVFPQ feeds pre-centered residuals), then
+    * explode into (vec_id, m, sv) long form; dim must divide evenly into
+    * M subspaces (the fixture dim 64 → 8×8). */
+  private[similarity] def subvectorsOf(e: DataFrame, normalize: Boolean): DataFrame = {
+    val nemb =
+      if (normalize) {
+        val norm = sqrt(dot(col("emb"), col("emb")))
+        transform(col("emb"), x => x / norm)
+      } else col("emb")
     e.select(col("vec_id"), nemb.as("nemb"),
         (size(col("emb")) / M).cast("int").as("sd"))
       .select(col("vec_id"), col("nemb"), col("sd"),
@@ -55,6 +59,8 @@ object AnnPq {
       .select(col("vec_id"), col("m"),
         slice(col("nemb"), col("m") * col("sd") + 1, col("sd")).as("sv"))
   }
+
+  private def subvectors(e: DataFrame): DataFrame = subvectorsOf(e, normalize = true)
 
   /** Nearest codeword per (vec_id, m): L2 argmin over the codebook as a
     * tight primitive-loop kernel. The codebook is BOUNDED (≤ M·256 rows ·
@@ -96,7 +102,7 @@ object AnnPq {
     }
   }
 
-  private def encode(sv: DataFrame, cbDf: DataFrame): DataFrame = {
+  private[similarity] def encode(sv: DataFrame, cbDf: DataFrame): DataFrame = {
     val kernel = encodeUdf(collectCodebook(cbDf))
     sv.select(col("vec_id"), col("m"),
       kernel(col("m"), col("sv")).as("code"))
