@@ -133,6 +133,20 @@ object LayoutOps {
         money(sum(dec(col("o_totalprice")))).as("sum_price"))
     },
 
+    // Two-phase exact distinct: groupBy(key, value) THEN count per key —
+    // the shape that replaces COUNT(DISTINCT) at 100 TB. A single-phase
+    // distinct aggregation ships every (key, value) pair to the key's
+    // one reducer (hot keys melt it); phase 1 here dedups on the
+    // COMPOSITE key, spreading a hot key's values across all reducers,
+    // and phase 2 is a partial-aggregable count. Result provably equals
+    // the built-in (the oracle IS count(distinct)).
+    "q_twophase_distinct" -> { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"), col("user_id")).distinct()
+        .groupBy("event_type").agg(count(lit(1)).as("nd_users"))
+        .orderBy("event_type")
+    },
+
     // Count-min sketch heavy hitters: 3×4096 counters vs exact top-20.
     "q_cms_topk" -> { (s, dir) =>
       val tf = t(s, dir, "documents")
@@ -171,6 +185,10 @@ object LayoutOps {
       SELECT CAST(len(bin(cnt)) AS INT) AS bucket, count(*) AS n_keys,
              CAST(sum(cnt) AS BIGINT) AS n_rows, max(cnt) AS max_cnt
       FROM kc GROUP BY 1 ORDER BY 1""",
+
+    "q_twophase_distinct" -> """
+      SELECT event_type, count(DISTINCT user_id) AS nd_users
+      FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q_reservoir_sample" -> """
       WITH r AS (

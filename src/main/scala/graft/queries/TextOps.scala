@@ -594,6 +594,29 @@ object TextOps {
         .limit(20)
     },
 
+    // Charset profile: per-(lang, source) character-class composition —
+    // the encoding-sanity signal (mojibake / OCR garbage shows up as a
+    // non-alnum spike). Class counts via length-difference after a
+    // global regexp strip (identical POSIX classes in both engines);
+    // ratios from exact integer sums, rounded at the end. Pure map-side
+    // projection + one small agg.
+    "q_charset_profile" -> { (s, dir) =>
+      val alnum = length(col("text")) -
+        length(regexp_replace(col("text"), "[a-zA-Z0-9]", ""))
+      val space = length(col("text")) -
+        length(regexp_replace(col("text"), "[ ]", ""))
+      t(s, dir, "documents")
+        .select(col("lang"), col("source"), length(col("text")).as("n"),
+          alnum.as("na"), space.as("ns"))
+        .groupBy("lang", "source")
+        .agg(sum(col("n").cast("long")).as("chars"),
+          round(sum(col("na").cast("long")).cast("double")
+            / sum(col("n").cast("long")), 6).as("alnum_ratio"),
+          round(sum(col("ns").cast("long")).cast("double")
+            / sum(col("n").cast("long")), 6).as("space_ratio"))
+        .orderBy("lang", "source")
+    },
+
     // Bigram language-model scoring (the CCNet-style perplexity-proxy
     // quality filter): per-doc mean negative log P(w2|w1) under the
     // corpus's own bigram MLE. Two vocab-keyed aggregations build the
@@ -1011,6 +1034,17 @@ object TextOps {
             FROM w2, LATERAL (SELECT unnest(range(1, len(w))) AS i))
       SELECT pair, CAST(count(*) AS BIGINT) AS cnt
       FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""",
+
+    "q_charset_profile" -> """
+      WITH c AS (
+        SELECT lang, source, len(text) AS n,
+               len(text) - len(regexp_replace(text, '[a-zA-Z0-9]', '', 'g')) AS na,
+               len(text) - len(regexp_replace(text, '[ ]', '', 'g')) AS ns
+        FROM documents)
+      SELECT lang, source, CAST(sum(n) AS BIGINT) AS chars,
+             round(CAST(sum(na) AS DOUBLE) / sum(n), 6) AS alnum_ratio,
+             round(CAST(sum(ns) AS DOUBLE) / sum(n), 6) AS space_ratio
+      FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_bigram_lm" -> """
       WITH toks AS (
