@@ -120,6 +120,26 @@ object SimilarityOps {
         .groupBy("label", "dim")
         .agg(round(avg("x"), 6).as("mean_x"), count(lit(1)).as("n_vecs"))
         .orderBy("label", "dim")
+    },
+
+    // Embedding-health profile: per-label L2-norm stats — the drift /
+    // degenerate-vector monitor every embedding pipeline runs before
+    // indexing (zero or exploding norms break cosine ranking). Norms
+    // are rounded per row, then min/max are exact and the mean uses the
+    // decimal-sum canon. Map-side projection + one small agg.
+    "q_norm_stats" -> { (s, dir) =>
+      val nrm = round(sqrt(aggregate(
+        transform(col("embedding").cast("array<double>"), x => x * x),
+        lit(0.0), (a, v) => a + v)), 6)
+      t(s, dir, "embeddings")
+        .select(col("label"), nrm.as("nrm"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(min("nrm"), 6).as("min_norm"),
+          round(max("nrm"), 6).as("max_norm"),
+          avg6(sum(col("nrm").cast("decimal(18,6)")), count(lit(1)))
+            .as("avg_norm"))
+        .orderBy("label")
     }
   )
 
@@ -173,6 +193,19 @@ object SimilarityOps {
             FROM (SELECT label, emb, generate_subscripts(emb, 1) AS i FROM e))
       SELECT label, dim, round(avg(x), 6) AS mean_x,
              CAST(count(*) AS BIGINT) AS n_vecs
-      FROM x GROUP BY 1, 2 ORDER BY 1, 2"""
+      FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_norm_stats" -> """
+      WITH e AS (
+        SELECT label,
+               round(sqrt(list_sum(list_transform(
+                 CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS nrm
+        FROM embeddings)
+      SELECT label, count(*) AS n_vecs,
+             round(min(nrm), 6) AS min_norm,
+             round(max(nrm), 6) AS max_norm,
+             round(CAST(sum(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(*), 6) AS avg_norm
+      FROM e GROUP BY label ORDER BY label"""
   )
 }
