@@ -133,6 +133,38 @@ object LayoutOps {
         money(sum(dec(col("o_totalprice")))).as("sum_price"))
     },
 
+    // MERGE / upsert as a relational plan (the Delta-MERGE semantics,
+    // engine-native): a deterministic delta — updates for keys ≡ 0
+    // (mod 10), inserts keyed past the base max — full-outer-joins the
+    // base on the key; matched rows take the delta's values, unmatched
+    // keep the base, insert-only rows appear. One shuffle join on the
+    // merge key + the verification agg; at 100 TB this is exactly the
+    // shuffle MERGE INTO plans to, and partition-pruning the base to
+    // touched partitions is the standard refinement. Output = per-status
+    // row/price stats of the merged table (proves update, keep, and
+    // insert paths all landed).
+    "q_merge_upsert" -> { (s, dir) =>
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          col("o_totalprice").as("price"))
+      val maxK = base.agg(max("k").as("maxk"))
+      val updates = base.filter(col("k") % 10 === 0)
+        .select(col("k"), lit("U").as("st"), (col("price") + 100.0).as("price"))
+      val inserts = base.filter(col("k") % 97 === 0).crossJoin(maxK)
+        .select((col("k") + col("maxk")).as("k"), lit("I").as("st"),
+          lit(1.0).as("price"))
+      val delta = updates.unionByName(inserts)
+      val merged = base.as("b")
+        .join(delta.as("d"), col("b.k") === col("d.k"), "full_outer")
+        .select(
+          coalesce(col("d.k"), col("b.k")).as("k"),
+          coalesce(col("d.st"), col("b.st")).as("st"),
+          coalesce(col("d.price"), col("b.price")).as("price"))
+      merged.groupBy("st")
+        .agg(count(lit(1)).as("n"), money(sum(dec(col("price")))).as("total"))
+        .orderBy("st")
+    },
+
     // Two-phase exact distinct: groupBy(key, value) THEN count per key —
     // the shape that replaces COUNT(DISTINCT) at 100 TB. A single-phase
     // distinct aggregation ships every (key, value) pair to the key's
@@ -189,6 +221,24 @@ object LayoutOps {
     "q_twophase_distinct" -> """
       SELECT event_type, count(DISTINCT user_id) AS nd_users
       FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_merge_upsert" -> """
+      WITH base AS (
+        SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS price
+        FROM orders),
+      mk AS (SELECT max(k) AS maxk FROM base),
+      delta AS (
+        SELECT k, 'U' AS st, price + 100.0 AS price FROM base WHERE k % 10 = 0
+        UNION ALL
+        SELECT k + mk.maxk, 'I', 1.0 FROM base, mk WHERE k % 97 = 0),
+      merged AS (
+        SELECT coalesce(d.k, b.k) AS k, coalesce(d.st, b.st) AS st,
+               coalesce(d.price, b.price) AS price
+        FROM base b FULL OUTER JOIN delta d ON b.k = d.k)
+      SELECT st, count(*) AS n,
+             CAST(round(sum(CAST(price AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS total
+      FROM merged GROUP BY st ORDER BY st""",
 
     "q_reservoir_sample" -> """
       WITH r AS (
