@@ -17,7 +17,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo("graft", null, "graft_cosine",
-        "graft_cosine(a, b) - cosine similarity of two double arrays", ""),
+        "graft_cosine(a, b) - cosine similarity of two double arrays",
+        "", "", "", "", "", "", ""),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarity(children(0), children(1))))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

@@ -14,7 +14,7 @@ object FunctionAccess {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     classic.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier(name),
-      new ExpressionInfo("graft", null, name, usage, ""),
+      new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", ""),
       builder)
   }
 }
