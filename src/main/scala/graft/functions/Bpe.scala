@@ -43,23 +43,72 @@ object Bpe {
     syms
   }
 
-  /** Learn a ranked merge list: the top-N adjacent character pairs by
-    * corpus frequency (count desc, pair asc — the q_bpe_merges ordering).
-    * One aggregation job; the result is bounded at N rows (driver-held
-    * by design, like the tuner's bounded metrics summary). */
-  def learnMerges(docs: DataFrame, n: Int): Vector[(String, String)] =
-    docs
+  /** One left-to-right non-overlapping pass fusing every adjacent
+    * occurrence of `p` — the training-side merge application (Sennrich
+    * et al., ACL 2016, Algorithm 1). */
+  private def applyMerge(syms: Vector[String], p: (String, String)): Vector[String] = {
+    val b = Vector.newBuilder[String]
+    var j = 0
+    while (j < syms.length) {
+      if (j < syms.length - 1 && syms(j) == p._1 && syms(j + 1) == p._2) {
+        b += syms(j) + syms(j + 1); j += 2
+      } else { b += syms(j); j += 1 }
+    }
+    b.result()
+  }
+
+  /** Learn a ranked merge list with the ITERATIVE Sennrich procedure:
+    * aggregate the corpus once into a bounded word-frequency vocabulary
+    * (count desc, word asc, capped at `vocabCap` — BPE statistics are
+    * vocabulary-shaped, so the corpus-sized scan happens exactly once
+    * and the merge loop runs over ≤ vocabCap tiny symbol sequences
+    * driver-side, the shape every public BPE trainer uses), then
+    * repeatedly: count adjacent symbol pairs weighted by word frequency,
+    * record the most frequent pair (count desc, pair asc), and fuse it
+    * in every word before re-counting. Because later rounds count pairs
+    * over the MERGED sequences, higher-level ranks like ("ab","c")
+    * exist, and [[encode]]'s fixpoint can compose merges — the round-7
+    * single-pass learner could only ever rank character-level pairs,
+    * capping encode at one merge round (ADVICE r7). */
+  def learnMerges(docs: DataFrame, n: Int,
+      vocabCap: Int = 50000): Vector[(String, String)] = {
+    var words: Array[(Vector[String], Long)] = docs
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
-        .as("pair"))
-      .groupBy("pair").agg(count(lit(1)).as("cnt"))
-      .orderBy(desc("cnt"), asc("pair"))
-      .limit(n)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("w"))
+      .limit(vocabCap)
       .collect()
-      .map(r => (r.getString(0).substring(0, 1), r.getString(0).substring(1, 2)))
-      .toVector
+      .map(r => (r.getString(0).map(_.toString).toVector, r.getLong(1)))
+    val out = Vector.newBuilder[(String, String)]
+    var i = 0
+    var exhausted = false
+    while (i < n && !exhausted) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var j = 0
+        while (j < syms.length - 1) {
+          val p = (syms(j), syms(j + 1))
+          counts(p) = counts.getOrElse(p, 0L) + c
+          j += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val best = counts.toSeq
+          .map { case ((a, b), c) => (-c, a, b) }.min match {
+            case (_, a, b) => (a, b)
+          }
+        out += best
+        // Fully-merged single-symbol words stop contributing pairs;
+        // dropping them keeps later rounds proportional to live vocab.
+        words = words.map { case (syms, c) => (applyMerge(syms, best), c) }
+          .filter(_._1.length >= 2)
+      }
+      i += 1
+    }
+    out.result()
+  }
 
   /** Registry query: learn 50 merges, encode every word, report per-lang
     * compression (symbols/word vs chars/word) and total symbol count.

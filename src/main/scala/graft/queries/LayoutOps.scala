@@ -35,7 +35,11 @@ object LayoutOps {
   type Q = (SparkSession, String) => DataFrame
 
   /** Spread the low 16 bits of `c` into the even bit positions (Morton
-    * "part1by1" magic-number spread — public-domain bit-twiddling hack). */
+    * "part1by1" magic-number spread — public-domain bit-twiddling hack).
+    * Callers must hand in values already in [0, 65535]: the mask makes
+    * out-of-domain keys alias NON-locally (k and k+65536 collide, so a
+    * cell's min/max rectangle spans the whole table and the pruning
+    * guarantee silently dies). [[zorderCells]] quantizes first. */
   private def part1by1(c: Column): Column = {
     val m0 = c.cast("long").bitwiseAND(lit(65535L))
     val m1 = m0.bitwiseOR(shiftleft(m0, 8)).bitwiseAND(lit(16711935L))
@@ -44,9 +48,40 @@ object LayoutOps {
     m3.bitwiseOR(shiftleft(m3, 1)).bitwiseAND(lit(1431655765L))
   }
 
-  /** 32-bit Morton key: x in even bits, y in odd bits. */
+  /** 32-bit Morton key: x in even bits, y in odd bits. Inputs must be in
+    * [0, 65535] — see [[part1by1]]; use [[zorderCells]] / [[quant16Sql]]
+    * for unbounded key domains. */
   def zorder(x: Column, y: Column): Column =
     part1by1(x).bitwiseOR(shiftleft(part1by1(y), 1))
+
+  /** Linear 16-bit quantizer as a Spark SQL string: bucket =
+    * v * 65536 div (max+1), integer-exact (BIGINT in, BIGINT out).
+    * Injective while max < 65536 (scale ≥ 1); past that, only ADJACENT
+    * keys share a bucket, so each Morton cell's per-dimension min/max
+    * rectangle stays bounded by 256 * ceil((max+1)/65536) raw values —
+    * the locality-preserving degradation the bare mask lacks. */
+  private def quant16Sql(colName: String, maxPlus1: Long): String =
+    s"((CAST($colName AS BIGINT) * 65536) DIV $maxPlus1)"
+
+  /** q_zorder_key core, factored for spec reuse on synthetic domains:
+    * per-cell row counts and raw-dimension bounds of the quantized
+    * Morton layout key over (l_partkey, l_suppkey). The 1-row max agg
+    * that feeds the quantizer is parquet-footer work at 100 TB (column
+    * stats), not a second data pass. */
+  def zorderCells(li: DataFrame): DataFrame = {
+    val mx = li.agg(max(col("l_partkey").cast("long")),
+      max(col("l_suppkey").cast("long"))).first()
+    val (mp1, ms1) = (mx.getLong(0) + 1L, mx.getLong(1) + 1L)
+    val z = zorder(expr(quant16Sql("l_partkey", mp1)),
+      expr(quant16Sql("l_suppkey", ms1)))
+    li.select(col("l_partkey"), col("l_suppkey"),
+        shiftright(z, 16).as("cell"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_rows"),
+        min("l_partkey").as("min_part"), max("l_partkey").as("max_part"),
+        min("l_suppkey").as("min_supp"), max("l_suppkey").as("max_supp"))
+      .orderBy("cell")
+  }
 
   /** The same part1by1 spread as a SQL string (DuckDB + Spark SQL agree on
     * `&`, `|`, `<<` over BIGINT; everything fully parenthesized). */
@@ -77,17 +112,7 @@ object LayoutOps {
     // Z-order layout key over (l_partkey, l_suppkey): per-2^16-cell row
     // counts and dim bounds. The bounded min/max rectangles are what
     // file-level stats pruning consumes after a ZORDER rewrite.
-    "q_zorder_key" -> { (s, dir) =>
-      val z = zorder(col("l_partkey"), col("l_suppkey"))
-      t(s, dir, "lineitem")
-        .select(col("l_partkey"), col("l_suppkey"),
-          shiftright(z, 16).as("cell"))
-        .groupBy("cell")
-        .agg(count(lit(1)).as("n_rows"),
-          min("l_partkey").as("min_part"), max("l_partkey").as("max_part"),
-          min("l_suppkey").as("min_supp"), max("l_suppkey").as("max_supp"))
-        .orderBy("cell")
-    },
+    "q_zorder_key" -> { (s, dir) => zorderCells(t(s, dir, "lineitem")) },
 
     // Key-frequency histogram: bucket = bit-length of the per-key row
     // count (integer-exact in both engines via bin(); no float log2).
@@ -205,12 +230,21 @@ object LayoutOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // mx MATERIALIZED: the quantizer constants appear ~30× inside the
+    // expanded part1by1 strings, and DuckDB re-inlines plain CTEs per
+    // reference (BENCH_NOTES round-7 methodology note). `//` is DuckDB's
+    // integer division (Spark side says DIV — Spark never parses this).
     "q_zorder_key" -> s"""
-      SELECT (${sqlZorder("l_partkey", "l_suppkey")} >> 16) AS cell,
+      WITH mx AS MATERIALIZED (
+        SELECT CAST(max(l_partkey) + 1 AS BIGINT) AS mp,
+               CAST(max(l_suppkey) + 1 AS BIGINT) AS ms
+        FROM lineitem)
+      SELECT (${sqlZorder("((CAST(l_partkey AS BIGINT) * 65536) // mp)",
+        "((CAST(l_suppkey AS BIGINT) * 65536) // ms)")} >> 16) AS cell,
              count(*) AS n_rows,
              min(l_partkey) AS min_part, max(l_partkey) AS max_part,
              min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
-      FROM lineitem GROUP BY 1 ORDER BY 1""",
+      FROM lineitem, mx GROUP BY 1 ORDER BY 1""",
 
     "q_key_skew" -> """
       WITH kc AS (SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1)

@@ -165,11 +165,18 @@ object AnnPq {
     graft.core.IndexManifest.verify(s, indexDir,
       Map("family" -> "pq-adc"), "AnnPq.append")
     val cb = s.read.parquet(s"$indexDir/codebook")
-    encode(subvectors(newVecs), cb)
-      .write.mode("append").parquet(s"$indexDir/codes")
+    // Vectors BEFORE codes: every shortlist candidate originates from the
+    // codes table and is inner-joined back to vectors for the exact
+    // rerank, so an orphan vector row (crash after the first write) is
+    // unreachable and harmless — but an orphan CODE row would enter the
+    // ADC shortlist and then be silently dropped by the rerank join,
+    // degrading top-k quality with no error. This is the two-table
+    // analogue of the sibling families' manifest-last canon.
     val norm = sqrt(dot(col("emb"), col("emb")))
     newVecs.select(col("vec_id"), transform(col("emb"), x => x / norm).as("nemb"))
       .write.mode("append").parquet(s"$indexDir/vectors")
+    encode(subvectors(newVecs), cb)
+      .write.mode("append").parquet(s"$indexDir/codes")
   }
 
   /** ADC search: LUT join + partial-agg score sum + exact rerank of the

@@ -33,21 +33,59 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("learned merges compose: higher-level ranks exist and apply") {
+    import spark.implicits._
+    // "aaab" ×3: round 1 fuses (a,a) [weight 6]; round 2 fuses (a,b)
+    // [tie at 3 with (aa,a), pair-asc breaks it]; round 3 fuses the
+    // SECOND-LEVEL pair (aa,ab) — exactly the rank class the round-7
+    // single-pass learner could never produce (ADVICE r7).
+    val docs = Seq("aaab aaab aaab").toDF("text")
+    val merges = Bpe.learnMerges(docs, 50)
+    assert(merges == Vector(("a", "a"), ("a", "b"), ("aa", "ab")))
+    val ranks = merges.zipWithIndex.toMap
+    assert(Bpe.encode("aaab", ranks) == Vector("aaab"),
+      "encode must compose all three merge levels down to one symbol")
+    // Compression below the single-round floor of 0.5 proves iteration.
+    assert(Bpe.encode("aaab", ranks).length.toDouble / 4 < 0.5)
+  }
+
   test("q_bpe_encode equals an independent driver-side recomputation") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("lang", "text").collect()
       .map(r => (r.getString(0), r.getString(1)))
-    // Independent merge learning: adjacent char pairs of words (len>=2),
-    // count desc then pair asc, top 50.
-    val pairCounts = scala.collection.mutable.Map.empty[String, Long]
+    // Independent ITERATIVE merge learning (plain Scala collections,
+    // sharing no code with the operator): word-frequency vocab, then 50
+    // rounds of count-adjacent-pairs (weighted by word frequency) →
+    // pick (count desc, pair asc) → fuse left-to-right non-overlapping.
+    val wordCounts = scala.collection.mutable.Map.empty[String, Long]
     docs.foreach { case (_, text) =>
       text.split(" ").filter(_.length >= 2).foreach { w =>
-        w.sliding(2).foreach(p => pairCounts(p) = pairCounts.getOrElse(p, 0L) + 1)
+        wordCounts(w) = wordCounts.getOrElse(w, 0L) + 1
       }
     }
-    val ranks = pairCounts.toSeq.sortBy { case (p, c) => (-c, p) }.take(50)
-      .zipWithIndex.map { case ((p, _), i) =>
-        (p.substring(0, 1), p.substring(1, 2)) -> i }.toMap
+    var vocab = wordCounts.toSeq.sortBy { case (w, c) => (-c, w) }
+      .map { case (w, c) => (w.map(_.toString).toList, c) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    while (round < 50 && vocab.nonEmpty) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        syms.zip(syms.tail).foreach(p => pc(p) = pc.getOrElse(p, 0L) + c)
+      }
+      if (pc.nonEmpty) {
+        val best = pc.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.head._1
+        merges += best
+        def fuse(l: List[String]): List[String] = l match {
+          case a :: b :: rest if (a, b) == best => (a + b) :: fuse(rest)
+          case a :: rest => a :: fuse(rest)
+          case Nil => Nil
+        }
+        vocab = vocab.map { case (s, c) => (fuse(s), c) }
+          .filter(_._1.length >= 2)
+      }
+      round += 1
+    }
+    val ranks = merges.zipWithIndex.toMap
     // Independent greedy encoder (recursive, not the while-loop under test).
     def enc(syms: Vector[String]): Vector[String] = {
       val cands = syms.indices.dropRight(1)

@@ -6,10 +6,13 @@ import graft.queries.{GraphOps, LayoutOps}
 /** Invariants for the layout/profiling and graph operators (sf0.001).
   *
   * q_zorder_key: a cell is 16 z-bits = an 8-bit-per-dimension tile, so
-  * within every cell both dimension ranges must span < 256 — the tight
-  * min/max rectangles that make file-stats pruning work after a Z-order
-  * rewrite. Also: the Morton key must be injective on the (part, supp)
-  * domain (16-bit × 16-bit → distinct keys).
+  * within every cell both dimension ranges must span at most
+  * 256 * ceil((max+1)/65536) raw values — with the round-8 max-scaled
+  * quantizer that bound holds on ANY key domain (beyond 16 bits only
+  * adjacent keys alias), where the old bare mask let k and k+65536
+  * collide and unbounded the rectangles (ADVICE r7). At sub-16-bit
+  * domains the quantizer scale is ≥ 1, so the tile bound reduces to the
+  * original < 256 and the raw Morton key stays injective.
   *
   * q_cms_topk: count-min error is one-sided — est ≥ exact on every row.
   *
@@ -44,6 +47,29 @@ class LayoutGraphSpec extends SparkSpec {
     val nKeys = li.select(LayoutOps.zorder(col("l_partkey"), col("l_suppkey")))
       .distinct().count()
     assert(nKeys == li.count(), "Morton key must be injective on 16-bit dims")
+  }
+
+  test("zorder cells stay bounded rectangles past the 16-bit key domain") {
+    import spark.implicits._
+    // Keys far beyond 65535: under the old bare mask, k and k+65536
+    // collide into the same cell and a cell's min/max rectangle spans
+    // ~the whole domain; the max-scaled quantizer instead aliases only
+    // ADJACENT keys, keeping every cell inside the documented bound.
+    val big = spark.range(0, 60000)
+      .select((col("id") * 7 % 300000).as("l_partkey"),
+        (col("id") * 13 % 250000).as("l_suppkey"))
+    val out = LayoutOps.zorderCells(big).collect()
+    assert(out.length > 1)
+    val (mp1, ms1) = (big.agg(max("l_partkey")).head.getLong(0) + 1,
+      big.agg(max("l_suppkey")).head.getLong(0) + 1)
+    val boundP = 256L * ((mp1 + 65535) / 65536)
+    val boundS = 256L * ((ms1 + 65535) / 65536)
+    out.foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) <= boundP,
+        s"part rectangle leaked past the quantized tile bound $boundP: $r")
+      assert(r.getLong(5) - r.getLong(4) <= boundS,
+        s"supp rectangle leaked past the quantized tile bound $boundS: $r")
+    }
   }
 
   test("count-min estimates never undercount") {
