@@ -44,6 +44,7 @@ object SparkEntry {
       SimilarityOps.oracle ++ EventOps.oracle ++ UdfOps.oracle ++
       LayoutOps.oracle ++ GraphOps.oracle ++
       graft.streaming.StreamingOps.oracle ++ graft.sources.Formats.oracle ++
+      GoldenOracles.oracle ++
       Map("q_binaryfile_meta" -> graft.multimodal.MediaPipeline.metaOracle,
         "q_salted_join" -> graft.operators.SaltedJoin.oracle,
         "q_bucketed_join" -> graft.operators.BucketedJoin.oracle,
