@@ -18,7 +18,15 @@ object Bench {
     "q32_cosine_topk",     // similarity search
     "q34_sessionization",  // sessionization windows
     "q43_minhash_lsh",     // minhash LSH dedup (scale path)
-    "q_simhash",           // simhash fingerprints
+    "q_simhash")           // simhash fingerprints
+
+  /** Harness-paced entries (VERDICT r7 item 5): timed and gated like the
+    * headline set — same interleaved passes, same regression tolerance —
+    * but reported under a separate "meta" section so the headline total
+    * stays a pure plan-quality number. q_tuner_loop is a 3-iteration
+    * driver loop with metrics-store IO; its ~2 s measures harness + tuner
+    * overhead, ~12% of the old total, and was diluting plan regressions. */
+  val metaSuite: Seq[String] = Seq(
     "q_tuner_loop")        // tuner record+recommend loop (3 runs of Q01)
 
   /** Second-scale-point suite (BENCH_NOTES.md): headline set minus the
@@ -74,7 +82,7 @@ object Bench {
     // are charged to warmup, not to whichever query happens to run first
     // (round-1 charged ~1.5 s of JIT to q01). See BENCH_NOTES.md. The
     // contract is ONE JSON line no matter what, so warmup is guarded too.
-    headline.foreach(run)
+    (headline ++ metaSuite).foreach(run)
 
     // Median of 3 timed passes per query: sub-second machine-load noise
     // was indistinguishable from real regressions in single-pass rounds
@@ -118,7 +126,12 @@ object Bench {
         n -> (if (ok.isEmpty) (-1.0, -1.0) else (ok(ok.length / 2), ok.head))
       }
     }
-    val results = suiteStats(headline) ++ {
+    // Meta entries ride in the SAME passes as the headline queries (one
+    // combined suite), so every per-query timing keeps the exact pass
+    // composition of earlier rounds — the split below is reporting only.
+    val combined = suiteStats(headline ++ metaSuite)
+    val metaResults = combined.filter { case (n, _) => metaSuite.contains(n) }
+    val results = combined.filterNot { case (n, _) => metaSuite.contains(n) } ++ {
       // AQE interaction record (BASELINE.md): two headline queries with
       // adaptive execution off, to expose what runtime re-planning buys.
       spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -135,10 +148,18 @@ object Bench {
     def fmt(d: Double): String =
       if (d < 0) "-1"
       else String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
-    val qs = results.map { case (k, (med, _)) => "\"" + k + "\":" + fmt(med) }
-      .mkString("{", ",", "}")
-    val qsMin = results.map { case (k, (_, mn)) => "\"" + k + "\":" + fmt(mn) }
-      .mkString("{", ",", "}")
+    def medObj(rs: Seq[(String, (Double, Double))]): String =
+      rs.map { case (k, (med, _)) => "\"" + k + "\":" + fmt(med) }
+        .mkString("{", ",", "}")
+    def minObj(rs: Seq[(String, (Double, Double))]): String =
+      rs.map { case (k, (_, mn)) => "\"" + k + "\":" + fmt(mn) }
+        .mkString("{", ",", "}")
+    val qs = medObj(results)
+    val qsMin = minObj(results)
+    val metaQs = medObj(metaResults)
+    val metaQsMin = minObj(metaResults)
+    // Plan-quality total only: meta entries are timed and gated per-query
+    // (gate_diff merges the sections) but stay out of the headline sum.
     val total = results.map(_._2._1).filter(_ >= 0).sum
 
     // Second scale point (~10× data, see graft.tools.ScaleData): timed
@@ -223,7 +244,7 @@ object Bench {
           s"""{"dir":"$scaleDir","factor":$factor,"base_sec":${obj(base)},"scaled_sec":${obj(big)},"exponents":$exps}""")
       }
     def jsonLine(scale: String) =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"reps":$REPS,"mode":"$MODE","sf":"$sfDir","scale":$scale}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"meta":$metaQs,"meta_min":$metaQsMin,"reps":$REPS,"mode":"$MODE","sf":"$sfDir","scale":$scale}"""
     val json = jsonLine(scaleJson)
     val jsonFull = jsonLine(scaleJsonFull)
     // Contract hardening (round-1 driver recorded parsed:null): stop Spark

@@ -136,12 +136,21 @@ def bench(bench_json):
     # in the report; the gate compares mins. Min-vs-median cross-basis
     # comparison would bias the diff, so fall back to medians unless both
     # rounds have the min map.
+    # Harness-paced entries (q_tuner_loop) report under a separate "meta"
+    # section since r8 so the headline total stays a pure plan-quality
+    # number — but they are timed in the same passes and gated with the
+    # same tolerance. Merging the sections here keeps the per-query diff
+    # continuous across the move (an entry leaving "queries" for "meta"
+    # must not read as "missing from current bench").
+    def merged(doc, key):
+        return {**(doc.get(key) or {}), **(doc.get("meta" + key[7:]) or {})} \
+            if key.startswith("queries") else (doc.get(key) or {})
     if prev.get("queries_min") and cur.get("queries_min"):
-        basis, prev_q, cur_q = ("queries_min", prev["queries_min"],
-                                cur["queries_min"])
+        basis, prev_q, cur_q = ("queries_min", merged(prev, "queries_min"),
+                                merged(cur, "queries_min"))
     else:
-        basis, prev_q, cur_q = ("queries", prev.get("queries") or {},
-                                cur.get("queries") or {})
+        basis, prev_q, cur_q = ("queries", merged(prev, "queries"),
+                                merged(cur, "queries"))
     regressions = []
     for q, t_prev in prev_q.items():
         t_cur = cur_q.get(q)
