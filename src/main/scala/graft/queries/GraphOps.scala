@@ -6,18 +6,30 @@ import graft.core.Tables._
 
 /** Graph and pairwise-comparison operators.
   *
-  * - `q_pagerank_parts`: fixed-iteration PageRank (d = 0.85, 5 power
-  *   iterations) over the part co-occurrence graph (parts sharing an
-  *   order, distinct directed edges both ways). Each iteration is one
-  *   shuffle join (contributions = rank/out-degree shipped along edges)
-  *   plus one partial-aggregable sum per destination — the classic
-  *   Pregel-as-SQL shape that scales: the edge list partitions on src,
-  *   the rank vector on node, and nothing is ever collected to the
-  *   driver (graph size N rides along as a 1-row cross-joined scalar).
-  *   The oracle unrolls the same five iterations as chained CTEs —
-  *   DuckDB forbids aggregates inside recursive CTEs, so unrolling IS
-  *   the honest SQL twin. Every node here has out-edges (undirected
-  *   construction), so there is no dangling-mass term.
+  * - `q_pagerank_parts`: delta-terminated PageRank (d = 0.85) over the
+  *   part co-occurrence graph (parts sharing an order, distinct directed
+  *   edges both ways). Each iteration is one shuffle join (contributions
+  *   = rank/out-degree shipped along edges) plus one partial-aggregable
+  *   sum per destination — the classic Pregel-as-SQL shape that scales:
+  *   the edge list partitions on src, the rank vector on node. The edge
+  *   list and rank snapshots materialize to parquet per round (the
+  *   DedupClusters lineage-truncation pattern — without it round k
+  *   replays rounds 0..k-1 and the loop goes quadratic); the driver
+  *   holds only the 1-row convergence scalar per round, never data.
+  *   Termination: stop after the first iteration whose max |Δrank|,
+  *   relative to the uniform rank 1/N (i.e. N·max|Δ|), drops below
+  *   [[PrEps]], else after [[PrMaxIter]] iterations; the executed count
+  *   is reported in the `iters` column. The delta is rounded to 9 dp
+  *   before the compare so both engines decide from the same grain
+  *   (cross-engine sum-order error is ~1e-15 relative, while successive
+  *   deltas shrink geometrically — a boundary collision needs the delta
+  *   within ~1e-12 of the threshold at exactly the stopping round).
+  *   The oracle unrolls [[PrMaxIter]] iterations as chained MATERIALIZED
+  *   CTEs with a per-iteration delta scalar and a CASE that picks the
+  *   first converged round — DuckDB forbids aggregates inside recursive
+  *   CTEs, so unrolling IS the honest SQL twin. Every node here has
+  *   out-edges (undirected construction), so there is no dangling-mass
+  *   term.
   * - `q_edit_distance`: blocked Levenshtein near-dup profile. All-pairs
   *   edit distance is O(n²·len²) and unrunnable at scale, so pairs are
   *   generated only within (lang, source) blocks over short docs
@@ -36,30 +48,54 @@ import graft.core.Tables._
 object GraphOps {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Convergence threshold on N·max|Δrank| (delta relative to the uniform
+    * rank). Shared by the Spark loop and the unrolled oracle. */
+  val PrEps = 0.001
+  /** Iteration cap; also the oracle's unroll depth, so the two always
+    * agree on the worst-case output. */
+  val PrMaxIter = 12
+
   val queries: Map[String, Q] = Map(
     "q_pagerank_parts" -> { (s, dir) =>
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val e = li.as("a")
+      val tmp = graft.core.TempDirs.create("graft-pr")
+      li.as("a")
         .join(li.as("b"), Seq("l_orderkey"))
         .where(col("a.l_partkey") =!= col("b.l_partkey"))
         .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
         .distinct()
-      val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
-      val nDf = deg.agg(count(lit(1)).cast("double").as("n"))
-      var r = deg.crossJoin(nDf)
-        .select(col("src").as("node"), (lit(1.0) / col("n")).as("rank"))
-      for (_ <- 1 to 5) {
-        val contrib = e
-          .join(deg, "src")
+        .write.mode("overwrite").parquet(s"$tmp/edges")
+      val e = s.read.parquet(s"$tmp/edges")
+      e.groupBy("src").agg(count(lit(1)).as("d"))
+        .write.mode("overwrite").parquet(s"$tmp/deg")
+      val deg = s.read.parquet(s"$tmp/deg")
+      val n = deg.count().toDouble
+      deg.select(col("src").as("node"), lit(1.0 / n).as("rank"))
+        .write.mode("overwrite").parquet(s"$tmp/iter=0")
+      var r = s.read.parquet(s"$tmp/iter=0")
+      var iter = 0
+      var deltaRel = Double.MaxValue
+      while (iter < PrMaxIter && deltaRel >= PrEps) {
+        e.join(deg, "src")
           .join(r, col("src") === col("node"))
           .select(col("dst"), (col("rank") / col("d")).as("c"))
-        r = contrib.groupBy("dst").agg(sum("c").as("m"))
-          .crossJoin(nDf)
+          .groupBy("dst").agg(sum("c").as("m"))
           .select(col("dst").as("node"),
-            (lit(0.15) / col("n") + lit(0.85) * col("m")).as("rank"))
+            (lit(0.15 / n) + lit(0.85) * col("m")).as("rank"))
+          .write.mode("overwrite").parquet(s"$tmp/iter=${iter + 1}")
+        val next = s.read.parquet(s"$tmp/iter=${iter + 1}")
+        val d = next.join(r.withColumnRenamed("rank", "prev"), "node")
+          .agg(max(abs(col("rank") - col("prev"))).as("delta"))
+          .head().getDouble(0)
+        deltaRel = math.round(d * n * 1e9) / 1e9
+        // The delta action above was the last reader of iter-1's snapshot.
+        if (iter >= 1) graft.core.TempDirs.delete(s"$tmp/iter=${iter - 1}")
+        r = next
+        iter += 1
       }
-      r.select(col("node"), round(col("rank"), 6).as("rank"))
+      r.select(col("node"), round(col("rank"), 6).as("rank"),
+          lit(iter).as("iters"))
         .orderBy(desc("rank"), asc("node"))
         .limit(20)
     },
@@ -125,18 +161,29 @@ object GraphOps {
 
   val oracle: Map[String, String] = Map(
     "q_pagerank_parts" -> {
-      // Five unrolled power iterations; rK is the rank vector after K.
-      val iters = (1 to 5).map { k =>
-        s"""r$k AS (
+      // PrMaxIter unrolled power iterations (rK = rank vector after K)
+      // each with its 1-row relative-delta scalar dK; `pick` selects the
+      // first converged round exactly like the Spark loop's early stop.
+      // Every rK is referenced up to three times (r(K+1), dK, the final
+      // union), so MATERIALIZED (a DuckDB-only hint; Spark never parses
+      // oracles) is what keeps the unroll linear instead of exponential.
+      val iters = (1 to PrMaxIter).map { k =>
+        s"""r$k AS MATERIALIZED (
           SELECT e.dst AS node,
                  0.15 / max(n.n) + 0.85 * sum(r${k - 1}.rank / deg.d) AS rank
           FROM e JOIN deg ON e.src = deg.src
                  JOIN r${k - 1} ON e.src = r${k - 1}.node, n
-          GROUP BY e.dst)"""
+          GROUP BY e.dst),
+      d$k AS (
+          SELECT round(max(abs(r$k.rank - r${k - 1}.rank)) * (SELECT n FROM n), 9) AS delta
+          FROM r$k JOIN r${k - 1} ON r$k.node = r${k - 1}.node)"""
       }.mkString(",\n      ")
-      // MATERIALIZED (a DuckDB-only hint; Spark never parses oracles)
-      // keeps the edge table from being re-inlined — and the self-join
-      // re-run — once per iteration reference.
+      val pickArms = (1 to PrMaxIter - 1).map { k =>
+        s"WHEN (SELECT delta FROM d$k) < $PrEps THEN $k"
+      }.mkString("\n        ")
+      val union = (1 to PrMaxIter).map { k =>
+        s"SELECT node, rank, $k AS k FROM r$k"
+      }.mkString("\n        UNION ALL ")
       s"""
       WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       e0 AS (
@@ -146,10 +193,16 @@ object GraphOps {
       e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0),
       deg AS MATERIALIZED (SELECT src, count(*) AS d FROM e GROUP BY src),
       n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
-      r0 AS (SELECT deg.src AS node, 1.0 / n.n AS rank FROM deg, n),
-      $iters
-      SELECT node, round(rank, 6) AS rank FROM r5
-      ORDER BY rank DESC, node LIMIT 20"""
+      r0 AS MATERIALIZED (SELECT deg.src AS node, 1.0 / n.n AS rank FROM deg, n),
+      $iters,
+      pick AS (SELECT CASE
+        $pickArms
+        ELSE $PrMaxIter END AS it),
+      ranks AS (
+        $union)
+      SELECT ranks.node, round(ranks.rank, 6) AS rank, pick.it AS iters
+      FROM ranks, pick WHERE ranks.k = pick.it
+      ORDER BY rank DESC, ranks.node LIMIT 20"""
     },
 
     "q_triangle_count" -> """

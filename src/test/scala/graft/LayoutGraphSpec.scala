@@ -101,6 +101,15 @@ class LayoutGraphSpec extends SparkSpec {
     assert(ranks.forall(r => r > 0 && r < 1))
     assert(ranks.sliding(2).forall(p => p(0) >= p(1)), "not descending")
     assert(ranks.sum <= 1.0 + 1e-6, "top-20 mass exceeds total rank mass")
+    // Delta termination actually fires: the well-mixed co-occurrence
+    // graph must converge strictly inside the iteration cap (at the cap
+    // the early stop would be dead code), and the executed count is
+    // reported uniformly.
+    val iters = out.map(_.getInt(2)).distinct
+    assert(iters.length == 1, s"iters column not uniform: ${iters.toSeq}")
+    assert(iters.head >= 1 && iters.head < GraphOps.PrMaxIter,
+      s"expected early convergence, got iters=${iters.head} " +
+        s"(cap ${GraphOps.PrMaxIter})")
   }
 
   test("edit-distance profile is internally consistent") {
