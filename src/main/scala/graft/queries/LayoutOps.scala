@@ -190,6 +190,37 @@ object LayoutOps {
         .orderBy("st")
     },
 
+    // Incremental rollup (materialized-view maintenance): the Q115 merge
+    // identity promoted to an operator. The MV is built from the initial
+    // load (even event_ids) as (day, event_type) partials — sum of exact
+    // decimals + count — and PERSISTED to parquet; a late-arriving delta
+    // (odd ids) then lands in the SAME groups, so the refresh is the real
+    // merge case: union of stored and delta partials, re-aggregated as
+    // sum-of-sums / sum-of-counts. At 100 TB this is how every rollup
+    // stays fresh — the refresh scans the delta plus the (tiny) partial
+    // table, never the base corpus; partial aggregation is the same
+    // identity applied per-partition. Decimal partials make the two-stage
+    // sum exactly equal the direct one, so the oracle IS the direct
+    // full-table aggregation.
+    "q_incr_rollup" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(date_trunc("day", col("ts")).as("day"), col("event_type"),
+          col("value"), col("event_id"))
+      def partial(df: DataFrame) =
+        df.groupBy("day", "event_type")
+          .agg(sum(dec(col("value"))).as("s"), count(lit(1)).as("c"))
+      val tmp = graft.core.TempDirs.create("graft-mv")
+      partial(ev.filter(col("event_id") % 2 === 0))
+        .write.mode("overwrite").parquet(s"$tmp/rollup")
+      val mv = s.read.parquet(s"$tmp/rollup")
+      mv.unionByName(partial(ev.filter(col("event_id") % 2 === 1)))
+        .groupBy("day", "event_type")
+        .agg(sum("s").as("s"), sum("c").as("c"))
+        .select(tsStr(col("day")).as("day"), col("event_type"),
+          money(col("s")).as("sum_value"), col("c").as("cnt"))
+        .orderBy("day", "event_type")
+    },
+
     // Two-phase exact distinct: groupBy(key, value) THEN count per key —
     // the shape that replaces COUNT(DISTINCT) at 100 TB. A single-phase
     // distinct aggregation ships every (key, value) pair to the key's
@@ -255,6 +286,15 @@ object LayoutOps {
     "q_twophase_distinct" -> """
       SELECT event_type, count(DISTINCT user_id) AS nd_users
       FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // The merge identity means the incremental path must equal the direct
+    // full aggregation — so the direct aggregation IS the oracle.
+    "q_incr_rollup" -> """
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day,
+             event_type,
+             CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_merge_upsert" -> """
       WITH base AS (
