@@ -32,23 +32,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamRows == batchRows)
   }
 
-  test("RocksDB state store: windowed agg state identical under the scale-tier provider") {
+  test("RocksDB matrix: every stateful query is provider-equivalent under the scale tier") {
     // HDFS-backed state (the default) holds every key in executor heap —
     // fine at spec scale, an OOM at 100 TB streaming state. RocksDB is
     // the provider a production deployment runs; a wrong provider class
     // fails query startup (no silent fallback), so green here proves the
-    // aggregation state really lived in RocksDB.
+    // state of EVERY stateful query — windowed/sliding/session aggs,
+    // dedup, arbitrary flatMapGroupsWithState, update-mode agg,
+    // watermark eviction, and both stream-stream join state layouts —
+    // really lived in RocksDB. Equivalence target is the default-provider
+    // run of the same query: the batch twins and the sf0.01 oracle gate
+    // already pin that side, so provider-equivalence transfers the full
+    // correctness argument to the scale tier. (q_stream_tws/_tws_map are
+    // RocksDB-only by API and covered below.)
+    val stateful = Seq(
+      "q38_stream_tumbling", "q39_stream_sliding", "q40_stream_session",
+      "q41_stream_dedup", "q42_stream_stateful", "q_stream_update",
+      "q_stream_late_drop", "q_stream_stream_join", "q_stream_join_left")
     val key = "spark.sql.streaming.stateStore.providerClass"
-    val before = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val streamRows = StreamingOps.q38(spark, sf).collect().toSeq
-      val batchRows = EventOps.queries("q35_hourly_buckets")(spark, sf).collect().toSeq
-      assert(streamRows == batchRows)
-    } finally before match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    stateful.foreach { name =>
+      val dflt = StreamingOps.queries(name)(spark, sf)
+        .collect().map(_.toString).toSeq
+      val before = spark.conf.getOption(key)
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val rocks =
+        try StreamingOps.queries(name)(spark, sf).collect().map(_.toString).toSeq
+        finally before match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+      assert(rocks == dflt, s"$name differs under the RocksDB provider")
     }
   }
 
