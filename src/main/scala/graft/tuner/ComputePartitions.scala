@@ -18,9 +18,26 @@ class ComputePartitions(conf: Map[String, String]) {
   private def confInt(key: String, default: Int): Int =
     conf.get(key).flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(default)
 
-  /** Cluster slots = cores × executors (reference :145-147, quirk Q1 fixed). */
-  def possibleConcurrentTasks(): Int =
-    confInt("spark.executor.cores", 1) * confInt("spark.executor.instances", 1)
+  /** Cluster slots = cores × executors (reference :145-147, quirk Q1
+    * fixed). Local mode has neither executor conf — its slot count is the
+    * `local[N]` thread count (`local[*]` = host cores, bare `local` = 1);
+    * without this the scan-tier slots bound collapses to 1 on exactly the
+    * sessions this library is tested on. Explicit executor confs win. */
+  def possibleConcurrentTasks(): Int = {
+    val explicit = conf.contains("spark.executor.cores") ||
+      conf.contains("spark.executor.instances")
+    conf.get("spark.master") match {
+      case Some(m) if m.trim.startsWith("local") && !explicit =>
+        val body = m.trim.stripPrefix("local")
+        if (body.isEmpty) 1
+        else body.stripPrefix("[").takeWhile(c => c != ']' && c != ',') match {
+          case "*" => Runtime.getRuntime.availableProcessors()
+          case n => scala.util.Try(n.toInt).toOption.filter(_ > 0).getOrElse(1)
+        }
+      case _ =>
+        confInt("spark.executor.cores", 1) * confInt("spark.executor.instances", 1)
+    }
+  }
 
   /** Task working memory in MB: execMem × memory.fraction × (1 −
     * storageFraction) / cores (reference :154-173; Spark 3/4 defaults
@@ -83,6 +100,30 @@ class ComputePartitions(conf: Map[String, String]) {
       } else {
         h.minBy(_.executorCpuTimeMs).numPartitionsUsed // best so far
       }
+  }
+
+  /** Scan-tier input-split recommendation (`spark.sql.files.maxPartitionBytes`)
+    * — the [[partitionsFloor]] memory math inverted onto the scan tier,
+    * which is the knob that matters most for a 100 TB read: the shuffle
+    * tier re-partitions whatever the scan produced, but split sizing
+    * decides the scan stage's task count and per-task memory up front.
+    * Bounds, tightest wins:
+    *   - memory: half the task working memory (parquet decompression and
+    *     vectorized-batch expansion need headroom past the on-disk split);
+    *   - first-wave parallelism: recorded scan input / cluster slots, so a
+    *     small input still fans out across every slot instead of idling
+    *     the cluster behind a few fat splits (pass 0 on a cold start —
+    *     no recorded scan — to use the memory bound alone);
+    *   - clamped to [4 MB, 1 GB]: below 4 MB (Spark's own openCostInBytes)
+    *     scheduling overhead dominates; above 1 GB single-task reads hit
+    *     2 GB buffer limits and straggle. */
+  def maxPartitionBytes(inputSizeMb: Double): Long = {
+    val byMemoryMb = taskMemoryMb() / 2
+    val bySlotsMb =
+      if (inputSizeMb <= 0) byMemoryMb
+      else inputSizeMb / possibleConcurrentTasks()
+    val mb = math.max(4.0, math.min(1024.0, math.min(byMemoryMb, bySlotsMb)))
+    math.round(mb * 1024 * 1024)
   }
 
   /** The reference's dead-code single-run policy (:76-98), kept as a

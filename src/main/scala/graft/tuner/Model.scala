@@ -74,6 +74,19 @@ object StageRunInfo {
         runs.flatMap(r => r.lift(idx)).toList
     }
 
+  /** The scan tier: the stage with the largest INPUT read (file bytes, not
+    * shuffle bytes), positionally aligned across runs like
+    * [[stagesWithMostExpensiveShuffle]] — the series that feeds the
+    * input-split recommendation (`spark.sql.files.maxPartitionBytes`). */
+  def scanStagesWithMostInput(runs: Seq[List[StageRunInfo]]): List[StageRunInfo] =
+    runs.headOption match {
+      case None => Nil
+      case Some(first) if first.isEmpty => Nil
+      case Some(first) =>
+        val idx = first.zipWithIndex.maxBy(_._1.inputSizeMb)._2
+        runs.flatMap(r => r.lift(idx)).toList
+    }
+
   /** The REDUCER side of the biggest shuffle (max bytes read), positionally
     * aligned across runs like [[stagesWithMostExpensiveShuffle]]. Its task
     * count is what AQE actually settled on after post-shuffle coalescing —

@@ -22,13 +22,25 @@ class Tuner(metricsRoot: String, appName: String) {
     new ComputePartitions(conf).fromStageMetricSharedCluster(target)
   }
 
-  /** Both parallelism knobs for the NEXT session's builder (SURVEY §7:
+  /** Scan-tier input-split recommendation from the recorded scan stage's
+    * input size (most recent run = current data size; cold start falls
+    * back to the memory bound alone). Runtime-settable like the shuffle
+    * knob — it re-plans the NEXT scan's FilePartitions. */
+  def recommendMaxPartitionBytes(spark: SparkSession): Long = {
+    val scans = StageRunInfo.scanStagesWithMostInput(store.history(spark))
+    new ComputePartitions(spark.conf.getAll)
+      .maxPartitionBytes(scans.lastOption.map(_.inputSizeMb).getOrElse(0.0))
+  }
+
+  /** All tuned knobs for the NEXT session's builder (SURVEY §7:
     * DataFrame shuffles obey spark.sql.shuffle.partitions, RDD jobs
-    * spark.default.parallelism — the tuner sets both; only the former is
-    * runtime-settable on a live session). */
+    * spark.default.parallelism — the tuner sets both; plus the scan-tier
+    * input-split size). */
   def recommendedConf(spark: SparkSession): Map[String, String] = {
     val p = recommendPartitions(spark).toString
-    Map("spark.sql.shuffle.partitions" -> p, "spark.default.parallelism" -> p)
+    Map("spark.sql.shuffle.partitions" -> p, "spark.default.parallelism" -> p,
+      "spark.sql.files.maxPartitionBytes" ->
+        recommendMaxPartitionBytes(spark).toString)
   }
 
   /** Apply recommendation to this session and return it. */
@@ -83,9 +95,15 @@ class Tuner(metricsRoot: String, appName: String) {
   def tuneAndRunTracked[T](spark: SparkSession)(body: => T): TunedRun[T] = {
     val history = store.history(spark)
     val target = StageRunInfo.stagesWithMostExpensiveShuffle(history)
-    val partitions =
-      new ComputePartitions(spark.conf.getAll).fromStageMetricSharedCluster(target)
+    val cp = new ComputePartitions(spark.conf.getAll)
+    val partitions = cp.fromStageMetricSharedCluster(target)
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    // Scan tier rides the same history read: split size from the biggest
+    // recorded input stage (cold start → memory bound alone).
+    val scans = StageRunInfo.scanStagesWithMostInput(history)
+    val splitBytes =
+      cp.maxPartitionBytes(scans.lastOption.map(_.inputSizeMb).getOrElse(0.0))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", splitBytes.toString)
     val runId = store.nextRunId(spark)
     val listener = new MetricsListener(runId)
     spark.sparkContext.addSparkListener(listener)
@@ -100,11 +118,12 @@ class Tuner(metricsRoot: String, appName: String) {
       val taskSnap = listener.taskRows
       store.persistRows(spark, stageSnap, taskSnap, runId)
       val recorded = StageRunInfo.assemble(stageSnap, taskSnap)
-      TunedRun(result, partitions, runId, history, recorded)
+      TunedRun(result, partitions, splitBytes, runId, history, recorded)
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 }
 
 /** One tracked tuning-loop step — see [[Tuner.tuneAndRunTracked]]. */
-case class TunedRun[T](result: T, partitions: Int, runId: Int,
-    priorHistory: List[List[StageRunInfo]], recorded: List[StageRunInfo])
+case class TunedRun[T](result: T, partitions: Int, maxPartitionBytes: Long,
+    runId: Int, priorHistory: List[List[StageRunInfo]],
+    recorded: List[StageRunInfo])

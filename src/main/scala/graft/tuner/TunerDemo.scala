@@ -9,14 +9,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * initial shuffle partition count; AQE refines it at runtime — and
   * because the tuner's history records post-AQE task counts, the
   * recommendation converges toward AQE's settle point instead of fighting
-  * it (asserted in TunerIntegrationSpec). Rows-only driver check (the
-  * decision table itself is oracle'd by ComputePartitionsSpec). */
+  * it (asserted in TunerIntegrationSpec). Also emits the scan-tier
+  * input-split recommendation (`spark.sql.files.maxPartitionBytes`, in
+  * MB) derived from the same history read — the knob that sizes a
+  * 100 TB scan's tasks. Rows-only driver check (the decision table
+  * itself is oracle'd by ComputePartitionsSpec). */
 object TunerDemo {
   def query(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tmp = graft.core.TempDirs.create("graft-tuner-demo")
     val tuner = new Tuner(tmp, "demo")
     val before = s.conf.get("spark.sql.shuffle.partitions")
+    val beforeSplit = s.conf.getOption("spark.sql.files.maxPartitionBytes")
     try {
       val runs = (0 until 3).map { _ =>
         tuner.tuneAndRunTracked(s) {
@@ -33,9 +37,17 @@ object TunerDemo {
         .reducersOfMostExpensiveShuffle(fullHistory)
         .map(_.numPartitionsUsed)
       runs.zipWithIndex.map { case (r, i) =>
-        (r.runId, r.partitions, settled.lift(i).getOrElse(-1))
-      }.toDF("run_id", "recommended_partitions", "aqe_settled_partitions")
+        (r.runId, r.partitions, settled.lift(i).getOrElse(-1),
+          math.round(r.maxPartitionBytes / (1024.0 * 1024.0)).toInt)
+      }.toDF("run_id", "recommended_partitions", "aqe_settled_partitions",
+          "recommended_split_mb")
         .orderBy("run_id")
-    } finally s.conf.set("spark.sql.shuffle.partitions", before)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", before)
+      beforeSplit match {
+        case Some(v) => s.conf.set("spark.sql.files.maxPartitionBytes", v)
+        case None => s.conf.unset("spark.sql.files.maxPartitionBytes")
+      }
+    }
   }
 }

@@ -153,10 +153,57 @@ class TunerIntegrationSpec extends SparkSpec {
     assert(tuner.store.nextRunId(spark) == 2)
   }
 
-  test("recommendedConf targets both parallelism knobs consistently") {
+  test("recommendedConf targets both parallelism knobs and the scan split size") {
     val tuner = new Tuner(Files.createTempDirectory("graft-conf").toString, "none")
     val conf = tuner.recommendedConf(spark)
-    assert(conf.keySet == Set("spark.sql.shuffle.partitions", "spark.default.parallelism"))
-    assert(conf.values.toSet.size == 1, "both knobs must carry the same recommendation")
+    assert(conf.keySet == Set("spark.sql.shuffle.partitions",
+      "spark.default.parallelism", "spark.sql.files.maxPartitionBytes"))
+    assert(conf("spark.sql.shuffle.partitions") == conf("spark.default.parallelism"),
+      "both parallelism knobs must carry the same recommendation")
+    val split = conf("spark.sql.files.maxPartitionBytes").toLong
+    assert(split >= 4L * 1024 * 1024 && split <= 1024L * 1024 * 1024,
+      s"split recommendation outside the [4MB, 1GB] clamp: $split")
+  }
+
+  test("input-split recommendation changes the scan stage's task count across runs") {
+    // The memory bound binds: 64m executor memory → task working memory
+    // 19.2 MB → 9.6 MB splits. The fixture below is bigger than one split
+    // but smaller than the 128 MB default, so the recommendation is what
+    // flips the scan from one task to several — the scan-tier analogue of
+    // the shuffle hill-climb, measurable as FilePartition counts.
+    val cp = new graft.tuner.ComputePartitions(Map("spark.executor.memory" -> "64m"))
+    val rec = cp.maxPartitionBytes(inputSizeMb = 100000.0)
+    assert(rec == math.round(9.6 * 1024 * 1024), s"unexpected recommendation $rec")
+    // Cold start (no recorded scan) must still recommend from memory alone,
+    // and a huge memory must clamp at 1 GB.
+    assert(cp.maxPartitionBytes(0.0) == rec)
+    assert(new graft.tuner.ComputePartitions(Map("spark.executor.memory" -> "512g"))
+      .maxPartitionBytes(1e9) == 1024L * 1024 * 1024)
+    // Tiny input across many slots clamps at the 4 MB floor (first-wave
+    // bound would make sub-openCost splits).
+    assert(new graft.tuner.ComputePartitions(Map(
+      "spark.executor.cores" -> "32", "spark.executor.instances" -> "4"))
+      .maxPartitionBytes(64.0) == 4L * 1024 * 1024)
+    val dir = Files.createTempDirectory("graft-split").toString
+    // ~20-30 MB of incompressible-ish parquet (md5 strings).
+    spark.range(1200000L)
+      .selectExpr("id", "md5(cast(id as string)) AS a",
+        "md5(cast(id + 7 as string)) AS b")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val key = "spark.sql.files.maxPartitionBytes"
+    val before = spark.conf.getOption(key)
+    def scanTasks(): Int = spark.read.parquet(dir).rdd.getNumPartitions
+    try {
+      spark.conf.set(key, (128L * 1024 * 1024).toString)
+      val defaultTasks = scanTasks()
+      spark.conf.set(key, rec.toString)
+      val tunedTasks = scanTasks()
+      assert(tunedTasks > defaultTasks,
+        s"recommendation $rec did not change scan task count " +
+          s"($defaultTasks -> $tunedTasks)")
+    } finally before match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 }
