@@ -19,11 +19,14 @@ object PlantedEmbeddings {
   val ClusterSize = 10
   val N: Int = NumClusters * ClusterSize
 
-  /** 500 planted vectors (vec_id = cluster·10 + member). */
-  def df(spark: SparkSession): DataFrame = {
+  /** Planted vectors (vec_id = cluster·10 + member). `numClusters` scales
+    * the corpus (the 10× scale-point recall case plants 500 clusters =
+    * 5000 vectors); draws are sequential from one seed, so the first 50
+    * clusters of every size agree with the default fixture. */
+  def df(spark: SparkSession, numClusters: Int = NumClusters): DataFrame = {
     import spark.implicits._
     val rng = new graft.core.Rng(0x9e1d5eedL)
-    val rows = (0 until NumClusters).flatMap { c =>
+    val rows = (0 until numClusters).flatMap { c =>
       val base = Array.fill(Dim)(rng.nextSignedUnit())
       (0 until ClusterSize).map { m =>
         ((c * ClusterSize + m).toLong, base.map(x => x + 0.06 * rng.nextSignedUnit()).toSeq)
@@ -32,21 +35,29 @@ object PlantedEmbeddings {
     rows.toDF("vec_id", "emb")
   }
 
-  /** One query per cluster for the first 10 clusters (member 0). */
-  def queries(e: DataFrame): DataFrame =
-    e.filter(col("vec_id") % ClusterSize === 0 && col("vec_id") < NumClusters * ClusterSize / 5)
+  /** One query (member 0) per cluster whose center id is below `maxQid`. */
+  def queries(e: DataFrame, maxQid: Long): DataFrame =
+    e.filter(col("vec_id") % ClusterSize === 0 && col("vec_id") < maxQid)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"))
 
-  /** Exact brute-force top-k ground truth for [[queries]]. */
-  def exactTopK(e: DataFrame, k: Int): Set[(Long, Long)] = {
+  /** One query per cluster for the first 10 clusters (member 0). */
+  def queries(e: DataFrame): DataFrame =
+    queries(e, NumClusters * ClusterSize / 5)
+
+  /** Exact brute-force top-k ground truth for the given query frame. */
+  def exactTopK(e: DataFrame, k: Int, q: DataFrame): Set[(Long, Long)] = {
     val w = Window.partitionBy("qid").orderBy(desc("cos_sim"), asc("cand_id"))
-    queries(e).join(e, col("vec_id") =!= col("qid"))
+    q.join(e, col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("cand_id"),
         graft.functions.CosineSimilarity.cosine(col("qemb"), col("emb")).as("cos_sim"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select("qid", "cand_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
   }
+
+  /** Exact brute-force top-k ground truth for [[queries]]. */
+  def exactTopK(e: DataFrame, k: Int): Set[(Long, Long)] =
+    exactTopK(e, k, queries(e))
 
   def recall(exact: Set[(Long, Long)], approx: Set[(Long, Long)]): Double =
     (exact intersect approx).size.toDouble / exact.size
