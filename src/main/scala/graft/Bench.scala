@@ -51,7 +51,10 @@ object Bench {
     // pipeline would run (BENCH_NOTES.md).
     "q_zorder_key", "q_key_skew", "q_cms_topk", "q_pagerank_parts",
     "q_triangle_count", "q_event_transitions", "q_decay_sum", "q_ann_pq",
-    "q_bigram_lm", "q_ann_ivfpq", "q_incr_rollup")
+    "q_bigram_lm", "q_ann_ivfpq", "q_incr_rollup",
+    // Round-8 profiling/sampling additions.
+    "q_posting_stats", "q_stratified_sample", "q_debounce_dedup",
+    "q_anomaly_zscore", "q_mad_outliers")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

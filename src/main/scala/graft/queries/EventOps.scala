@@ -174,6 +174,70 @@ object EventOps {
         .orderBy("event_type")
     },
 
+    // Daily-count anomaly flags: z-score of each day's per-type event
+    // count against the type's own daily series (mean + sample std), the
+    // monitoring pass that catches ingest spikes/outages. The daily table
+    // is days×types rows, so the stats agg and the join back are tiny and
+    // broadcast; the corpus is scanned once. Days beyond 2σ are emitted
+    // (σ = 0 series yield null z in both engines and drop out).
+    "q_anomaly_zscore" -> { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val stats = daily.groupBy("event_type")
+        .agg(avg("cnt").as("mu"), stddev_samp("cnt").as("sigma"))
+      daily.join(broadcast(stats), "event_type")
+        .filter(abs(col("cnt") - col("mu")) > lit(2.0) * col("sigma"))
+        .select(col("event_type"), tsStr(col("day")).as("day"), col("cnt"),
+          round((col("cnt") - col("mu")) / col("sigma"), 6).as("z"))
+        .orderBy("event_type", "day")
+    },
+
+    // Debounce dedup: an event is dropped when the SAME user fired the
+    // SAME type within the 5 preceding minutes — the log-dedup pass that
+    // kills double-clicks and retry storms before sessionization. One
+    // lag window on (user_id, event_type); gap math in integer micros
+    // (the precision canon), counts partial-aggregable.
+    "q_debounce_dedup" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+      val dropped = col("gap_us").isNotNull &&
+        col("gap_us") <= lit(300L * 1000000L)
+      t(s, dir, "events")
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w)))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(dropped, 1L).otherwise(0L)).as("n_dropped"),
+          (count(lit(1)) - sum(when(dropped, 1L).otherwise(0L))).as("n_kept"))
+        .orderBy("event_type")
+    },
+
+    // Robust outlier profile: per-type median and MAD (median absolute
+    // deviation), flagging values past the 3σ-equivalent robust z
+    // (3·1.4826·MAD) — the outlier detector that, unlike q_anomaly_zscore,
+    // a few huge values cannot drag. Exact MAD is inherently two-pass
+    // (group medians, then deviation medians); both join-backs broadcast
+    // a |types|-row table, so the corpus is scanned twice and never
+    // shuffled. The flag compares on a 9-dp rounded margin so both
+    // engines decide from the same grain.
+    "q_mad_outliers" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("event_type"), col("value"))
+      val med = ev.groupBy("event_type")
+        .agg(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY value)").as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("value") - col("med")))
+      val mad = dev.groupBy("event_type")
+        .agg(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY adev)").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(max("med"), 6).as("med"),
+          round(max("mad"), 6).as("mad"),
+          sum(when(round(col("adev") - lit(4.4478) * col("mad"), 9) > 0,
+            1L).otherwise(0L)).as("n_outliers"))
+        .orderBy("event_type")
+    },
+
     // Fixed-width value histogram per event type (bin = 50 units): the
     // distribution profiler. Map-side projection + one small agg.
     "q_histogram" -> { (s, dir) =>
@@ -288,6 +352,55 @@ object EventOps {
         FROM numbered WHERE rn <= 8 GROUP BY user_id, sess)
       SELECT path, count(*) AS n_sessions FROM paths
       GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20""",
+
+    "q_anomaly_zscore" -> """
+      WITH daily AS (
+        SELECT date_trunc('day', ts) AS day, event_type, count(*) AS cnt
+        FROM events GROUP BY 1, 2),
+      stats AS (
+        SELECT event_type, avg(cnt) AS mu, stddev_samp(cnt) AS sigma
+        FROM daily GROUP BY 1)
+      SELECT d.event_type, strftime(d.day, '%Y-%m-%d %H:%M:%S') AS day,
+             d.cnt, round((d.cnt - s.mu) / s.sigma, 6) AS z
+      FROM daily d JOIN stats s ON d.event_type = s.event_type
+      WHERE abs(d.cnt - s.mu) > 2.0 * s.sigma
+      ORDER BY d.event_type, day""",
+
+    "q_debounce_dedup" -> """
+      WITH g AS (
+        SELECT event_type,
+               epoch_us(ts) - epoch_us(lag(ts) OVER (
+                 PARTITION BY user_id, event_type
+                 ORDER BY ts, event_id)) AS gap_us
+        FROM events)
+      SELECT event_type, count(*) AS n_events,
+             CAST(sum(CASE WHEN gap_us IS NOT NULL
+                            AND gap_us <= 300000000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_dropped,
+             count(*) - CAST(sum(CASE WHEN gap_us IS NOT NULL
+                            AND gap_us <= 300000000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_kept
+      FROM g GROUP BY 1 ORDER BY 1""",
+
+    "q_mad_outliers" -> """
+      WITH med AS (
+        SELECT event_type,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+        FROM events GROUP BY 1),
+      d AS (
+        SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+        FROM events e JOIN med m ON e.event_type = m.event_type),
+      mad AS (
+        SELECT event_type,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+        FROM d GROUP BY 1)
+      SELECT d.event_type, count(*) AS n,
+             round(max(d.med), 6) AS med,
+             round(max(mad.mad), 6) AS mad,
+             CAST(sum(CASE WHEN round(adev - 4.4478 * mad.mad, 9) > 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM d JOIN mad ON d.event_type = mad.event_type
+      GROUP BY 1 ORDER BY 1""",
 
     "q_winsorize" -> """
       WITH pcts AS (

@@ -647,6 +647,52 @@ object TextOps {
         .agg(count(lit(1)).as("n_bigrams"),
           round(sum("term").cast("double") / count(lit(1)), 6).as("avg_nll"))
         .orderBy("doc_id")
+    },
+
+    // Inverted-index posting-list profile: per token, document frequency,
+    // doc-id span, and the delta+varint-encoded size a posting-list
+    // writer would emit (the retrieval-tier cost model). Gaps come from
+    // ONE lag window over (token, doc_id) rows; varint bytes =
+    // ceil(bitlen/7) in exact integer arithmetic (bin() length, the
+    // key-skew canon) — the first posting pays its absolute id, the rest
+    // their gaps. Everything shuffles on token (vocabulary-keyed);
+    // output bounded to the top-50 tokens by df.
+    "q_posting_stats" -> { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val w = Window.partitionBy("tok").orderBy("doc_id")
+      def varintBytes(c: org.apache.spark.sql.Column) =
+        ceil(length(bin(c)) / lit(7.0)).cast("long")
+      toks.withColumn("gap", col("doc_id") - lag("doc_id", 1).over(w))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("df"),
+          (max("doc_id") - min("doc_id")).as("span"),
+          sum(when(col("gap").isNull, varintBytes(col("doc_id")))
+            .otherwise(varintBytes(col("gap")))).as("bytes_est"))
+        .orderBy(desc("df"), asc("tok"))
+        .limit(50)
+    },
+
+    // Stratified proportional sample: an exact 10% quota per
+    // (lang, source) stratum — quota = ceil(n/10) in integer arithmetic —
+    // filled in md5(doc_id) order (the engine-/layout-independent
+    // sampling key the reservoir sampler established). Preserves the
+    // corpus mix by construction, which uniform sampling only does in
+    // expectation. Both windows (rank and stratum size) ride ONE
+    // exchange on the stratum key.
+    "q_stratified_sample" -> { (s, dir) =>
+      val rankW = Window.partitionBy("lang", "source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      val sizeW = Window.partitionBy("lang", "source")
+      t(s, dir, "documents")
+        .select(col("lang"), col("source"), col("doc_id"))
+        .withColumn("rk", row_number().over(rankW).cast("long"))
+        .withColumn("quota",
+          ((count(lit(1)).over(sizeW) + 9L) / 10L).cast("long"))
+        .filter(col("rk") <= col("quota"))
+        .orderBy("lang", "source", "rk")
     }
   )
 
@@ -1067,7 +1113,37 @@ object TextOps {
                 JOIN c1 ON split_part(bg.pair, ' ', 1) = c1.w1)
       SELECT doc_id, count(*) AS n_bigrams,
              round(CAST(sum(term) AS DOUBLE) / count(*), 6) AS avg_nll
-      FROM terms GROUP BY doc_id ORDER BY doc_id"""
+      FROM terms GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_posting_stats" -> """
+      WITH toks AS (
+        SELECT DISTINCT doc_id, tok
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        WHERE len(tok) > 0),
+      g AS (
+        SELECT tok, doc_id,
+               doc_id - lag(doc_id) OVER (PARTITION BY tok ORDER BY doc_id)
+                 AS gap
+        FROM toks)
+      SELECT tok, count(*) AS df,
+             max(doc_id) - min(doc_id) AS span,
+             CAST(sum(CASE WHEN gap IS NULL
+                           THEN ceil(len(bin(doc_id)) / 7.0)
+                           ELSE ceil(len(bin(gap)) / 7.0) END)
+               AS BIGINT) AS bytes_est
+      FROM g GROUP BY tok ORDER BY df DESC, tok LIMIT 50""",
+
+    "q_stratified_sample" -> """
+      WITH r AS (
+        SELECT lang, source, doc_id,
+               row_number() OVER (PARTITION BY lang, source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+               count(*) OVER (PARTITION BY lang, source) AS n
+        FROM documents)
+      SELECT lang, source, doc_id, rk, (n + 9) // 10 AS quota
+      FROM r WHERE rk <= (n + 9) // 10
+      ORDER BY lang, source, rk"""
   )
 }
 
