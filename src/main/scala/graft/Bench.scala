@@ -54,7 +54,8 @@ object Bench {
     "q_bigram_lm", "q_ann_ivfpq", "q_incr_rollup",
     // Round-8 profiling/sampling additions.
     "q_posting_stats", "q_stratified_sample", "q_debounce_dedup",
-    "q_anomaly_zscore", "q_mad_outliers")
+    "q_anomaly_zscore", "q_mad_outliers", "q_equidepth_bins",
+    "q_compaction_plan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -238,6 +238,26 @@ object EventOps {
         .orderBy("event_type")
     },
 
+    // Equi-depth (decile) discretization per event type — the feature
+    // binning a training pipeline runs before bucketized embeddings or
+    // monotonic-binning models: ntile(10) over value (event_id
+    // tie-break, both engines' ntile splits remainder to the leading
+    // buckets) then per-bucket bounds + mass. One window exchange on
+    // event_type; at 100 TB the T-class variant swaps the exact sort for
+    // approx_percentile cut points.
+    "q_equidepth_bins" -> { (s, dir) =>
+      val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+      t(s, dir, "events")
+        .select(col("event_type"), col("value"), col("event_id"))
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy("event_type", "decile")
+        .agg(count(lit(1)).as("cnt"),
+          round(min("value"), 4).as("lo"),
+          round(max("value"), 4).as("hi"),
+          money(sum(dec(col("value")))).as("sum_value"))
+        .orderBy("event_type", "decile")
+    },
+
     // Fixed-width value histogram per event type (bin = 50 units): the
     // distribution profiler. Map-side projection + one small agg.
     "q_histogram" -> { (s, dir) =>
@@ -352,6 +372,18 @@ object EventOps {
         FROM numbered WHERE rn <= 8 GROUP BY user_id, sess)
       SELECT path, count(*) AS n_sessions FROM paths
       GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20""",
+
+    "q_equidepth_bins" -> """
+      WITH d AS (
+        SELECT event_type, value,
+               ntile(10) OVER (PARTITION BY event_type
+                 ORDER BY value, event_id) AS decile
+        FROM events)
+      SELECT event_type, decile, count(*) AS cnt,
+             round(min(value), 4) AS lo, round(max(value), 4) AS hi,
+             CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS sum_value
+      FROM d GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_anomaly_zscore" -> """
       WITH daily AS (

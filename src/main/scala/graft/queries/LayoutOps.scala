@@ -221,6 +221,35 @@ object LayoutOps {
         .orderBy("day", "event_type")
     },
 
+    // Small-file compaction planner (the OPTIMIZE pass every 100 TB table
+    // needs): a deterministic file inventory — 16 md5 shards per lang,
+    // byte size = text bytes — is packed into merge groups of ~4× the
+    // mean shard size by exclusive-running-sum division, PER LANG
+    // (compaction never merges across table partitions, so the packing
+    // window partitions on lang and the inventory is file-metadata-sized,
+    // never corpus-sized). The scale-free target (4× mean) keeps the plan
+    // non-degenerate at every sf. Output: per (lang, merge group) file
+    // count, bytes, and the shard range the rewrite would coalesce.
+    "q_compaction_plan" -> { (s, dir) =>
+      val shard = expr(
+        "(instr('0123456789abcdef', substring(md5(cast(doc_id AS string)), 1, 1)) - 1) % 16")
+      val inv = t(s, dir, "documents")
+        .groupBy(col("lang"), shard.cast("long").as("shard"))
+        .agg(sum(length(col("text"))).as("bytes"), count(lit(1)).as("n_docs"))
+      val mean = inv.agg(avg("bytes").as("mean_bytes"))
+      val w = Window.partitionBy("lang").orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      inv.crossJoin(mean)
+        .filter(col("bytes") < lit(2.0) * col("mean_bytes"))
+        .withColumn("grp", floor(
+          coalesce(sum("bytes").over(w), lit(0L)) /
+            (lit(4.0) * col("mean_bytes"))).cast("long"))
+        .groupBy("lang", "grp")
+        .agg(count(lit(1)).as("n_files"), sum("bytes").as("bytes"),
+          min("shard").as("first_shard"), max("shard").as("last_shard"))
+        .orderBy("lang", "grp")
+    },
+
     // Two-phase exact distinct: groupBy(key, value) THEN count per key —
     // the shape that replaces COUNT(DISTINCT) at 100 TB. A single-phase
     // distinct aggregation ships every (key, value) pair to the key's
@@ -286,6 +315,29 @@ object LayoutOps {
     "q_twophase_distinct" -> """
       SELECT event_type, count(DISTINCT user_id) AS nd_users
       FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_compaction_plan" -> """
+      WITH inv AS (
+        SELECT lang,
+               CAST((instr('0123456789abcdef',
+                 substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 16
+                 AS BIGINT) AS shard,
+               CAST(sum(len(text)) AS BIGINT) AS bytes
+        FROM documents GROUP BY 1, 2),
+      m AS (SELECT avg(bytes) AS mean_bytes FROM inv),
+      small AS (
+        SELECT inv.lang, inv.shard, inv.bytes, m.mean_bytes
+        FROM inv, m WHERE inv.bytes < 2.0 * m.mean_bytes),
+      packed AS (
+        SELECT lang, shard, bytes,
+               CAST(floor(coalesce(sum(bytes) OVER (PARTITION BY lang
+                 ORDER BY shard ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0) / (4.0 * mean_bytes)) AS BIGINT) AS grp
+        FROM small)
+      SELECT lang, grp, count(*) AS n_files,
+             CAST(sum(bytes) AS BIGINT) AS bytes,
+             min(shard) AS first_shard, max(shard) AS last_shard
+      FROM packed GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // The merge identity means the incremental path must equal the direct
     // full aggregation — so the direct aggregation IS the oracle.

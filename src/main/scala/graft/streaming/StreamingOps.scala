@@ -319,6 +319,39 @@ object StreamingOps {
       .orderBy("hour_start", "event_type")
   }
 
+  // ---- Parquet FILE sink with checkpointed exactly-once semantics: the
+  // production sink shape (every other query here drains to a memory
+  // sink, which exists only for tests). Append-mode windowed agg writes
+  // watermark-closed windows to parquet; the sink's _spark_metadata
+  // commit log plus the checkpoint make the write exactly-once — proven,
+  // not declared, by draining the SAME chunks a second time through the
+  // SAME checkpoint and reading the sink back: the second drain finds
+  // every source file already committed and adds nothing. Oracle = the
+  // batch aggregation over closed windows (the q_stream_late_drop twin
+  // shape, without its planted late rows). ----
+  def qStreamFileSink(s: SparkSession, dir: String): DataFrame = {
+    val chunks = prepareChunks(s, dir)
+    val outDir = graft.core.TempDirs.create("graft-file-sink")
+    def drainOnce(): Unit = {
+      val q = replay(s, chunks)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(Tables.tsStr(col("window.start")).as("hour_start"),
+          col("event_type"), col("cnt"))
+        .writeStream.format("parquet")
+        .option("path", s"$outDir/data")
+        .option("checkpointLocation", s"$outDir/chk")
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drainOnce()
+    drainOnce() // second drain over the same checkpoint must add nothing
+    s.read.parquet(s"$outDir/data")
+      .orderBy("hour_start", "event_type")
+  }
+
   // ---- Stream-static join: streaming events ⋈ static customer dim ----
   def qStreamStaticJoin(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.t(s, dir, "customer")
@@ -418,6 +451,7 @@ object StreamingOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_file_sink" -> (qStreamFileSink _),
     "q_stream_static_join" -> (qStreamStaticJoin _),
     "q_stream_stream_join" -> (qStreamStreamJoin _),
     "q_stream_join_left" -> (qStreamStreamLeft _),
@@ -462,6 +496,14 @@ object StreamingOps {
       WHERE epoch_us(l.ts) <=
         (SELECT max(epoch_us(ts)) FROM events) - CAST(2160000000 AS BIGINT)
       ORDER BY lid, rid NULLS FIRST""",
+    "q_stream_file_sink" -> """
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+             event_type, count(*) AS cnt
+      FROM events
+      WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+              <= (SELECT max(ts) FROM events) - INTERVAL 30 MINUTE
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
     "q_stream_late_drop" -> """
       SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
              event_type, count(*) AS cnt

@@ -181,4 +181,60 @@ class PipelineProfilersSpec extends SparkSpec {
     assert(reparted == out.map(x => (x._1, x._2, x._3)).toSet,
       "sample must be invariant under repartitioning")
   }
+
+  test("equi-depth deciles are balanced, ordered, and cover the corpus") {
+    val rows = EventOps.queries("q_equidepth_bins")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    val types = rows.map(_._1).distinct
+    val total = events.count()
+    assert(rows.map(_._3).sum == total, "deciles must cover every event")
+    types.foreach { t =>
+      val bins = rows.filter(_._1 == t).sortBy(_._2)
+      assert(bins.map(_._2).toSeq == (1L to 10L), s"$t: missing deciles")
+      // ntile balance: bucket sizes differ by at most 1.
+      assert(bins.map(_._3).max - bins.map(_._3).min <= 1, s"$t: unbalanced")
+      // Value ranges are non-decreasing across deciles (equal boundary
+      // values may straddle two buckets, so hi(i) <= lo(i+1) holds only
+      // up to rounding-grain ties).
+      bins.sliding(2).foreach { p =>
+        assert(p(0)._5 <= p(1)._4 + 1e-9,
+          s"$t: decile ranges out of order: ${p.toSeq}")
+      }
+    }
+  }
+
+  test("compaction plan covers every small shard in bounded groups") {
+    val plan = graft.queries.LayoutOps.queries("q_compaction_plan")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(plan.nonEmpty)
+    // Independent inventory recomputation.
+    val inv = docs.select("lang", "doc_id", "text").collect()
+      .map(r => ((r.getString(0), Integer.parseInt(
+        md5hex(r.getLong(1).toString).substring(0, 1), 16) % 16),
+        r.getString(2).length.toLong))
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    val mean = inv.values.sum.toDouble / inv.size
+    val small = inv.filter(_._2 < 2.0 * mean)
+    assert(plan.map(_._3).sum == small.size.toLong,
+      "every small shard must land in exactly one merge group")
+    assert(plan.map(_._4).sum == small.values.sum, "plan loses bytes")
+    plan.groupBy(_._1).foreach { case (lang, groups) =>
+      val sorted = groups.sortBy(_._2)
+      // Groups within a lang are contiguous, non-overlapping shard ranges.
+      sorted.sliding(2).foreach { p =>
+        if (p.length == 2)
+          assert(p(0)._6 < p(1)._5, s"$lang: overlapping groups ${p.toSeq}")
+      }
+      // No group (except possibly the last) exceeds target + one shard:
+      // exclusive-running-sum packing bounds a group by target + its
+      // final member.
+      sorted.foreach { g =>
+        assert(g._4 < 4.0 * mean + 2.0 * mean,
+          s"$lang grp ${g._2}: ${g._4} bytes exceeds target + one small shard")
+      }
+    }
+  }
 }

@@ -175,6 +175,30 @@ class StreamingSpec extends SparkSpec {
       "append-mode emitted a window that disagrees with the batch twin (late rows merged?)")
   }
 
+  test("parquet file sink is exactly-once across a checkpoint-replayed drain") {
+    // The query itself drains the same chunks twice through one
+    // checkpoint; the result must equal the batch aggregation over
+    // closed windows exactly ONCE — a sink without the commit log +
+    // checkpoint contract would double every row on the second drain.
+    val out = StreamingOps.queries("q_stream_file_sink")(spark, sf)
+    val rows = out.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty, "file sink emitted nothing")
+    assert(rows.distinct.length == rows.length,
+      "duplicate (window, type) rows — second drain re-emitted (not exactly-once)")
+    val cutoff = graft.core.Tables.t(spark, sf, "events")
+      .agg(max(unix_micros(col("ts")))).head().getLong(0) - 30L * 60L * 1000000L
+    val batch = graft.core.Tables.t(spark, sf, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(unix_micros(col("h")) + 3600L * 1000000L <= cutoff)
+      .select(graft.core.Tables.tsStr(col("h")).as("hour_start"),
+        col("event_type"), col("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSet == batch.toSet,
+      "file-sink contents differ from the closed-window batch twin")
+  }
+
   test("q41 dedup collapses replayed duplicates to the distinct count") {
     val row = StreamingOps.q41(spark, sf).collect().head
     assert(row.getLong(0) == row.getLong(1),
