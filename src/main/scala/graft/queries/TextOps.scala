@@ -675,6 +675,69 @@ object TextOps {
         .limit(50)
     },
 
+    // Lang-ID confusion matrix: the heuristic predictor (q_lang_id)
+    // audited against the labeled lang column — the label-quality /
+    // classifier-drift monitor every curation pipeline runs before
+    // trusting a filter. One corpus scan into a |langs|² agg; rates via
+    // a window over the lang marginal (same exchange as the agg key).
+    "q_langid_confusion" -> { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val markers = size(filter(toks, x => x.isin(enMarkers: _*)))
+      val byLang = Window.partitionBy("lang")
+      t(s, dir, "documents")
+        .select(col("lang"),
+          when(markers.cast("double") / size(toks) > 0.05, "en")
+            .otherwise("und").as("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rate",
+          round(col("n").cast("double") / sum("n").over(byLang), 6))
+        .orderBy("lang", "pred_lang")
+    },
+
+    // Dunning log-likelihood-ratio distinctive tokens: for each lang,
+    // the tokens whose in-lang frequency most exceeds the rest-of-corpus
+    // expectation — the corpus-comparison keyword miner (Dunning 1993).
+    // The 2×2 cell counts derive from ONE (lang, token) shuffle; token
+    // and lang marginals are re-aggregations of that table (vocab- and
+    // |langs|-sized), joined back vocab-side/broadcast. Each of the four
+    // k·ln(k/e) terms is rounded to 6 dp before summing (the TF-IDF ln()
+    // parity canon) and ranking cuts on the rounded score with a token
+    // tie-break.
+    "q_llr_keywords" -> { (s, dir) =>
+      val tf = t(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy("lang", "tok").agg(count(lit(1)).as("k11"))
+      val tokTot = tf.groupBy("tok").agg(sum("k11").as("tok_tot"))
+      val langTot = tf.groupBy("lang").agg(sum("k11").as("lang_tot"))
+      val nTot = tf.agg(sum("k11").as("n_tot"))
+      def term(k: org.apache.spark.sql.Column, e: org.apache.spark.sql.Column) =
+        when(k > 0, round(k.cast("double") * log(k.cast("double") / e), 6))
+          .otherwise(lit(0.0))
+      val cells = tf.join(tokTot, "tok").join(broadcast(langTot), "lang")
+        .crossJoin(broadcast(nTot))
+        .withColumn("k12", col("tok_tot") - col("k11"))
+        .withColumn("k21", col("lang_tot") - col("k11"))
+        .withColumn("k22",
+          col("n_tot") - col("tok_tot") - col("lang_tot") + col("k11"))
+      val n = col("n_tot").cast("double")
+      val llr = round(lit(2.0) * (
+        term(col("k11"), col("lang_tot") * col("tok_tot") / n) +
+        term(col("k12"), (n - col("lang_tot")) * col("tok_tot") / n) +
+        term(col("k21"), col("lang_tot") * (n - col("tok_tot")) / n) +
+        term(col("k22"), (n - col("lang_tot")) * (n - col("tok_tot")) / n)), 4)
+      val w = Window.partitionBy("lang").orderBy(desc("llr"), asc("tok"))
+      cells
+        .withColumn("llr", llr)
+        .filter(col("k11").cast("double") / col("lang_tot") >
+          col("tok_tot").cast("double") / n) // overrepresented only
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 10)
+        .select(col("lang"), col("rk"), col("tok"), col("k11"), col("llr"))
+        .orderBy("lang", "rk")
+    },
+
     // Stratified proportional sample: an exact 10% quota per
     // (lang, source) stratum — quota = ceil(n/10) in integer arithmetic —
     // filled in md5(doc_id) order (the engine-/layout-independent
@@ -1114,6 +1177,68 @@ object TextOps {
       SELECT doc_id, count(*) AS n_bigrams,
              round(CAST(sum(term) AS DOUBLE) / count(*), 6) AS avg_nll
       FROM terms GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_langid_confusion" -> """
+      WITH p AS (
+        SELECT lang,
+               CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                      x -> x IN ('the','a','of','and','is','in','to')))
+                      AS DOUBLE) / len(string_split(text, ' ')) > 0.05
+                    THEN 'en' ELSE 'und' END AS pred_lang
+        FROM documents),
+      c AS (SELECT lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2)
+      SELECT lang, pred_lang, n,
+             round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang), 6)
+               AS rate
+      FROM c ORDER BY lang, pred_lang""",
+
+    "q_llr_keywords" -> """
+      WITH tf AS MATERIALIZED (
+        SELECT lang, tok, count(*) AS k11
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        WHERE len(tok) > 0 GROUP BY 1, 2),
+      tt AS MATERIALIZED (SELECT tok, sum(k11) AS tok_tot FROM tf GROUP BY 1),
+      lt AS (SELECT lang, sum(k11) AS lang_tot FROM tf GROUP BY 1),
+      nt AS (SELECT sum(k11) AS n_tot FROM tf),
+      cells AS (
+        SELECT tf.lang, tf.tok, tf.k11, tt.tok_tot, lt.lang_tot, nt.n_tot,
+               tt.tok_tot - tf.k11 AS k12,
+               lt.lang_tot - tf.k11 AS k21,
+               nt.n_tot - tt.tok_tot - lt.lang_tot + tf.k11 AS k22
+        FROM tf JOIN tt USING (tok) JOIN lt USING (lang), nt),
+      scored AS (
+        SELECT lang, tok, k11,
+               round(2.0 * (
+                 CASE WHEN k11 > 0 THEN round(CAST(k11 AS DOUBLE) *
+                   ln(CAST(k11 AS DOUBLE) /
+                      (lang_tot * tok_tot / CAST(n_tot AS DOUBLE))), 6)
+                   ELSE 0.0 END +
+                 CASE WHEN k12 > 0 THEN round(CAST(k12 AS DOUBLE) *
+                   ln(CAST(k12 AS DOUBLE) /
+                      ((CAST(n_tot AS DOUBLE) - lang_tot) * tok_tot
+                        / CAST(n_tot AS DOUBLE))), 6)
+                   ELSE 0.0 END +
+                 CASE WHEN k21 > 0 THEN round(CAST(k21 AS DOUBLE) *
+                   ln(CAST(k21 AS DOUBLE) /
+                      (lang_tot * (CAST(n_tot AS DOUBLE) - tok_tot)
+                        / CAST(n_tot AS DOUBLE))), 6)
+                   ELSE 0.0 END +
+                 CASE WHEN k22 > 0 THEN round(CAST(k22 AS DOUBLE) *
+                   ln(CAST(k22 AS DOUBLE) /
+                      ((CAST(n_tot AS DOUBLE) - lang_tot) *
+                       (CAST(n_tot AS DOUBLE) - tok_tot)
+                        / CAST(n_tot AS DOUBLE))), 6)
+                   ELSE 0.0 END), 4) AS llr
+        FROM cells
+        WHERE CAST(k11 AS DOUBLE) / lang_tot > CAST(tok_tot AS DOUBLE) / n_tot),
+      ranked AS (
+        SELECT lang, tok, k11, llr,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY llr DESC, tok) AS rk
+        FROM scored)
+      SELECT lang, rk, tok, k11, llr FROM ranked
+      WHERE rk <= 10 ORDER BY lang, rk""",
 
     "q_posting_stats" -> """
       WITH toks AS (

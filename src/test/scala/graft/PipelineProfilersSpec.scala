@@ -204,6 +204,57 @@ class PipelineProfilersSpec extends SparkSpec {
     }
   }
 
+  test("lang-id confusion matrix partitions the corpus with unit row rates") {
+    val rows = TextOps.queries("q_langid_confusion")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._3).sum == docs.count(), "matrix must cover every doc")
+    rows.groupBy(_._1).foreach { case (lang, cells) =>
+      val mass = cells.map(_._4).sum
+      assert(math.abs(mass - 1.0) < 1e-4, s"$lang rates sum to $mass")
+    }
+    // The prediction column is the q_lang_id heuristic: cross-check
+    // totals against that H-verified operator.
+    val preds = TextOps.queries("q_lang_id")(spark, sf)
+      .groupBy("pred_lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byPred = rows.groupBy(_._2).map { case (p, cs) => p -> cs.map(_._3).sum }
+    assert(byPred == preds, "confusion marginals must match q_lang_id")
+  }
+
+  test("LLR keyword score equals a driver-side Dunning recomputation") {
+    val rows = TextOps.queries("q_llr_keywords")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (lang, ks) =>
+      assert(ks.map(_._2).sorted.toSeq == (1L to ks.length), s"$lang ranks")
+      // Scores non-increasing down the ranking.
+      assert(ks.sortBy(_._2).map(_._5).sliding(2)
+        .forall(p => p.length < 2 || p(0) >= p(1)), s"$lang not sorted")
+    }
+    // Recompute the LLR of the top (lang, tok) cell from raw counts.
+    val tf = docs.select("lang", "text").collect()
+      .flatMap(r => r.getString(1).split(" ").filter(_.nonEmpty)
+        .map(t => (r.getString(0), t)))
+    val (lang0, _, tok0, k11got, llrGot) = rows.head
+    val k11 = tf.count(p => p._1 == lang0 && p._2 == tok0).toLong
+    val tokTot = tf.count(_._2 == tok0).toLong
+    val langTot = tf.count(_._1 == lang0).toLong
+    val n = tf.length.toLong
+    assert(k11 == k11got, s"k11 $k11got != $k11")
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    def term(k: Long, e: Double) =
+      if (k > 0) r6(k.toDouble * math.log(k.toDouble / e)) else 0.0
+    val nd = n.toDouble
+    val exp = 2.0 * (
+      term(k11, langTot * tokTot / nd) +
+      term(tokTot - k11, (nd - langTot) * tokTot / nd) +
+      term(langTot - k11, langTot * (nd - tokTot) / nd) +
+      term(n - tokTot - langTot + k11, (nd - langTot) * (nd - tokTot) / nd))
+    assert(math.abs(llrGot - math.round(exp * 1e4) / 1e4) < 1e-9,
+      s"llr $llrGot != recomputed $exp")
+  }
+
   test("compaction plan covers every small shard in bounded groups") {
     val plan = graft.queries.LayoutOps.queries("q_compaction_plan")(spark, sf)
       .collect()
