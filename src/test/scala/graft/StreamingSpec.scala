@@ -199,6 +199,65 @@ class StreamingSpec extends SparkSpec {
       "file-sink contents differ from the closed-window batch twin")
   }
 
+  test("windowed state survives a query RESTART via the checkpoint (two-wave arrival)") {
+    // The recovery contract a 100 TB streaming job actually depends on:
+    // a query stops, more data lands, a NEW query starts from the same
+    // checkpoint — partial window state crossing the stop boundary must
+    // be restored, not recomputed or dropped. Waves split the chunk
+    // files 3+3; the hour window straddling the wave boundary only gets
+    // its full count if wave-2's query resumed wave-1's state.
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val allChunks = StreamingOps.prepareChunks(spark, sf)
+    val stage = graft.core.TempDirs.create("graft-restart-src")
+    val out = graft.core.TempDirs.create("graft-restart-out")
+    val files = new java.io.File(allChunks).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(files.length == 6)
+    def land(fs: Seq[java.io.File]): Unit = fs.foreach { f =>
+      val tgt = java.nio.file.Paths.get(stage, f.getName)
+      java.nio.file.Files.copy(f.toPath, tgt,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // Keep the chunk-sequence mtimes: the file source replays in
+      // mtime order, and a copy-time mtime tie could reorder chunks and
+      // watermark-drop genuinely on-time rows.
+      java.nio.file.Files.setLastModifiedTime(tgt,
+        java.nio.file.Files.getLastModifiedTime(f.toPath))
+    }
+    def drain(): Unit = {
+      val q = StreamingOps.replay(spark, stage)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(graft.core.Tables.tsStr(col("window.start")).as("hour_start"),
+          col("event_type"), col("cnt"))
+        .writeStream.format("parquet")
+        .option("path", s"$out/data").option("checkpointLocation", s"$out/chk")
+        .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    land(files.take(3)); drain()
+    val wave1 = spark.read.parquet(s"$out/data").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(wave1.nonEmpty, "wave 1 closed no windows")
+    land(files.drop(3).toSeq); drain()
+    val fin = spark.read.parquet(s"$out/data").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(wave1.subsetOf(fin), "append sink rewrote wave-1 output")
+    assert(fin.size > wave1.size, "wave 2 closed no further windows")
+    val cutoff = graft.core.Tables.t(spark, sf, "events")
+      .agg(max(unix_micros(col("ts")))).head().getLong(0) - 30L * 60L * 1000000L
+    val batch = graft.core.Tables.t(spark, sf, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(unix_micros(col("h")) + 3600L * 1000000L <= cutoff)
+      .select(graft.core.Tables.tsStr(col("h")).as("hour_start"),
+        col("event_type"), col("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(fin == batch,
+      "restarted query's closed windows differ from the batch twin — " +
+        "state was lost or double-counted across the restart")
+  }
+
   test("q41 dedup collapses replayed duplicates to the distinct count") {
     val row = StreamingOps.q41(spark, sf).collect().head
     assert(row.getLong(0) == row.getLong(1),
