@@ -55,7 +55,9 @@ object Bench {
     // Round-8 profiling/sampling additions.
     "q_posting_stats", "q_stratified_sample", "q_debounce_dedup",
     "q_anomaly_zscore", "q_mad_outliers", "q_equidepth_bins",
-    "q_compaction_plan", "q_langid_confusion", "q_llr_keywords")
+    "q_compaction_plan", "q_langid_confusion", "q_llr_keywords",
+    // Round-8 continuation: event history + sketch Aggregator.
+    "q_scd2_dim", "q_session_concurrency", "q_spacesaving_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

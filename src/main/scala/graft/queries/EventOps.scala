@@ -287,6 +287,66 @@ object EventOps {
         .select(tsStr(col("day")).as("day"), col("event_type"),
           coalesce(col("n"), lit(0L)).as("cnt"))
         .orderBy("day", "event_type")
+    },
+
+    // SCD Type-2 dimension build: each user's event_type is the
+    // slowly-changing attribute; consecutive same-type runs collapse to
+    // one version row [valid_from, valid_to) with the latest version
+    // open (valid_to NULL) — the warehouse dimension-history operator
+    // (q_merge_upsert's read-side twin). Change detection is one lag
+    // window, run collapse a groupBy over the running change count,
+    // interval close one lead window — every exchange hashes on user_id,
+    // so at 100 TB the key partitioning is established once and reused
+    // by AQE across all three steps. Output is the per-state version
+    // profile; dwell math in integer micros (precision canon).
+    "q_scd2_dim" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val prev = lag("event_type", 1).over(w)
+      val chg = when(prev.isNull || prev =!= col("event_type"), 1L).otherwise(0L)
+      val closed = col("valid_to").isNotNull
+      val scd = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("ver",
+          sum(chg).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "ver")
+        .agg(min("event_type").as("state"), min("ts").as("valid_from"),
+          count(lit(1)).as("n_events"))
+        .withColumn("valid_to",
+          lead("valid_from", 1).over(Window.partitionBy("user_id").orderBy("ver")))
+      scd.groupBy("state")
+        .agg(count(lit(1)).as("n_versions"),
+          sum(when(col("valid_to").isNull, 1L).otherwise(0L)).as("n_current"),
+          sum("n_events").as("n_events"),
+          round(sum(when(closed,
+              unix_micros(col("valid_to")) - unix_micros(col("valid_from"))))
+              .cast("double")
+            / sum(when(closed, 1L).otherwise(0L)) / 1000000d, 6)
+            .as("avg_closed_s"))
+        .orderBy("state")
+    },
+
+    // Interval→bucket expansion: 30-min-gap sessions become hour-bucket
+    // rows via sequence+explode, so "how many sessions were live in hour
+    // h" is an equi-key aggregation instead of an interval join — the
+    // scale path for interval overlap against a time grid (a range join
+    // spine×sessions would BNLJ; here fan-out is bounded by session
+    // duration in hours, and the count never shuffles session payloads).
+    "q_session_concurrency" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val prev = lag("ts", 1).over(w)
+      val brk = when(prev.isNull ||
+        unix_micros(col("ts")) - unix_micros(prev) > 1800L * 1000000L, 1).otherwise(0)
+      t(s, dir, "events")
+        .withColumn("sess",
+          sum(brk).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sess")
+        .agg(min("ts").as("t0"), max("ts").as("t1"))
+        .select(explode(sequence(date_trunc("hour", col("t0")),
+          date_trunc("hour", col("t1")), expr("interval 1 hour"))).as("hour"))
+        .groupBy("hour")
+        .agg(count(lit(1)).as("live_sessions"))
+        .select(tsStr(col("hour")).as("hour"), col("live_sessions"))
+        .orderBy("hour")
     }
   )
 
@@ -471,6 +531,69 @@ object EventOps {
       FROM spine s CROSS JOIN types t
       LEFT JOIN actual a ON s.day = a.day AND t.event_type = a.event_type
       ORDER BY day, t.event_type""",
+
+    "q_scd2_dim" -> """
+      WITH o AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events),
+      f AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN prev IS NULL OR prev <> event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM o),
+      runs AS (
+        SELECT user_id, event_type, ts,
+               sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS ver
+        FROM f),
+      scd AS (
+        SELECT user_id, ver, min(event_type) AS state,
+               min(ts) AS valid_from, count(*) AS n_events
+        FROM runs GROUP BY user_id, ver),
+      iv AS (
+        SELECT state, n_events, valid_from,
+               lead(valid_from) OVER (PARTITION BY user_id ORDER BY ver)
+                 AS valid_to
+        FROM scd)
+      SELECT state, count(*) AS n_versions,
+             CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_current,
+             CAST(sum(n_events) AS BIGINT) AS n_events,
+             round(CAST(sum(CASE WHEN valid_to IS NOT NULL
+                     THEN epoch_us(valid_to) - epoch_us(valid_from) END)
+                   AS DOUBLE)
+               / sum(CASE WHEN valid_to IS NOT NULL THEN 1 ELSE 0 END)
+               / 1000000, 6) AS avg_closed_s
+      FROM iv GROUP BY state ORDER BY state""",
+
+    "q_session_concurrency" -> """
+      WITH o AS (
+        SELECT user_id, event_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events),
+      f AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN prev IS NULL
+                      OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                    THEN 1 ELSE 0 END AS brk
+        FROM o),
+      sx AS (
+        SELECT user_id, ts,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sess
+        FROM f),
+      iv AS (
+        SELECT user_id, sess, min(ts) AS t0, max(ts) AS t1
+        FROM sx GROUP BY user_id, sess),
+      hours AS (
+        SELECT unnest(generate_series(date_trunc('hour', t0),
+                 date_trunc('hour', t1), INTERVAL 1 HOUR)) AS hour
+        FROM iv)
+      SELECT strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+             count(*) AS live_sessions
+      FROM hours GROUP BY hour ORDER BY hour""",
 
     "q34_sessionization" -> """
       WITH o AS (

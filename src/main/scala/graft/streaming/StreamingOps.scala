@@ -450,11 +450,45 @@ object StreamingOps {
       .orderBy(col("lid"), col("rid").asc_nulls_first)
   }
 
+  /** FULL OUTER watermarked stream-stream interval join — completes the
+    * streaming join matrix (inner / left / full). Both sides' unmatched
+    * rows are null-extended on watermark finalization: a right row's
+    * potential partners have `lts ∈ [rts − 5 min, rts]`, so its state is
+    * droppable once the watermark passes `rts` — symmetric to the left
+    * side. The comparison window therefore excludes BOTH streams' still-
+    * pending tails (36-min cutoff = 30-min watermark + margin), mirrored
+    * exactly by the oracle's two-sided WHERE. */
+  def qStreamStreamFull(s: SparkSession, dir: String): DataFrame = {
+    val chunks = prepareChunks(s, dir)
+    val cutoff = Tables.t(s, dir, "events")
+      .agg(max(unix_micros(col("ts"))).as("m"))
+      .head().getLong(0) - 36L * 60L * 1000000L
+    val l = replay(s, chunks).withWatermark("ts", "30 minutes")
+      .select(col("event_id").as("lid"), col("user_id").as("luser"),
+        col("ts").as("lts"))
+    val r = replay(s, chunks).withWatermark("ts", "30 minutes")
+      .select(col("event_id").as("rid"), col("user_id").as("ruser"),
+        col("ts").as("rts"))
+    val pairs = l.join(r,
+      col("luser") === col("ruser") &&
+      col("rts") >= col("lts") &&
+      col("rts") <= col("lts") + expr("INTERVAL 5 MINUTES") &&
+      col("lid") < col("rid"),
+      "fullOuter")
+    drain(pairs, "q_ssj_full_sink", OutputMode.Append())
+      .filter((col("lts").isNull || unix_micros(col("lts")) <= cutoff) &&
+        (col("rts").isNull || unix_micros(col("rts")) <= cutoff))
+      .select(col("lid"), col("rid"),
+        coalesce(col("luser"), col("ruser")).as("user_id"))
+      .orderBy(col("lid").asc_nulls_first, col("rid").asc_nulls_first)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_file_sink" -> (qStreamFileSink _),
     "q_stream_static_join" -> (qStreamStaticJoin _),
     "q_stream_stream_join" -> (qStreamStreamJoin _),
     "q_stream_join_left" -> (qStreamStreamLeft _),
+    "q_stream_join_full" -> (qStreamStreamFull _),
     "q_stream_foreach_batch" -> (qForeachBatch _),
     "q_stream_late_drop" -> (qLateDrop _),
     "q_stream_update" -> (qStreamUpdate _),
@@ -496,6 +530,20 @@ object StreamingOps {
       WHERE epoch_us(l.ts) <=
         (SELECT max(epoch_us(ts)) FROM events) - CAST(2160000000 AS BIGINT)
       ORDER BY lid, rid NULLS FIRST""",
+
+    "q_stream_join_full" -> """
+      WITH cut AS (
+        SELECT max(epoch_us(ts)) - CAST(2160000000 AS BIGINT) AS c FROM events)
+      SELECT l.event_id AS lid, r.event_id AS rid,
+             coalesce(l.user_id, r.user_id) AS user_id
+      FROM events l FULL JOIN events r
+        ON l.user_id = r.user_id
+       AND r.ts >= l.ts
+       AND r.ts <= l.ts + INTERVAL 5 MINUTE
+       AND l.event_id < r.event_id
+      WHERE (l.ts IS NULL OR epoch_us(l.ts) <= (SELECT c FROM cut))
+        AND (r.ts IS NULL OR epoch_us(r.ts) <= (SELECT c FROM cut))
+      ORDER BY lid NULLS FIRST, rid NULLS FIRST""",
     "q_stream_file_sink" -> """
       SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
              event_type, count(*) AS cnt

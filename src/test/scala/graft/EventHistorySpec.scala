@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.EventOps
+
+/** Ground-truth invariants for the event-history operators, recomputed
+  * driver-side from collected raw events with plain Scala (no shared
+  * code with the operators; sf0.001 fixture).
+  *
+  * q_scd2_dim: the per-state version profile equals a sequential
+  * run-length construction of the SCD2 interval table, and global
+  * invariants hold (versions ≥ users' state changes, exactly one open
+  * version per user, n_events sums to the corpus).
+  *
+  * q_session_concurrency: per-hour live-session counts equal a direct
+  * interval-overlap recomputation (a session is live in hour h iff
+  * [t0, t1] intersects [h, h+1) — checked against the bucket-expansion
+  * result, proving the sequence+explode rewrite IS the interval join).
+  */
+class EventHistorySpec extends SparkSpec {
+
+  private def rawEvents: Seq[(Long, Long, String, Long)] =
+    graft.core.Tables.t(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSeq
+
+  /** (user, state, validFromUs, validToUs?) intervals, sequentially. */
+  private def scd2(ev: Seq[(Long, Long, String, Long)]) =
+    ev.groupBy(_._1).toSeq.flatMap { case (user, rows) =>
+      val ordered = rows.sortBy(r => (r._4, r._2))
+      val runs = ordered.foldLeft(Vector.empty[(String, Long, Long)]) {
+        case (acc, (_, _, tpe, ts)) =>
+          if (acc.nonEmpty && acc.last._1 == tpe)
+            acc.init :+ ((tpe, acc.last._2, acc.last._3 + 1))
+          else acc :+ ((tpe, ts, 1L))
+      }
+      runs.zipWithIndex.map { case ((tpe, from, n), i) =>
+        val to = if (i + 1 < runs.length) Some(runs(i + 1)._2) else None
+        (user, tpe, from, to, n)
+      }
+    }
+
+  test("q_scd2_dim equals a sequential run-length recomputation") {
+    val got = EventOps.queries("q_scd2_dim")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    val iv = scd2(rawEvents)
+    val expected = iv.groupBy(_._2).toSeq.map { case (state, rows) =>
+      val closed = rows.collect { case (_, _, f, Some(t), _) => t - f }
+      (state, rows.size.toLong,
+        rows.count(_._4.isEmpty).toLong,
+        rows.map(_._5).sum,
+        math.round(closed.sum.toDouble / closed.size / 1e6 * 1e6) / 1e6)
+    }.sortBy(_._1)
+    assert(got == expected)
+    // Structural invariants of the interval table itself.
+    val users = rawEvents.map(_._1).distinct
+    assert(iv.count(_._4.isEmpty) == users.size, "≠1 open version per user")
+    assert(iv.map(_._5).sum == rawEvents.size, "version n_events ≠ corpus size")
+  }
+
+  test("q_session_concurrency equals a direct interval-overlap recount") {
+    val got = EventOps.queries("q_session_concurrency")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val gapUs = 1800L * 1000000L
+    val sessions = rawEvents.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val ts = rows.sortBy(r => (r._4, r._2)).map(_._4)
+      ts.tail.foldLeft(Vector((ts.head, ts.head))) { case (acc, t) =>
+        val (s0, s1) = acc.last
+        if (t - s1 > gapUs) acc :+ ((t, t)) else acc.init :+ ((s0, t))
+      }
+    }
+    val hourUs = 3600L * 1000000L
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    // Direct overlap semantics: hour h counts session [t0, t1] iff the
+    // closed interval intersects [h, h+1).
+    val allHours = sessions.flatMap { case (t0, t1) =>
+      val h0 = t0 / hourUs * hourUs
+      val h1 = t1 / hourUs * hourUs
+      h0 to h1 by hourUs
+    }
+    val expected = allHours.groupBy(identity).toSeq
+      .map { case (h, hits) => (fmt.format(new java.util.Date(h / 1000)),
+        hits.size.toLong) }
+      .sortBy(_._1)
+    assert(got == expected)
+    assert(sessions.forall { case (t0, t1) => t0 <= t1 })
+  }
+}

@@ -129,6 +129,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamRows == batchRows)
   }
 
+  test("full-outer stream-stream join emits null partners on BOTH sides") {
+    val out = StreamingOps.qStreamStreamFull(spark, sf).collect()
+    assert(out.exists(_.isNullAt(1)), "left-outer path never exercised")
+    assert(out.exists(_.isNullAt(0)), "right-outer path never exercised")
+    val streamRows = out.map(r =>
+      (if (r.isNullAt(0)) -1L else r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    val ev = graft.core.Tables.t(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val cutoff = ev.agg(max(unix_micros(col("ts")))).head().getLong(0) -
+      36L * 60L * 1000000L
+    val batchRows = ev.toDF("lid", "luser", "lts")
+      .join(ev.toDF("rid", "ruser", "rts"),
+        col("luser") === col("ruser") && col("rts") >= col("lts") &&
+        col("rts") <= col("lts") + expr("INTERVAL 5 MINUTES") &&
+        col("lid") < col("rid"),
+        "fullOuter")
+      .filter((col("lts").isNull || unix_micros(col("lts")) <= cutoff) &&
+        (col("rts").isNull || unix_micros(col("rts")) <= cutoff))
+      .select("lid", "rid")
+      .collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(streamRows == batchRows)
+  }
+
   test("append mode drops the late chunk at the watermark — counted, not declared") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val chunks = StreamingOps.prepareChunks(spark, sf, dupCount = 100)
