@@ -105,6 +105,31 @@ object Formats {
         .agg(count(lit(1)).as("cnt"),
           money(sum(dec(col("o_totalprice")))).as("total"))
         .orderBy("o_orderpriority")
+    },
+
+    // Schema evolution: generation 1 of a table lands without
+    // o_orderstatus (even keys), generation 2 adds the column (odd
+    // keys); `mergeSchema` reconciles the footers into the union schema
+    // and back-fills gen-1 rows with NULL — how a 100 TB lake absorbs a
+    // producer-side column add without rewriting history. mergeSchema is
+    // a read-option (footer-merge cost, metadata-sized), NOT a data
+    // rewrite; the oracle reconstructs the same union from the base
+    // table by nulling the late column on gen-1 parity.
+    "q_schema_evolution" -> { (s, dir) =>
+      val tmp = graft.core.TempDirs.create("graft-evo")
+      val base = t(s, dir, "orders")
+      base.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$tmp/gen=1")
+      base.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .write.mode("overwrite").parquet(s"$tmp/gen=2")
+      s.read.option("mergeSchema", "true").parquet(tmp)
+        .groupBy(coalesce(col("o_orderstatus"), lit("<pre-evolution>"))
+          .as("status"))
+        .agg(count(lit(1)).as("cnt"),
+          money(sum(dec(col("o_totalprice")))).as("total"))
+        .orderBy("status")
     }
   )
 
@@ -141,6 +166,14 @@ object Formats {
         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
       FROM orders JOIN dim ON o_orderpriority = prio
       WHERE speed = 'fast'
-      GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q_schema_evolution" -> """
+      SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<pre-evolution>'
+                  ELSE o_orderstatus END AS status,
+             count(*) AS cnt,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS total
+      FROM orders GROUP BY 1 ORDER BY status"""
   )
 }

@@ -383,6 +383,76 @@ object StreamingOps {
       .orderBy("event_type")
   }
 
+  /** Merge one microbatch's per-(user, type) partials into the keyed
+    * state table under `tableDir` — the idempotent foreachBatch MERGE
+    * every streaming-CDC pipeline needs over a non-transactional sink.
+    *
+    * Exactly-once without sink transactions: the table is versioned
+    * (`v<batchId>` directories) and a MANIFEST records the last applied
+    * batchId. A retried or checkpoint-replayed batch (same batchId)
+    * short-circuits, so applying is idempotent even though parquet has
+    * no atomic upsert. The merge itself is `q_merge_upsert`'s plan — a
+    * full-outer join on the key with count/decimal-sum partials added —
+    * so the state table stays exact under any batch slicing. The
+    * superseded version is vacuumed after the manifest flips.
+    * At 100 TB the state table is keys-sized (users×types), not
+    * corpus-sized, and the join hashes the same key every batch. */
+  def mergeBatch(s: SparkSession, tableDir: String, batch: DataFrame,
+      batchId: Long): Unit = {
+    val manifest = Paths.get(tableDir, "MANIFEST")
+    val applied =
+      if (Files.exists(manifest))
+        new String(Files.readAllBytes(manifest), "UTF-8").trim.toLong
+      else -1L
+    if (batchId <= applied) return // replayed/retried batch: already in
+    val partial = batch
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("cnt"),
+        sum(Tables.dec(col("value"))).cast("decimal(28,4)").as("sv"))
+    val merged =
+      if (applied < 0) partial
+      else {
+        val cur = s.read.parquet(s"$tableDir/v$applied")
+        cur.as("c").join(partial.as("p"),
+            col("c.user_id") === col("p.user_id") &&
+            col("c.event_type") === col("p.event_type"), "full_outer")
+          .select(
+            coalesce(col("c.user_id"), col("p.user_id")).as("user_id"),
+            coalesce(col("c.event_type"), col("p.event_type")).as("event_type"),
+            (coalesce(col("c.cnt"), lit(0L)) + coalesce(col("p.cnt"), lit(0L)))
+              .as("cnt"),
+            (coalesce(col("c.sv"), lit(0).cast("decimal(28,4)"))
+              + coalesce(col("p.sv"), lit(0).cast("decimal(28,4)")))
+              .cast("decimal(28,4)").as("sv"))
+      }
+    merged.write.mode("overwrite").parquet(s"$tableDir/v$batchId")
+    Files.write(manifest, batchId.toString.getBytes("UTF-8"))
+    if (applied >= 0) // vacuum the superseded version
+      graft.core.TempDirs.delete(s"$tableDir/v$applied")
+  }
+
+  /** Streaming CDC-apply: replay events through foreachBatch-MERGE into
+    * the versioned state table, then read the final version — which must
+    * equal the batch group-by (the oracle). */
+  def qStreamUpsert(s: SparkSession, dir: String): DataFrame = {
+    val chunks = prepareChunks(s, dir)
+    val tableDir = graft.core.TempDirs.create("graft-upsert")
+    val q = replay(s, chunks)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        mergeBatch(s, tableDir, batch.toDF(), id)
+      }
+      .option("checkpointLocation", s"$tableDir/chk")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val applied = new String(Files.readAllBytes(Paths.get(tableDir, "MANIFEST")),
+      "UTF-8").trim.toLong
+    s.read.parquet(s"$tableDir/v$applied")
+      .select(col("user_id"), col("event_type"), col("cnt"),
+        Tables.money(col("sv")).as("sum_value"))
+      .orderBy("user_id", "event_type")
+  }
+
   private def buildForeachBatchSink(s: SparkSession, dir: String): String = {
     val sinkDir = graft.core.TempDirs.create("graft-feb")
     val q = replay(s, prepareChunks(s, dir))
@@ -489,6 +559,7 @@ object StreamingOps {
     "q_stream_stream_join" -> (qStreamStreamJoin _),
     "q_stream_join_left" -> (qStreamStreamLeft _),
     "q_stream_join_full" -> (qStreamStreamFull _),
+    "q_stream_upsert" -> (qStreamUpsert _),
     "q_stream_foreach_batch" -> (qForeachBatch _),
     "q_stream_late_drop" -> (qLateDrop _),
     "q_stream_update" -> (qStreamUpdate _),
@@ -544,6 +615,12 @@ object StreamingOps {
       WHERE (l.ts IS NULL OR epoch_us(l.ts) <= (SELECT c FROM cut))
         AND (r.ts IS NULL OR epoch_us(r.ts) <= (SELECT c FROM cut))
       ORDER BY lid NULLS FIRST, rid NULLS FIRST""",
+
+    "q_stream_upsert" -> """
+      SELECT user_id, event_type, count(*) AS cnt,
+             CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_stream_file_sink" -> """
       SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
              event_type, count(*) AS cnt

@@ -155,6 +155,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamRows == batchRows)
   }
 
+  test("foreachBatch MERGE upsert equals the batch group-by; replayed batch is a no-op") {
+    val got = StreamingOps.qStreamUpsert(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    val exp = graft.core.Tables.t(spark, sf, "events")
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("cnt"),
+        graft.core.Tables.money(sum(graft.core.Tables.dec(col("value"))))
+          .as("sum_value"))
+      .orderBy("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == exp, "streamed MERGE state differs from the batch twin")
+    // Idempotence guard: re-applying an already-applied batchId must not
+    // double-count (the retry/replay path of a non-transactional sink).
+    val dirX = graft.core.TempDirs.create("graft-upsert-idem")
+    val ev = graft.core.Tables.t(spark, sf, "events").limit(500)
+    def snapshot(): Seq[(Long, String, Long, java.math.BigDecimal)] = {
+      val applied = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dirX, "MANIFEST")), "UTF-8").trim
+      spark.read.parquet(s"$dirX/v$applied").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getDecimal(3))).sortBy(t => (t._1, t._2)).toSeq
+    }
+    StreamingOps.mergeBatch(spark, dirX, ev, 0L)
+    val after0 = snapshot()
+    StreamingOps.mergeBatch(spark, dirX, ev, 0L) // retry of batch 0
+    assert(snapshot() == after0, "replayed batch was double-applied")
+    StreamingOps.mergeBatch(spark, dirX, ev, 1L) // a real new batch lands
+    assert(snapshot().map(_._3).sum == 2 * after0.map(_._3).sum)
+  }
+
   test("append mode drops the late chunk at the watermark — counted, not declared") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val chunks = StreamingOps.prepareChunks(spark, sf, dupCount = 100)
