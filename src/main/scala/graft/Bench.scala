@@ -57,7 +57,8 @@ object Bench {
     "q_anomaly_zscore", "q_mad_outliers", "q_equidepth_bins",
     "q_compaction_plan", "q_langid_confusion", "q_llr_keywords",
     // Round-8 continuation: event history + sketch Aggregator.
-    "q_scd2_dim", "q_session_concurrency", "q_spacesaving_topk")
+    "q_scd2_dim", "q_session_concurrency", "q_spacesaving_topk",
+    "q_group_topk_sketch", "q_variant_json", "q_embed_standardize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -30,6 +30,7 @@ object SparkEntry {
           graft.similarity.AnnIvfPq.query(s, dir)),
         "q_bpe_encode" -> (graft.functions.Bpe.query _),
         "q_spacesaving_topk" -> (graft.functions.SpaceSaving.query _),
+        "q_group_topk_sketch" -> (graft.functions.SpaceSaving.groupQuery _),
         "q_multimodal_features" -> (graft.multimodal.MediaPipeline.query _),
         "q_binaryfile_meta" -> (graft.multimodal.MediaPipeline.metaQuery _),
         "q_tuner_loop" -> (graft.tuner.TunerDemo.query _),
@@ -48,6 +49,7 @@ object SparkEntry {
       GoldenOracles.oracle ++
       Map("q_binaryfile_meta" -> graft.multimodal.MediaPipeline.metaOracle,
         "q_spacesaving_topk" -> graft.functions.SpaceSaving.oracle,
+        "q_group_topk_sketch" -> graft.functions.SpaceSaving.groupOracle,
         "q_salted_join" -> graft.operators.SaltedJoin.oracle,
         "q_bucketed_join" -> graft.operators.BucketedJoin.oracle,
         "q_dedup_clusters" -> graft.dedup.DedupClusters.oracle,

@@ -111,4 +111,34 @@ object SpaceSaving {
     FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
     WHERE length(token) > 0
     GROUP BY token ORDER BY est DESC, token LIMIT 20"""
+
+  /** The sketch under groupBy (via `functions.udaf`): per-language top-5
+    * tokens with m cells per (group, task) — constant-memory grouped
+    * top-k, the shape a per-domain/per-language vocabulary monitor runs
+    * at 100 TB where per-group exact counts would shuffle each group's
+    * whole vocabulary. finish() orders by (est desc, token), so slicing
+    * the first 5 is the deterministic per-group top-5. */
+  def groupQuery(s: SparkSession, dir: String): DataFrame = {
+    val ss = udaf(new Agg(1024), org.apache.spark.sql.Encoders.STRING)
+    t(s, dir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("lang")
+      .agg(ss(col("tok")).as("sketch"))
+      .select(col("lang"), explode(slice(col("sketch"), 1, 5)).as("e"))
+      .select(col("lang"), col("e.token").as("token"), col("e.est").as("est"))
+      .orderBy(col("lang"), desc("est"), col("token"))
+  }
+
+  val groupOracle: String = """
+    WITH tf AS (
+      SELECT lang, tok, count(*) AS est FROM (
+        SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE length(tok) > 0 GROUP BY lang, tok),
+    r AS (
+      SELECT lang, tok AS token, est,
+             row_number() OVER (PARTITION BY lang ORDER BY est DESC, tok) AS rk
+      FROM tf)
+    SELECT lang, token, est FROM r WHERE rk <= 5
+    ORDER BY lang, est DESC, token"""
 }

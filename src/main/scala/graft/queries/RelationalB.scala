@@ -193,6 +193,22 @@ object RelationalB {
         .orderBy("event_type")
     },
 
+    // VARIANT semi-structured path (Spark 4): props parses ONCE into the
+    // binary variant encoding, then every extraction is a typed binary
+    // traversal — at 100 TB this replaces per-expression string
+    // re-parsing (q27's get_json_object re-parses the JSON text for each
+    // call). Same oracle family as q27: DuckDB extracts from the text.
+    "q_variant_json" -> { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"), parse_json(col("props")).as("pv"))
+        .select(col("event_type"),
+          expr("variant_get(pv, '$.k', 'bigint')").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum("k").as("k_sum"),
+          min("k").as("k_min"), max("k").as("k_max"))
+        .orderBy("event_type")
+    },
+
     // Q28 — conditional / null-handling functions.
     "q28_conditional" -> { (s, dir) =>
       val joined = t(s, dir, "customer").join(t(s, dir, "orders"),
@@ -353,6 +369,13 @@ object RelationalB {
       SELECT event_type,
              CAST(sum(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS BIGINT) AS k_sum,
              count(*) AS cnt
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_variant_json" -> """
+      SELECT event_type, count(*) AS cnt,
+             CAST(sum(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS BIGINT) AS k_sum,
+             CAST(min(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS BIGINT) AS k_min,
+             CAST(max(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS BIGINT) AS k_max
       FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q28_conditional" -> """

@@ -122,6 +122,25 @@ object SimilarityOps {
         .orderBy("label", "dim")
     },
 
+    // Per-dimension standardization (feature scaling): the 64-row dim
+    // stats table (mu, sigma) broadcasts back onto the exploded values,
+    // and the standardized per-(label, dim) class means expose
+    // feature-wise class separation — the scaling pass run before any
+    // distance-based model. Shuffles are dim-keyed (64 keys) and
+    // (label × dim)-keyed; the full vectors never shuffle.
+    "q_embed_standardize" -> { (s, dir) =>
+      val xs = t(s, dir, "embeddings")
+        .select(col("label"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      val stats = xs.groupBy("dim")
+        .agg(avg("x").as("mu"), stddev_samp("x").as("sigma"))
+      xs.join(broadcast(stats), "dim")
+        .groupBy("label", "dim")
+        .agg(round(avg((col("x") - col("mu")) / col("sigma")), 6).as("z_mean"),
+          count(lit(1)).as("n"))
+        .orderBy("label", "dim")
+    },
+
     // Embedding-health profile: per-label L2-norm stats — the drift /
     // degenerate-vector monitor every embedding pipeline runs before
     // indexing (zero or exploding norms break cosine ranking). Norms
@@ -185,6 +204,18 @@ object SimilarityOps {
              hex(substring(text, 1, 4)) AS head_hex,
              md5(text) AS body_md5
       FROM documents ORDER BY doc_id""",
+
+    "q_embed_standardize" -> """
+      WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb
+                 FROM embeddings),
+      x AS (SELECT label, CAST(i - 1 AS INTEGER) AS dim, emb[i] AS x
+            FROM (SELECT label, emb, generate_subscripts(emb, 1) AS i FROM e)),
+      st AS (SELECT dim, avg(x) AS mu, stddev_samp(x) AS sigma
+             FROM x GROUP BY 1)
+      SELECT label, x.dim, round(avg((x - mu) / sigma), 6) AS z_mean,
+             count(*) AS n
+      FROM x JOIN st ON x.dim = st.dim
+      GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_label_centroid" -> """
       WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb

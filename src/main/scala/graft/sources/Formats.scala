@@ -130,6 +130,34 @@ object Formats {
         .agg(count(lit(1)).as("cnt"),
           money(sum(dec(col("o_totalprice")))).as("total"))
         .orderBy("status")
+    },
+
+    // Malformed-record robustness: PERMISSIVE CSV routes unparseable
+    // lines into _corrupt_record instead of failing the job — the
+    // contract that lets a 100 TB ingest quarantine garbage and keep
+    // going. Every 7th orderkey is planted with a non-numeric price;
+    // corrupt rows are counted, clean rows aggregate, and nothing
+    // throws. The oracle reconstructs both populations from the base
+    // table by the same parity, so the quarantine split is hash-checked.
+    "q_csv_corrupt" -> { (s, dir) =>
+      val tmp = graft.core.TempDirs.create("graft-badcsv")
+      t(s, dir, "orders").select(
+          when(col("o_orderkey") % 7 === 0,
+            concat_ws(",", col("o_orderkey"), lit("NOT_A_PRICE"),
+              col("o_orderstatus")))
+          .otherwise(concat_ws(",", col("o_orderkey"), col("o_totalprice"),
+            col("o_orderstatus"))).as("value"))
+        .write.mode("overwrite").text(tmp)
+      val corrupt = col("_corrupt_record").isNotNull
+      s.read
+        .schema("k BIGINT, price DOUBLE, st STRING, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(tmp)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(corrupt, 1L).otherwise(0L)).as("n_corrupt"),
+          sum(when(!corrupt, 1L).otherwise(0L)).as("n_good"),
+          money(sum(when(!corrupt, dec(col("price"))))).as("good_price_sum"))
     }
   )
 
@@ -174,6 +202,17 @@ object Formats {
              count(*) AS cnt,
              CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
                AS total
-      FROM orders GROUP BY 1 ORDER BY status"""
+      FROM orders GROUP BY 1 ORDER BY status""",
+
+    "q_csv_corrupt" -> """
+      SELECT count(*) AS n_rows,
+             CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_corrupt,
+             CAST(sum(CASE WHEN o_orderkey % 7 <> 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_good,
+             CAST(round(sum(CASE WHEN o_orderkey % 7 <> 0
+                 THEN CAST(o_totalprice AS DECIMAL(18,4)) END), 2) AS DOUBLE)
+               AS good_price_sum
+      FROM orders"""
   )
 }

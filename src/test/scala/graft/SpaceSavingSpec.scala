@@ -73,6 +73,23 @@ class SpaceSavingSpec extends SparkSpec {
     }
   }
 
+  test("grouped sketch equals exact per-group top-5") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val got = SpaceSaving.groupQuery(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val w = Window.partitionBy("lang").orderBy(desc("est"), col("tok"))
+    val exact = graft.core.Tables.t(spark, sf, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("lang", "tok").agg(count(lit(1)).as("est"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .orderBy(col("lang"), desc("est"), col("tok"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == exact)
+  }
+
   test("merge is split-invariant for the heavy tail") {
     val heavy = (0 until 20).flatMap(i => Seq.fill(200 + 10 * i)(f"h$i%02d"))
     val light = (0 until 300).map(i => f"l$i%03d")
