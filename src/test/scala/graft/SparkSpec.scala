@@ -6,8 +6,12 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local SparkSession for all specs (plain scalatest — the
   * reference's spark-testing-base is unavailable offline; SURVEY.md §7). */
 object SparkSpec {
+  // local[4, 2]: 4 threads with task maxFailures = 2, so the retry
+  // path is live (plain local[N] pins maxFailures to 1 and any injected
+  // task failure would kill the job instead of retrying — the
+  // RetryIdempotenceSpec contract needs the scheduler's real retry).
   lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
+    .master("local[4, 2]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
