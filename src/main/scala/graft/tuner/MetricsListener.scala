@@ -44,7 +44,9 @@ class MetricsListener(runId: Int) extends SparkListener {
         taskId = ti.taskId,
         executorId = ti.executorId,
         durationMs = ti.duration,
-        peakMemory = if (ev.taskMetrics == null) 0L else ev.taskMetrics.peakExecutionMemory)
+        peakMemory = if (ev.taskMetrics == null) 0L else ev.taskMetrics.peakExecutionMemory,
+        shuffleReadBytes = if (ev.taskMetrics == null) 0L
+          else ev.taskMetrics.shuffleReadMetrics.totalBytesRead)
       tasks.synchronized { tasks += row }
     }
   }

@@ -60,7 +60,8 @@ class MetricsStore(root: String, appName: String) {
   private def taskJsonLine(m: TaskMetric): String =
     s"""{"runId":${m.runId},"stageId":${m.stageId},"taskId":${m.taskId},""" +
       s""""executorId":"${m.executorId.replace("\\", "\\\\").replace("\"", "\\\"")}",""" +
-      s""""durationMs":${m.durationMs},"peakMemory":${m.peakMemory}}"""
+      s""""durationMs":${m.durationMs},"peakMemory":${m.peakMemory},""" +
+      s""""shuffleReadBytes":${m.shuffleReadBytes}}"""
 
   /** Persist without Spark jobs (application-end flush path). */
   def persistDirect(hadoopConf: org.apache.hadoop.conf.Configuration,
@@ -81,23 +82,36 @@ class MetricsStore(root: String, appName: String) {
   private def readKind[T: Encoder](spark: SparkSession, parquetPath: String,
       jsonPath: String, cols: Seq[String]): Seq[T] = {
     val enc = implicitly[Encoder[T]]
+    // Schema evolution of the store itself: a field added to the model
+    // after a store was written (e.g. TaskMetric.shuffleReadBytes) is
+    // back-filled with a zero of its type, so old runs stay readable and
+    // merely opt out of the analyses that need the new signal.
+    def backfill(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      enc.schema.fields.foldLeft(df) { (d, f) =>
+        if (d.columns.contains(f.name)) d
+        else d.withColumn(f.name, lit(0).cast(f.dataType))
+      }
     val fromParquet =
       if (pathExists(spark, parquetPath))
-        spark.read.parquet(parquetPath)
+        backfill(spark.read.parquet(parquetPath))
           .select(cols.map(col): _*).as[T](enc).collect().toSeq
       else Nil
     val fromFlight =
-      if (pathExists(spark, jsonPath))
+      if (pathExists(spark, jsonPath)) {
         // Flight files are the crashed-writer path by design, so a
         // truncated trailing line is expected, not exceptional: drop
         // malformed lines and any parsed row missing a required field
         // instead of letting the non-nullable decode throw and poison
-        // every later tuned run against this store.
+        // every later tuned run against this store. Fields added to the
+        // model AFTER a flight file was written are zero-filled first so
+        // the old rows don't read as malformed.
+        val laterFields = Seq("shuffleReadBytes").filter(cols.contains)
         spark.read.schema(enc.schema)
           .option("mode", "DROPMALFORMED").json(jsonPath)
+          .na.fill(0L, laterFields)
           .select(cols.map(col): _*).na.drop("any")
           .as[T](enc).collect().toSeq
-      else Nil
+      } else Nil
     fromParquet ++ fromFlight
   }
 
@@ -117,7 +131,7 @@ class MetricsStore(root: String, appName: String) {
       val tasks = readKind[TaskMetric](spark, s"$base/kind=task",
         flightBase("task"),
         Seq("runId", "stageId", "taskId", "executorId", "durationMs",
-          "peakMemory"))
+          "peakMemory", "shuffleReadBytes"))
       val tasksByRun = tasks.groupBy(_.runId)
       stages.groupBy(_.runId).toList.sortBy(_._1).map { case (rid, st) =>
         StageRunInfo.assemble(st, tasksByRun.getOrElse(rid, Nil))

@@ -13,7 +13,12 @@ case class TaskMetric(
     taskId: Long,
     executorId: String,
     durationMs: Long,
-    peakMemory: Long)
+    peakMemory: Long,
+    // Per-task shuffle-read volume — the reducer-skew signal
+    // (SkewAdvisor). Added after round 8 started; stores persisted by
+    // older builds lack the column and read back as 0 (MetricsStore
+    // back-fills), which simply disables skew analysis on those runs.
+    shuffleReadBytes: Long = 0L)
 
 case class StageMetric(
     runId: Int,

@@ -37,10 +37,17 @@ object TunerDemo {
         .reducersOfMostExpensiveShuffle(fullHistory)
         .map(_.numPartitionsUsed)
       runs.zipWithIndex.map { case (r, i) =>
+        // Per-run reducer-skew read (SkewAdvisor): ratio of the
+        // straggler's shuffle-read bytes to the median task's. The demo
+        // query is balanced, so the flag stays false — the wiring is
+        // what's demonstrated; SkewAdvisorSpec drives the skewed path.
+        val skew = SkewAdvisor.analyze(r.recorded)
         (r.runId, r.partitions, settled.lift(i).getOrElse(-1),
-          math.round(r.maxPartitionBytes / (1024.0 * 1024.0)).toInt)
+          math.round(r.maxPartitionBytes / (1024.0 * 1024.0)).toInt,
+          skew.map(s => math.round(s.ratio * 100.0) / 100.0).getOrElse(-1.0),
+          skew.exists(_.skewed))
       }.toDF("run_id", "recommended_partitions", "aqe_settled_partitions",
-          "recommended_split_mb")
+          "recommended_split_mb", "skew_ratio", "skew_flag")
         .orderBy("run_id")
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", before)
