@@ -38,9 +38,14 @@ class Tuner(metricsRoot: String, appName: String) {
     * input-split size). */
   def recommendedConf(spark: SparkSession): Map[String, String] = {
     val p = recommendPartitions(spark).toString
+    // Skew tier: the latest run's straggler profile, when flagged, adds
+    // the AQE skew-join knobs (SkewAdvisor); balanced history adds none.
+    val skew = store.history(spark).lastOption
+      .flatMap(SkewAdvisor.analyze(_))
+      .map(SkewAdvisor.recommendedConf).getOrElse(Map.empty)
     Map("spark.sql.shuffle.partitions" -> p, "spark.default.parallelism" -> p,
       "spark.sql.files.maxPartitionBytes" ->
-        recommendMaxPartitionBytes(spark).toString)
+        recommendMaxPartitionBytes(spark).toString) ++ skew
   }
 
   /** Apply recommendation to this session and return it. */
@@ -104,6 +109,13 @@ class Tuner(metricsRoot: String, appName: String) {
     val splitBytes =
       cp.maxPartitionBytes(scans.lastOption.map(_.inputSizeMb).getOrElse(0.0))
     spark.conf.set("spark.sql.files.maxPartitionBytes", splitBytes.toString)
+    // Skew tier rides the same history read: the latest recorded run's
+    // per-task shuffle-read profile decides whether this run needs AQE's
+    // skew-splitting thresholds widened (SkewAdvisor). Balanced or
+    // pre-evolution history sets nothing — AQE defaults stand.
+    history.lastOption.flatMap(SkewAdvisor.analyze(_))
+      .map(SkewAdvisor.recommendedConf).getOrElse(Map.empty)
+      .foreach { case (k, v) => spark.conf.set(k, v) }
     val runId = store.nextRunId(spark)
     val listener = new MetricsListener(runId)
     spark.sparkContext.addSparkListener(listener)

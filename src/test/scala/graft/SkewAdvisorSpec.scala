@@ -74,9 +74,20 @@ class SkewAdvisorSpec extends SparkSpec {
       assert(report.nonEmpty, "no shuffle-read stage recorded")
       assert(report.get.skewed,
         s"hot-key stage not flagged (ratio ${report.get.ratio})")
+      // The NEXT tuned run sees the skewed history and auto-applies the
+      // AQE skew knobs to the session before running.
+      tuner.tuneAndRunTracked(spark) { spark.range(10).count() }
+      val factor = spark.conf
+        .getOption("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      assert(factor.exists(_.toInt >= 2),
+        "skew advice not auto-applied by the tuning loop")
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      Seq("spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+        .foreach(spark.conf.unset)
     }
   }
 
