@@ -58,7 +58,10 @@ object Bench {
     "q_compaction_plan", "q_langid_confusion", "q_llr_keywords",
     // Round-8 continuation: event history + sketch Aggregator.
     "q_scd2_dim", "q_session_concurrency", "q_spacesaving_topk",
-    "q_group_topk_sketch", "q_variant_json", "q_embed_standardize")
+    "q_group_topk_sketch", "q_variant_json", "q_embed_standardize",
+    // Round-8 continuation: model-eval tier + frontier BFS + resampling.
+    "q_auc_rank", "q_linreg_closed", "q_calibration_bins",
+    "q_weighted_sample", "q_ohlc_resample", "q_gap_fill", "q_bfs_hops")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

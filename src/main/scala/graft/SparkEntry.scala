@@ -16,7 +16,7 @@ object SparkEntry {
     RelationalA.queries ++ RelationalB.queries ++ RelationalC.queries ++
       AsOfOps.queries ++ Winnowing.queries ++ TextOps.queries ++
       SimilarityOps.queries ++ EventOps.queries ++ UdfOps.queries ++
-      LayoutOps.queries ++ GraphOps.queries ++ Map(
+      LayoutOps.queries ++ GraphOps.queries ++ MlOps.queries ++ Map(
         "q43_minhash_lsh" -> (graft.dedup.MinHashDedup.query _),
         "q_dedup_clusters" -> (graft.dedup.DedupClusters.query _),
         "q_dedup_keep_best" -> (graft.dedup.DedupClusters.keepBestQuery _),
@@ -44,7 +44,7 @@ object SparkEntry {
     RelationalA.oracle ++ RelationalB.oracle ++ RelationalC.oracle ++
       AsOfOps.oracle ++ Winnowing.oracle ++ TextOps.oracle ++
       SimilarityOps.oracle ++ EventOps.oracle ++ UdfOps.oracle ++
-      LayoutOps.oracle ++ GraphOps.oracle ++
+      LayoutOps.oracle ++ GraphOps.oracle ++ MlOps.oracle ++
       graft.streaming.StreamingOps.oracle ++ graft.sources.Formats.oracle ++
       GoldenOracles.oracle ++
       Map("q_binaryfile_meta" -> graft.multimodal.MediaPipeline.metaOracle,

@@ -347,10 +347,150 @@ object EventOps {
         .agg(count(lit(1)).as("live_sessions"))
         .select(tsStr(col("hour")).as("hour"), col("live_sessions"))
         .orderBy("hour")
+    },
+
+    // OHLC resampling (financial bar aggregation): per (event_type, day),
+    // open/close = first/last value in (ts, event_id) order, high/low =
+    // max/min, in exact DECIMAL(18,4). One hash exchange on the
+    // (event_type, day) key serves both the order windows and the final
+    // aggregate — the same single-exchange shape as q_scd2_dim.
+    "q_ohlc_resample" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("event_type"),
+        expr("unix_micros(date_trunc('DAY', ts)) div 86400000000").as("day"),
+        col("ts"), col("event_id"), col("value").cast("decimal(18,4)").as("v"))
+      val wo = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+      val wc = wo.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      ev.withColumn("op", first("v").over(wo))
+        .withColumn("cl", last("v").over(wc))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n"),
+          max("op").cast("double").as("open"),
+          max("v").cast("double").as("high"),
+          min("v").cast("double").as("low"),
+          max("cl").cast("double").as("close"))
+        .orderBy("event_type", "day")
+    },
+
+    // Linear gap-fill: each user's daily mean value on the user's own
+    // [first, last] day spine, missing days linearly interpolated between
+    // the neighboring present days. EVERYTHING stays exact int64 — the
+    // interpolated value is the rational A/B with
+    //   A = sp·nn·(dn−day) + sn·np·(day−dp),  B = np·nn·(dn−dp)
+    // (sp/np, sn/nn the neighboring µ-unit daily sums/counts), and the
+    // 4-decimal half-up rounding is integer arithmetic, (2A+B) div (2B),
+    // so no cross-engine double-rounding boundary exists (values are
+    // non-negative by domain). One backward + one forward ignore-nulls
+    // window on the user_id exchange the spine join already established.
+    // Spine fan-out is bounded by each user's observed span — never a
+    // global date range — so sparse users stay cheap at any corpus size.
+    "q_gap_fill" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("user_id"),
+        expr("unix_micros(date_trunc('DAY', ts)) div 86400000000").as("day"),
+        (col("value").cast("decimal(18,4)") * 10000).cast("long").as("iv"))
+      val daily = ev.groupBy("user_id", "day")
+        .agg(sum("iv").as("siv"), count(lit(1)).as("n"))
+      val spine = daily.groupBy("user_id")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+      val j = spine.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("pday",
+          when(col("siv").isNull, lit(null)).otherwise(col("day")))
+      val wb = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      j.withColumn("sp", last("siv", ignoreNulls = true).over(wb))
+        .withColumn("np", last("n", ignoreNulls = true).over(wb))
+        .withColumn("dp", last("pday", ignoreNulls = true).over(wb))
+        .withColumn("sn", first("siv", ignoreNulls = true).over(wf))
+        .withColumn("nn", first("n", ignoreNulls = true).over(wf))
+        .withColumn("dn", first("pday", ignoreNulls = true).over(wf))
+        .withColumn("a", when(col("siv").isNotNull, col("siv"))
+          .otherwise(col("sp") * col("nn") * (col("dn") - col("day"))
+            + col("sn") * col("np") * (col("day") - col("dp"))))
+        .withColumn("b", when(col("siv").isNotNull, col("n"))
+          .otherwise(col("np") * col("nn") * (col("dn") - col("dp"))))
+        .select(col("user_id"), col("day"),
+          (expr("(2 * a + b) div (2 * b)").cast("double") / 10000.0)
+            .as("filled"),
+          when(col("siv").isNull, 1).otherwise(0).as("interpolated"))
+        .orderBy("user_id", "day")
     }
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ohlc_resample" -> """
+      WITH ev AS (
+        SELECT event_type,
+               epoch_us(date_trunc('day', ts)) // 86400000000 AS day,
+               ts, event_id, CAST(value AS DECIMAL(18,4)) AS v
+        FROM events),
+      w AS (
+        SELECT event_type, day, v,
+               first_value(v) OVER (PARTITION BY event_type, day
+                 ORDER BY ts, event_id) AS op,
+               last_value(v) OVER (PARTITION BY event_type, day
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                 AS cl
+        FROM ev)
+      SELECT event_type, day, count(*) AS n,
+             CAST(max(op) AS DOUBLE) AS open, CAST(max(v) AS DOUBLE) AS high,
+             CAST(min(v) AS DOUBLE) AS low, CAST(max(cl) AS DOUBLE) AS close
+      FROM w GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "q_gap_fill" -> """
+      WITH ev AS (
+        SELECT user_id,
+               epoch_us(date_trunc('day', ts)) // 86400000000 AS day,
+               CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS iv
+        FROM events),
+      daily AS (
+        SELECT user_id, day, CAST(sum(iv) AS BIGINT) AS siv, count(*) AS n
+        FROM ev GROUP BY 1, 2),
+      spans AS (
+        SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+      spine AS (
+        SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM spans),
+      joined AS (
+        SELECT s.user_id, s.day, d.siv, d.n,
+          CASE WHEN d.siv IS NULL THEN NULL ELSE s.day END AS pday
+        FROM spine s LEFT JOIN daily d USING (user_id, day)),
+      ctx AS (
+        SELECT user_id, day, siv, n,
+          last_value(siv IGNORE NULLS) OVER (PARTITION BY user_id
+            ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sp,
+          last_value(n IGNORE NULLS) OVER (PARTITION BY user_id
+            ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS np,
+          last_value(pday IGNORE NULLS) OVER (PARTITION BY user_id
+            ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dp,
+          first_value(siv IGNORE NULLS) OVER (PARTITION BY user_id
+            ORDER BY day
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS sn,
+          first_value(n IGNORE NULLS) OVER (PARTITION BY user_id
+            ORDER BY day
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nn,
+          first_value(pday IGNORE NULLS) OVER (PARTITION BY user_id
+            ORDER BY day
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS dn
+        FROM joined),
+      ab AS (
+        SELECT user_id, day, siv,
+          CASE WHEN siv IS NOT NULL THEN siv
+               ELSE sp * nn * (dn - day) + sn * np * (day - dp) END AS a,
+          CASE WHEN siv IS NOT NULL THEN n
+               ELSE np * nn * (dn - dp) END AS b
+        FROM ctx)
+      SELECT user_id, day,
+        CAST((2 * a + b) // (2 * b) AS DOUBLE) / 10000.0 AS filled,
+        CASE WHEN siv IS NULL THEN 1 ELSE 0 END AS interpolated
+      FROM ab ORDER BY user_id, day
+    """,
     "q_funnel" -> """
       WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
                   WHERE event_type = 'view' GROUP BY user_id),

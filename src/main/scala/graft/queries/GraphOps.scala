@@ -55,6 +55,10 @@ object GraphOps {
     * agree on the worst-case output. */
   val PrMaxIter = 12
 
+  /** BFS hop cap — also the oracle's recursion depth bound, so both
+    * engines agree when the cap (not frontier exhaustion) terminates. */
+  val BfsMaxHops = 6
+
   val queries: Map[String, Q] = Map(
     "q_pagerank_parts" -> { (s, dir) =>
       val li = t(s, dir, "lineitem")
@@ -156,10 +160,96 @@ object GraphOps {
           col("min_dist"),
           coalesce(col("n_close"), lit(0L)).as("n_close"))
         .orderBy("lang", "source")
+    },
+
+    // Multi-source BFS (frontier algorithm) over the min-support-2 part
+    // co-occurrence graph: hop distance from the p_size=50 seed set,
+    // reported as a per-level histogram with a node-id checksum plus a
+    // dist=-1 row for nodes the cap never reaches. Each level is ONE
+    // equi-join (frontier ⋈ edges on src) and ONE left-anti join against
+    // the visited set — the textbook distributed BFS shape: work is
+    // O(edges touched per level), state is the visited table, and both
+    // partition on the node key. Frontier and visited snapshots
+    // materialize to parquet per level (lineage truncation, the PageRank
+    // canon) and the driver holds only the 1-row frontier count that
+    // drives early termination. The min-support-2 edge filter keeps the
+    // graph sparse enough to have real depth at the verify scale (sf0.01:
+    // levels 0..6 plus unreached nodes, so the hop cap binds; at sf0.001
+    // the graph is denser relative to its size and BFS saturates in 2
+    // hops, exercising the frontier-empty termination path instead. The
+    // support-1 graph's diameter is 2 everywhere — every frequent part
+    // pair rides one hub order).
+    // Oracle: DuckDB WITH RECURSIVE, UNION-distinct on (node, dist),
+    // same BfsMaxHops cap, min(dist) collapse outside the recursion.
+    "q_bfs_hops" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val tmp = graft.core.TempDirs.create("graft-bfs")
+      li.as("a").join(li.as("b"), Seq("l_orderkey"))
+        .where(col("a.l_partkey") =!= col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .select("src", "dst")
+        .write.mode("overwrite").parquet(s"$tmp/edges")
+      val e = s.read.parquet(s"$tmp/edges")
+      val nodes = e.select(col("src").as("node")).distinct()
+      nodes.join(t(s, dir, "part").filter(col("p_size") === 50)
+            .select(col("p_partkey").as("node")), "node")
+        .select(col("node"), lit(0).as("dist"))
+        .write.mode("overwrite").parquet(s"$tmp/visited=0")
+      var visited = s.read.parquet(s"$tmp/visited=0")
+      var frontier = visited.select("node")
+      var level = 0
+      var frontierSize = frontier.count()
+      while (level < BfsMaxHops && frontierSize > 0) {
+        level += 1
+        frontier.join(e, col("node") === col("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(visited.select("node"), Seq("node"), "left_anti")
+          .select(col("node"), lit(level).as("dist"))
+          .write.mode("overwrite").parquet(s"$tmp/frontier=$level")
+        val next = s.read.parquet(s"$tmp/frontier=$level")
+        visited.union(next).write.mode("overwrite")
+          .parquet(s"$tmp/visited=$level")
+        // The union write above was the last reader of the previous
+        // visited snapshot; the new frontier re-reads its own file.
+        graft.core.TempDirs.delete(s"$tmp/visited=${level - 1}")
+        visited = s.read.parquet(s"$tmp/visited=$level")
+        frontier = next.select("node")
+        frontierSize = next.count()
+      }
+      nodes.join(visited, Seq("node"), "left_outer")
+        .select(col("node"), coalesce(col("dist"), lit(-1)).as("dist"))
+        .groupBy("dist")
+        .agg(count(lit(1)).as("n_nodes"), sum("node").as("node_sum"))
+        .orderBy("dist")
     }
   )
 
   val oracle: Map[String, String] = Map(
+    "q_bfs_hops" -> s"""
+      WITH RECURSIVE
+      li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      e AS MATERIALIZED (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM li a JOIN li b USING (l_orderkey)
+        WHERE a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      nodes AS (SELECT DISTINCT src AS node FROM e),
+      seeds AS (SELECT node FROM nodes JOIN part ON p_partkey = node
+                WHERE p_size = 50),
+      bfs(node, dist) AS (
+        SELECT node, 0 FROM seeds
+        UNION
+        SELECT e.dst, bfs.dist + 1 FROM bfs JOIN e ON bfs.node = e.src
+        WHERE bfs.dist < ${BfsMaxHops}),
+      dists AS (SELECT node, min(dist) AS dist FROM bfs GROUP BY node)
+      SELECT dist, count(*) AS n_nodes, CAST(sum(node) AS BIGINT) AS node_sum
+      FROM (SELECT n.node, coalesce(d.dist, -1) AS dist
+            FROM nodes n LEFT JOIN dists d USING (node))
+      GROUP BY dist ORDER BY dist
+    """,
     "q_pagerank_parts" -> {
       // PrMaxIter unrolled power iterations (rK = rank vector after K)
       // each with its 1-row relative-delta scalar dK; `pick` selects the

@@ -41,7 +41,12 @@ object PlanDump {
       "q_incr_rollup" -> "Incremental rollup refresh: persisted (day,type) partial table unioned with delta partials, re-agg sum-of-sums/sum-of-counts — refresh cost scales with delta + MV size, never the base corpus",
       "q_posting_stats" -> "Inverted-index profile: one lag window + one agg, both on the token key (vocabulary-keyed shuffles); varint math is exact integer bin()-length arithmetic",
       "q_stratified_sample" -> "Stratified quota sample: rank and stratum-size windows share ONE exchange on (lang, source); md5 order makes the sample layout-independent",
-      "q_compaction_plan" -> "Small-file compaction planner: packing window runs over the file-metadata-sized inventory partitioned per lang — compaction never crosses table partitions, so no global sort exists")
+      "q_compaction_plan" -> "Small-file compaction planner: packing window runs over the file-metadata-sized inventory partitioned per lang — compaction never crosses table partitions, so no global sort exists",
+      "q_scd2_dim" -> "SCD2 build: lag + running-sum + lead windows AND the run-collapse agg all ride ONE user_id exchange (HashPartitioning(user_id) satisfies the (user_id, ver) clustering); only the state rollup re-shuffles",
+      "q_embed_standardize" -> "Per-dim standardization: 64-row stats table broadcast back; exploded values partial-aggregate to (label, dim) before the only data shuffle",
+      "q_auc_rank" -> "Rank-sum AUC: per-(source,score) pre-aggregation bounds the midrank window input by score cardinality, not corpus size; window and both aggs share the source exchange",
+      "q_weighted_sample" -> "Systematic weighted sample: two-level distributed prefix sum (256 md5-prefix bucket totals broadcast as the offset table) replaces the global cumulative window; stride selection is exact integer arithmetic",
+      "q_bfs_hops" -> "Multi-source frontier BFS: each level is one frontier-edges equi-join + one left-anti vs visited, snapshots parquet-materialized per level (lineage truncation), driver holds only the 1-row frontier count")
     val sb = new StringBuilder
     sb ++= "# PLANS — physical plans of representative queries (sf0.01, AQE on)\n\n"
     sb ++= "Generated by `sbt \"runMain graft.tools.PlanDump\"`; regenerate after plan-affecting changes.\n\n"

@@ -90,4 +90,64 @@ class EventHistorySpec extends SparkSpec {
     assert(got == expected)
     assert(sessions.forall { case (t0, t1) => t0 <= t1 })
   }
+
+  test("q_ohlc_resample equals a sequential first/last/min/max recount") {
+    val rows = graft.core.Tables.t(spark, sf, "events")
+      .select(col("event_type"), col("event_id"), unix_micros(col("ts")),
+        col("value").cast("decimal(18,4)").cast("string"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        BigDecimal(r.getString(3))))
+    val expected = rows.groupBy(r => (r._1, r._3 / 86400000000L)).map {
+      case ((tpe, day), xs) =>
+        val ord = xs.sortBy(x => (x._3, x._2))
+        (tpe, day) -> ((ord.length.toLong, ord.head._4.toDouble,
+          xs.map(_._4).max.toDouble, xs.map(_._4).min.toDouble,
+          ord.last._4.toDouble))
+    }
+    val got = EventOps.queries("q_ohlc_resample")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6)))).toMap
+    assert(got == expected)
+    got.foreach { case (_, (_, o, h, l, c)) =>
+      assert(l <= o && o <= h && l <= c && c <= h, "bars must contain o/c")
+    }
+  }
+
+  test("q_gap_fill: present days exact, gaps linearly interpolated") {
+    val rows = graft.core.Tables.t(spark, sf, "events")
+      .select(col("user_id"), unix_micros(col("ts")),
+        (col("value").cast("decimal(18,4)") * 10000).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1) / 86400000000L,
+        r.getLong(2)))
+    val expected = rows.groupBy(_._1).flatMap { case (user, xs) =>
+      val daily = xs.groupBy(_._2).map { case (d, ys) =>
+        d -> (ys.map(_._3).sum.toDouble / ys.length) }
+      val days = daily.keys
+      (days.min to days.max).map { d =>
+        daily.get(d) match {
+          case Some(v) => (user, d, v / 10000.0, 0)
+          case None =>
+            val dp = days.filter(_ < d).max
+            val dn = days.filter(_ > d).min
+            val interp = daily(dp) + (daily(dn) - daily(dp)) *
+              (d - dp).toDouble / (dn - dp).toDouble
+            (user, d, interp / 10000.0, 1)
+        }
+      }
+    }.toSeq
+    val got = EventOps.queries("q_gap_fill")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.length == expected.length)
+    val gm = got.map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    expected.foreach { case (u, d, v, flag) =>
+      val (gv, gflag) = gm((u, d))
+      assert(gflag == flag, s"flag skew at ($u, $d)")
+      // The engine rounds to 4 decimals; the sequential recompute does
+      // not, so the worst legitimate gap is half an ulp past 5e-5.
+      assert(math.abs(gv - v) < 5.1e-5, s"($u, $d): $gv vs $v")
+    }
+    assert(got.count(_._4 == 1) > 0, "fixture should contain gap days")
+  }
 }

@@ -128,4 +128,37 @@ class LayoutGraphSpec extends SparkSpec {
       .select(levenshtein(col("a"), col("b"))).head().getInt(0)
     assert(d == 3, "engine levenshtein must be the textbook edit distance")
   }
+
+  test("q_bfs_hops equals a sequential multi-source BFS") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // NB: .collect { case (p, _) ... => p } on the groupBy Map would
+    // rebuild a Map keyed on src (one dst per src) — keySet keeps pairs.
+    val support = li.toSeq.groupBy(_._1).values.toSeq.flatMap(xs =>
+        for (a <- xs; b <- xs if a._2 != b._2) yield (a._2, b._2))
+      .groupBy(identity).filter(_._2.size >= 2).keySet
+    val adj = support.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val nodes = support.map(_._1)
+    val seeds = spark.read.parquet(s"$sf/part.parquet")
+      .filter(col("p_size") === 50).select("p_partkey").collect()
+      .map(_.getLong(0)).toSet.intersect(nodes)
+    assert(seeds.nonEmpty, "fixture must contain in-graph seeds")
+    val dist = scala.collection.mutable.Map(seeds.toSeq.map(_ -> 0): _*)
+    var frontier = seeds
+    var level = 0
+    while (level < graft.queries.GraphOps.BfsMaxHops && frontier.nonEmpty) {
+      level += 1
+      val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+        .diff(dist.keySet)
+      next.foreach(n => dist(n) = level)
+      frontier = next
+    }
+    val expected = nodes.groupBy(n => dist.getOrElse(n, -1))
+      .map { case (d, ns) => (d, ns.size.toLong, ns.sum) }.toSet
+    val got = graft.queries.GraphOps.queries("q_bfs_hops")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"extra=${got.diff(expected)} missing=${expected.diff(got)}")
+  }
 }
