@@ -68,6 +68,7 @@ object WordCountApp {
       val spark = SparkSession.builder()
         .master(a.master).appName(a.appName)
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       try {

@@ -17,24 +17,30 @@ object Tables {
 
   /** Load one driver testdata table (TESTDATA.md layout).
     *
-    * `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * rejects outright; read it as a long (nanos since epoch) and floor-divide
-    * to micros — the same truncation DuckDB applies when it loads the file
-    * into its microsecond TIMESTAMP, so both engines see identical values.
+    * `events.parquet` has shipped in three layouts across driver rounds:
+    * TIMESTAMP(NANOS) (readable only as a nanos long), TIMESTAMP(µs)
+    * without the UTC flag (read as TIMESTAMP_NTZ under Spark's default
+    * NTZ inference), and ScaleData's UTC-flagged TIMESTAMP(µs). All three
+    * normalize to the same µs-precision TIMESTAMP — the type DuckDB also
+    * derives — so every downstream query and oracle sees identical values.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(s"$dir/$name.parquet")
-      // Two layouts exist: the driver fixture's TIMESTAMP(NANOS), which the
-      // conf above surfaces as a nanos long, and ScaleData's sf1+ tables,
-      // already TIMESTAMP micros on disk (so DuckDB can oracle the events
-      // family at scale). Branch on the read dtype; both end as identical
-      // µs-truncated timestamps.
-      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else df
+      normEventTs(spark.read.parquet(s"$dir/$name.parquet"))
     } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Normalize an `events.ts` column of any on-disk layout to TIMESTAMP
+    * (µs, session-TZ = UTC everywhere in this project, so the NTZ cast is
+    * value-preserving). */
+  def normEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
 
   /** Exact decimal view of a double column — makes aggregation
     * order-independent and engine-portable. */

@@ -41,6 +41,7 @@ object ScaleData {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -113,14 +114,11 @@ object ScaleData {
     val prevNanos = s.conf.getOption(nanosKey)
     s.conf.set(nanosKey, "true")
     try {
-      val ev0 = s.read.parquet(s"$src/events.parquet")
-      // Chained expansion (e.g. sf1 → sf10) reads an already
-      // timestamp-typed source; only the driver's nanos-long layout needs
-      // the µs conversion.
-      val ev =
-        if (ev0.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          ev0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        else ev0
+      // Normalize whatever layout the source carries (nanos-long, NTZ µs,
+      // or already-UTC µs) to TIMESTAMP so the scaled write is always the
+      // UTC-flagged layout DuckDB oracles directly.
+      val ev = graft.core.Tables.normEventTs(
+        s.read.parquet(s"$src/events.parquet"))
       val ek = keyStride(ev, "event_id")
       wr(reps(ev)
         .withColumn("event_id", off("event_id", ek))

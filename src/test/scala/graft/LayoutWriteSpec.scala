@@ -46,10 +46,8 @@ class LayoutWriteSpec extends SparkSpec {
   }
 
   test("incremental rollup merge equals direct aggregation") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$sf/events.parquet")
-      .selectExpr("event_type", "value",
-        "date_trunc('day', timestamp_micros(ts div 1000)) AS day")
+    val ev = graft.core.Tables.t(spark, sf, "events")
+      .selectExpr("event_type", "value", "date_trunc('day', ts) AS day")
     val mid = new java.sql.Timestamp(ev
       .agg(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY unix_micros(day))"))
       .head().getDouble(0).toLong / 1000)

@@ -21,10 +21,9 @@ import graft.queries.{EventOps, GraphOps}
 class TransitionDecaySpec extends SparkSpec {
 
   private def events = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sf/events.parquet")
+    graft.core.Tables.t(spark, sf, "events")
       .selectExpr("user_id", "event_id", "event_type", "value",
-        "unix_micros(timestamp_micros(ts div 1000)) AS us")
+        "unix_micros(ts) AS us")
   }
 
   test("transition bigram mass and per-row normalization") {
