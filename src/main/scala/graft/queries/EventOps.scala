@@ -417,6 +417,37 @@ object EventOps {
             .as("filled"),
           when(col("siv").isNull, 1).otherwise(0).as("interpolated"))
         .orderBy("user_id", "day")
+    },
+
+    // Interval union (gaps-and-islands merge): each event opens a 10-min
+    // activity interval; overlapping/touching intervals per user merge
+    // into blocks, reporting block count and total covered seconds. The
+    // island break is `start > running-max(end) over preceding rows` —
+    // the running max (not lag) is what makes nested intervals correct.
+    // One hash exchange on user_id serves both windows and the two
+    // aggregations; interval payloads are 3 longs, never event rows. At
+    // 100 TB this is the coverage/SLA primitive: work scales with events
+    // per user, and no interval ever meets another except through the
+    // per-user sort the window already needs.
+    "q_interval_merge" -> { (s, dir) =>
+      val holdUs = 600L * 1000000L
+      val w = Window.partitionBy("user_id").orderBy("s0", "event_id")
+      val prevMax = max("s1").over(w.rowsBetween(Window.unboundedPreceding, -1))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("s0"),
+          (unix_micros(col("ts")) + holdUs).as("s1"))
+        .withColumn("brk",
+          when(prevMax.isNull || col("s0") > prevMax, 1L).otherwise(0L))
+        .withColumn("blk", sum("brk").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "blk")
+        .agg(min("s0").as("b0"), max("s1").as("b1"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_blocks"),
+          round(sum(col("b1") - col("b0")).cast("double") / 1000000d, 6)
+            .as("covered_s"))
+        .orderBy("user_id")
     }
   )
 
@@ -761,6 +792,28 @@ object EventOps {
              event_type, count(*) AS cnt,
              CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
       FROM events
-      GROUP BY 1, 2 ORDER BY 1, 2"""
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_interval_merge" -> """
+      WITH iv AS (
+        SELECT user_id, event_id, epoch_us(ts) AS s0,
+               epoch_us(ts) + 600000000 AS s1
+        FROM events),
+      m AS (
+        SELECT user_id, event_id, s0, s1,
+               max(s1) OVER (PARTITION BY user_id ORDER BY s0, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        FROM iv),
+      bl AS (
+        SELECT user_id, s0, s1,
+               sum(CASE WHEN pm IS NULL OR s0 > pm THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY s0, event_id
+                       ROWS UNBOUNDED PRECEDING) AS blk
+        FROM m),
+      g AS (SELECT user_id, blk, min(s0) AS b0, max(s1) AS b1
+            FROM bl GROUP BY user_id, blk)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_blocks,
+             round(CAST(sum(b1 - b0) AS DOUBLE) / 1000000, 6) AS covered_s
+      FROM g GROUP BY user_id ORDER BY user_id"""
   )
 }

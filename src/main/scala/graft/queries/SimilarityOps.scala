@@ -159,6 +159,28 @@ object SimilarityOps {
           avg6(sum(col("nrm").cast("decimal(18,6)")), count(lit(1)))
             .as("avg_norm"))
         .orderBy("label")
+    },
+
+    // Exact k-NN graph (top-4 cosine neighbors for EVERY vector) — the
+    // substrate for embedding-based dedup clustering and diversity
+    // curation. This registry entry is the oracle-tier exact twin
+    // (broadcast NLJ, quadratic — fine at oracle SF, NOT the 100 TB
+    // path); the scale path builds the same graph through the persisted
+    // IVF index (cell-routed equi-join, all vectors as queries), with
+    // recall ≥ 0.9 against this exact graph asserted in KnnGraphSpec —
+    // the same exact-twin/ANN-path contract as q31 vs q43.
+    "q_knn_graph" -> { (s, dir) =>
+      graft.GraftExtensions.ensureRegistered(s)
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val q = e.select(col("vec_id").as("qid"), col("emb").as("qemb"))
+      val w = Window.partitionBy("qid").orderBy(desc("cos_sim"), asc("cand_id"))
+      e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cand_id"),
+          round(cosine(col("qemb"), col("emb")), 6).as("cos_sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 4)
+        .orderBy("qid", "rn")
     }
   )
 
@@ -237,6 +259,17 @@ object SimilarityOps {
              round(max(nrm), 6) AS max_norm,
              round(CAST(sum(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE)
                      / count(*), 6) AS avg_norm
-      FROM e GROUP BY label ORDER BY label"""
+      FROM e GROUP BY label ORDER BY label""",
+
+    "q_knn_graph" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      s AS (SELECT q.vec_id AS qid, e.vec_id AS cand_id,
+                   round(list_cosine_similarity(q.emb, e.emb), 6) AS cos_sim
+            FROM e q JOIN e ON e.vec_id <> q.vec_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY qid
+                        ORDER BY cos_sim DESC, cand_id) AS rn
+            FROM s)
+      SELECT qid, cand_id, cos_sim, rn FROM r WHERE rn <= 4
+      ORDER BY qid, rn"""
   )
 }

@@ -756,6 +756,70 @@ object TextOps {
           ((count(lit(1)).over(sizeW) + 9L) / 10L).cast("long"))
         .filter(col("rk") <= col("quota"))
         .orderBy("lang", "source", "rk")
+    },
+
+    // Gopher-style repetition signals per document: duplicate-token
+    // fraction (1 − distinct/total) and the mass of the single most
+    // frequent bigram — the two cheapest detectors of degenerate
+    // boilerplate/spam text. Token and bigram aggregation both key on
+    // doc_id (bigram counts partial-aggregate map-side), so the shuffle
+    // carries one row per distinct (doc, bigram) — bounded by document
+    // length, independent of corpus size. Integer counts end in one
+    // rounded division per column (identical op order in the oracle).
+    "q_repetition_ratio" -> { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), t -> t <> '')").as("ts"))
+        .filter(size(col("ts")) >= 2)
+      val base = toks.select(col("doc_id"),
+        size(col("ts")).cast("long").as("n"),
+        size(array_distinct(col("ts"))).cast("long").as("nd"))
+      val bg = toks.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ts) - 1)," +
+          " i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"))
+        .as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("maxbg"), sum("c").as("nbg"))
+      base.join(bg, "doc_id")
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          round((col("n") - col("nd")).cast("double") / col("n"), 6)
+            .as("dup_token_frac"),
+          round(col("maxbg").cast("double") / col("nbg"), 6)
+            .as("top_bigram_frac"))
+        .orderBy("doc_id")
+    },
+
+    // Vocabulary coverage curve (tokenizer sizing): the smallest vocab
+    // of top-frequency tokens covering 50/75/90/95/99% of corpus token
+    // mass. Threshold crossing is exact integer arithmetic
+    // (prev·100 < thr·total ≤ cum·100); only the reported coverage is a
+    // final rounded division. The global window runs over the DISTINCT
+    // vocabulary (Heaps-law-bounded, ~√corpus), never corpus rows — the
+    // token count aggregation before it is the only corpus-sized
+    // shuffle, and it partial-aggregates map-side. At 100 TB the vocab
+    // table still fits one executor; if it ever didn't, the same
+    // crossing test two-levels over count-range buckets exactly like
+    // q_weighted_sample's prefix sum.
+    "q_vocab_cdf" -> { (s, dir) =>
+      val counts = t(s, dir, "documents")
+        .select(explode(expr("filter(split(text, ' '), t -> t <> '')"))
+          .as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val ord = Window.orderBy(desc("c"), asc("tok"))
+      val ranked = counts
+        .withColumn("rn", row_number().over(ord).cast("long"))
+        .withColumn("cum", sum("c").over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val total = counts.agg(sum("c").as("total"))
+      val thr = ranked.sparkSession.range(0, 5)
+        .select(element_at(typedLit(Seq(50L, 75L, 90L, 95L, 99L)),
+          col("id").cast("int") + 1).as("thr_pct"))
+      ranked.crossJoin(broadcast(total)).crossJoin(broadcast(thr))
+        .filter(col("cum") * 100 >= col("thr_pct") * col("total") &&
+          (col("cum") - col("c")) * 100 < col("thr_pct") * col("total"))
+        .select(col("thr_pct"), col("rn").as("vocab_size"),
+          round(col("cum").cast("double") / col("total"), 6).as("coverage"))
+        .orderBy("thr_pct")
     }
   )
 
@@ -1268,7 +1332,46 @@ object TextOps {
         FROM documents)
       SELECT lang, source, doc_id, rk, (n + 9) // 10 AS quota
       FROM r WHERE rk <= (n + 9) // 10
-      ORDER BY lang, source, rk"""
+      ORDER BY lang, source, rk""",
+
+    "q_repetition_ratio" -> """
+      WITH f AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        FROM documents),
+      f2 AS (SELECT doc_id, ts FROM f WHERE len(ts) >= 2),
+      base AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n,
+                      CAST(len(list_distinct(ts)) AS BIGINT) AS nd FROM f2),
+      bg AS (
+        SELECT doc_id, array_to_string(list_slice(ts, i, i + 1), ' ') AS bg
+        FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM f2)),
+      bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+      bga AS (SELECT doc_id, max(c) AS maxbg, sum(c) AS nbg
+              FROM bgc GROUP BY doc_id)
+      SELECT b.doc_id, n AS n_tokens,
+             round(CAST(n - nd AS DOUBLE) / n, 6) AS dup_token_frac,
+             round(CAST(maxbg AS DOUBLE) / nbg, 6) AS top_bigram_frac
+      FROM base b JOIN bga USING (doc_id) ORDER BY doc_id""",
+
+    "q_vocab_cdf" -> """
+      WITH tok AS (
+        SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+        FROM documents),
+      c AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+      tot AS (SELECT sum(c) AS total FROM c),
+      ranked AS (
+        SELECT tok, c,
+               row_number() OVER (ORDER BY c DESC, tok) AS rn,
+               sum(c) OVER (ORDER BY c DESC, tok ROWS UNBOUNDED PRECEDING) AS cum
+        FROM c),
+      hits AS (
+        SELECT t.thr, r.rn, r.cum, r.c, tot.total
+        FROM ranked r CROSS JOIN tot
+        JOIN (SELECT unnest([50, 75, 90, 95, 99]) AS thr) t
+          ON r.cum * 100 >= t.thr * tot.total
+         AND (r.cum - r.c) * 100 < t.thr * tot.total)
+      SELECT CAST(thr AS BIGINT) AS thr_pct, CAST(rn AS BIGINT) AS vocab_size,
+             round(CAST(cum AS DOUBLE) / total, 6) AS coverage
+      FROM hits ORDER BY thr_pct"""
   )
 }
 

@@ -150,4 +150,30 @@ class EventHistorySpec extends SparkSpec {
     }
     assert(got.count(_._4 == 1) > 0, "fixture should contain gap days")
   }
+
+  test("q_interval_merge equals a sequential interval-union recomputation") {
+    val got = EventOps.queries("q_interval_merge")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val hold = 600L * 1000000L
+    val expected = rawEvents.groupBy(_._1).toSeq.map { case (user, evs) =>
+      val starts = evs.map(_._4).sorted
+      var blocks = 0L
+      var covered = 0L
+      var b0, b1 = Long.MinValue
+      starts.foreach { s0 =>
+        if (blocks == 0L || s0 > b1) {
+          if (blocks > 0L) covered += b1 - b0
+          blocks += 1; b0 = s0; b1 = s0 + hold
+        } else b1 = math.max(b1, s0 + hold)
+      }
+      covered += b1 - b0
+      (user, blocks, math.round(covered / 1e6 * 1e6) / 1e6)
+    }.sortBy(_._1)
+    assert(got == expected)
+    // Sanity: merging must actually fire on the fixture (fewer blocks
+    // than events for at least one user).
+    val perUser = rawEvents.groupBy(_._1).view.mapValues(_.size)
+    assert(got.exists { case (u, nb, _) => nb < perUser(u) },
+      "fixture produced no overlapping intervals — hold too small?")
+  }
 }

@@ -59,4 +59,43 @@ class QualitySignalsSpec extends SparkSpec {
         s"doc $id rare_frac=${frac(id)} != recomputed $expected")
     }
   }
+
+  test("repetition signals equal a per-doc driver-side recomputation") {
+    val tokens = docs.collect().map { r =>
+      r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSeq
+    }.filter(_._2.length >= 2)
+    val got = TextOps.queries("q_repetition_ratio")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet == tokens.map(_._1).toSet)
+    tokens.foreach { case (id, ts) =>
+      val (n, dup, top) = got(id)
+      assert(n == ts.length)
+      val dupExp = (ts.length - ts.distinct.length).toDouble / ts.length
+      assert(math.abs(dup - dupExp) < 1e-6, s"doc $id dup $dup != $dupExp")
+      val bgs = ts.zip(ts.tail).map { case (a, b) => s"$a $b" }
+      val topExp = bgs.groupBy(identity).values.map(_.size).max.toDouble / bgs.length
+      assert(math.abs(top - topExp) < 1e-6, s"doc $id top $top != $topExp")
+    }
+  }
+
+  test("vocab CDF crossings are exact against brute token-count ranking") {
+    val cf = docs.collect()
+      .flatMap(_.getString(1).split(" ").filter(_.nonEmpty))
+      .groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val ranked = cf.toSeq.sortBy { case (t, c) => (-c, t) }
+    val total = ranked.map(_._2).sum
+    val cums = ranked.scanLeft(0L)(_ + _._2).tail
+    val got = TextOps.queries("q_vocab_cdf")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == Seq(50L, 75L, 90L, 95L, 99L))
+    got.foreach { case (thr, vs, cov) =>
+      val expVs = cums.indexWhere(_ * 100 >= thr * total) + 1
+      assert(vs == expVs, s"thr $thr vocab_size $vs != $expVs")
+      assert(cov >= thr / 100.0, s"thr $thr coverage $cov below threshold")
+      assert(math.abs(cov - cums(expVs - 1).toDouble / total) < 1e-6)
+    }
+    // vocab_size must be nondecreasing in the threshold.
+    assert(got.map(_._2).toSeq == got.map(_._2).toSeq.sorted)
+  }
 }
