@@ -61,7 +61,11 @@ object Bench {
     "q_group_topk_sketch", "q_variant_json", "q_embed_standardize",
     // Round-8 continuation: model-eval tier + frontier BFS + resampling.
     "q_auc_rank", "q_linreg_closed", "q_calibration_bins",
-    "q_weighted_sample", "q_ohlc_resample", "q_gap_fill", "q_bfs_hops")
+    "q_weighted_sample", "q_ohlc_resample", "q_gap_fill", "q_bfs_hops",
+    // Round-8 continuation: interval/repetition/vocab/kNN-graph batch.
+    // q_knn_graph is the declared exact twin (quadratic by contract);
+    // its 100 TB path is the IVF construction measured via q_ann_ivf.
+    "q_interval_merge", "q_repetition_ratio", "q_vocab_cdf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
