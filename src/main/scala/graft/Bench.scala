@@ -65,7 +65,9 @@ object Bench {
     // Round-8 continuation: interval/repetition/vocab/kNN-graph batch.
     // q_knn_graph is the declared exact twin (quadratic by contract);
     // its 100 TB path is the IVF construction measured via q_ann_ivf.
-    "q_interval_merge", "q_repetition_ratio", "q_vocab_cdf")
+    "q_interval_merge", "q_repetition_ratio", "q_vocab_cdf",
+    // Skyline + corpus-statistics batch.
+    "q_skyline", "q_cooccur_window", "q_char_entropy", "q_zipf_slope")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -167,6 +167,27 @@ object RelationalC {
         .groupBy("status")
         .agg(count(lit(1)).as("cnt"), money(sum(dec(col("price")))).as("total"))
         .orderBy("status")
+    },
+
+    // Pareto skyline (maximize quantity AND price within each return
+    // flag): pre-collapse to max-price-per-quantity, then one
+    // descending-quantity window — a row survives iff its price beats
+    // the running max over strictly-greater quantities. O(n log n) via
+    // sort, never the O(n²) dominance self-join; the window input is
+    // bounded by distinct quantity values per flag, and the pre-collapse
+    // partial-aggregates map-side. The same shape answers any 2-D
+    // skyline at 100 TB (3-D+ needs the block-nested-loop variant).
+    "q_skyline" -> { (s, dir) =>
+      val m = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("rf"), col("l_quantity").as("q"))
+        .agg(max("l_extendedprice").as("p"))
+      val w = Window.partitionBy("rf").orderBy(desc("q"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      m.withColumn("pm", max("p").over(w))
+        .filter(col("pm").isNull || col("p") > col("pm"))
+        .select(col("rf"), col("q").cast("double").as("q"),
+          round(col("p"), 2).cast("double").as("p"))
+        .orderBy("rf", "q")
     }
   )
 
@@ -257,6 +278,18 @@ object RelationalC {
         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
       FROM orders
       WHERE o_orderstatus <> 'P' AND o_totalprice > 50000.0
-      GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q_skyline" -> """
+      WITH m AS (
+        SELECT l_returnflag AS rf, l_quantity AS q, max(l_extendedprice) AS p
+        FROM lineitem GROUP BY rf, q),
+      s AS (
+        SELECT rf, q, p,
+               max(p) OVER (PARTITION BY rf ORDER BY q DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        FROM m)
+      SELECT rf, CAST(q AS DOUBLE) AS q, CAST(round(p, 2) AS DOUBLE) AS p
+      FROM s WHERE pm IS NULL OR p > pm ORDER BY rf, q"""
   )
 }

@@ -820,6 +820,84 @@ object TextOps {
         .select(col("thr_pct"), col("rn").as("vocab_size"),
           round(col("cum").cast("double") / col("total"), 6).as("coverage"))
         .orderBy("thr_pct")
+    },
+
+    // Positional co-occurrence (skip-gram window ≤ 2): global (w1, w2)
+    // counts for ordered token pairs at distance 1 or 2, top-30. Pairs
+    // are GENERATED by an array transform over each document — never a
+    // positional self-join, whose per-doc L² intermediate (join on
+    // doc_id, filter on pos) would melt at corpus scale; generation is
+    // linear in tokens with fan-out exactly 2. The only shuffle is the
+    // (w1, w2) count, partial-aggregated map-side and bounded by the
+    // pair vocabulary.
+    "q_cooccur_window" -> { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .select(expr("filter(split(text, ' '), t -> t <> '')").as("ts"))
+        .filter(size(col("ts")) >= 2)
+      val d1 = expr("transform(sequence(1, size(ts) - 1)," +
+        " i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2))")
+      val d2 = expr("IF(size(ts) >= 3, transform(sequence(1, size(ts) - 2)," +
+        " i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 2) AS w2))," +
+        " array())")
+      toks.select(explode(concat(d1, d2)).as("pr"))
+        .select(col("pr.w1"), col("pr.w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("w1"), asc("w2"))
+        .limit(30)
+    },
+
+    // Character-entropy quality signal: per-document Shannon entropy of
+    // the character distribution (nats) — near-zero entropy flags
+    // degenerate repeated-char spam, abnormally high flags binary
+    // mojibake. Per-(doc, char) counts partial-aggregate map-side and
+    // the per-char −p·ln p term follows the ln()-parity canon (round 6
+    // dp, decimal-cast, THEN sum) so the per-doc result is
+    // order-independent and engine-portable.
+    "q_char_entropy" -> { (s, dir) =>
+      val cc = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+        .groupBy("doc_id", "c").agg(count(lit(1)).as("n"))
+      val tot = cc.groupBy("doc_id").agg(sum("n").as("nt"))
+      cc.join(tot, "doc_id")
+        .select(col("doc_id"),
+          round(-(col("n").cast("double") / col("nt")) *
+            log(col("n").cast("double") / col("nt")), 6)
+            .cast("decimal(18,6)").as("term"))
+        .groupBy("doc_id")
+        .agg(round(sum("term").cast("double"), 6).as("entropy"))
+        .orderBy("doc_id")
+    },
+
+    // Zipf-law fit over the corpus vocabulary: OLS slope/intercept of
+    // ln(freq) on ln(rank) — the distributional health check for a
+    // training corpus (natural text sits near slope −1; synthetic or
+    // template-heavy corpora flatten). The regression input is one row
+    // per DISTINCT token (Heaps-bounded); six exact sums over 6
+    // dp-rounded decimal terms feed the closed form, with identical
+    // operation order in the oracle (the q_linreg_closed canon applied
+    // to the vocabulary).
+    "q_zipf_slope" -> { (s, dir) =>
+      val c = t(s, dir, "documents")
+        .select(explode(expr("filter(split(text, ' '), t -> t <> '')"))
+          .as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val rk = c.withColumn("rn",
+        row_number().over(Window.orderBy(desc("c"), asc("tok"))))
+      val xy = rk.select(round(log(col("rn").cast("double")), 6).as("x"),
+        round(log(col("c").cast("double")), 6).as("y"))
+      xy.agg(count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(18,6)")).cast("double").as("sx"),
+          sum(col("y").cast("decimal(18,6)")).cast("double").as("sy"),
+          sum(round(col("x") * col("y"), 6).cast("decimal(18,6)"))
+            .cast("double").as("sxy"),
+          sum(round(col("x") * col("x"), 6).cast("decimal(18,6)"))
+            .cast("double").as("sxx"))
+        .select(col("n").as("vocab"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+          round((col("sy") * col("sxx") - col("sx") * col("sxy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+            .as("intercept"))
     }
   )
 
@@ -1371,7 +1449,53 @@ object TextOps {
          AND (r.cum - r.c) * 100 < t.thr * tot.total)
       SELECT CAST(thr AS BIGINT) AS thr_pct, CAST(rn AS BIGINT) AS vocab_size,
              round(CAST(cum AS DOUBLE) / total, 6) AS coverage
-      FROM hits ORDER BY thr_pct"""
+      FROM hits ORDER BY thr_pct""",
+
+    "q_cooccur_window" -> """
+      WITH tok AS (
+        SELECT doc_id, i AS pos, ts[i] AS tok
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), t -> t <> '') AS ts
+              FROM documents),
+             LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i)),
+      pr AS (
+        SELECT a.tok AS w1, b.tok AS w2
+        FROM tok a JOIN tok b
+          ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 2)
+      SELECT w1, w2, count(*) AS cnt FROM pr GROUP BY w1, w2
+      ORDER BY cnt DESC, w1, w2 LIMIT 30""",
+
+    "q_char_entropy" -> """
+      WITH ch AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+      cc AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c),
+      tot AS (SELECT doc_id, sum(n) AS nt FROM cc GROUP BY doc_id),
+      terms AS (
+        SELECT cc.doc_id,
+               CAST(round(-(n / nt) * ln(n / nt), 6) AS DECIMAL(18,6)) AS term
+        FROM cc JOIN tot USING (doc_id))
+      SELECT doc_id, round(CAST(sum(term) AS DOUBLE), 6) AS entropy
+      FROM terms GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_zipf_slope" -> """
+      WITH c AS (
+        SELECT tok, count(*) AS c
+        FROM (SELECT unnest(list_filter(string_split(text, ' '),
+                       t -> t <> '')) AS tok FROM documents)
+        GROUP BY tok),
+      rk AS (SELECT tok, c, row_number() OVER (ORDER BY c DESC, tok) AS rn
+             FROM c),
+      xy AS (SELECT round(ln(rn), 6) AS x, round(ln(c), 6) AS y FROM rk),
+      s AS (SELECT count(*) AS n,
+                   CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+                   CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+                   CAST(sum(CAST(round(x * y, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+                   CAST(sum(CAST(round(x * x, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+            FROM xy)
+      SELECT CAST(n AS BIGINT) AS vocab,
+             round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+             round((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 6) AS intercept
+      FROM s"""
   )
 }
 

@@ -98,4 +98,62 @@ class QualitySignalsSpec extends SparkSpec {
     // vocab_size must be nondecreasing in the threshold.
     assert(got.map(_._2).toSeq == got.map(_._2).toSeq.sorted)
   }
+
+  test("co-occurrence window counts equal a positional recomputation") {
+    val texts = docs.collect().map(_.getString(1).split(" ").filter(_.nonEmpty))
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+    texts.foreach { ts =>
+      for (i <- ts.indices; d <- 1 to 2 if i + d < ts.length)
+        counts((ts(i), ts(i + d))) =
+          counts.getOrElse((ts(i), ts(i + d)), 0L) + 1L
+    }
+    val expected = counts.toSeq
+      .sortBy { case ((w1, w2), c) => (-c, w1, w2) }.take(30)
+      .map { case ((w1, w2), c) => (w1, w2, c) }
+    val got = TextOps.queries("q_cooccur_window")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
+
+  test("char entropy is maximal for uniform text, zero for one repeated char") {
+    // Property check on the operator's own corpus: entropy bounded by
+    // ln(alphabet size) and positive for every multi-char doc.
+    val got = TextOps.queries("q_char_entropy")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1))
+    texts.foreach { case (id, t) =>
+      val k = t.toSeq.distinct.size
+      assert(got(id) > 0.0, s"doc $id entropy not positive")
+      assert(got(id) <= math.log(k.toDouble) + 1e-4,
+        s"doc $id entropy ${got(id)} exceeds ln($k)")
+      // Exact recomputation (same rounding canon).
+      val n = t.length.toDouble
+      val exp = t.groupBy(identity).values.map { g =>
+        BigDecimal(-(g.length / n) * math.log(g.length / n))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+      assert(math.abs(got(id) - exp) < 1e-6, s"doc $id: ${got(id)} vs $exp")
+    }
+  }
+
+  test("zipf slope equals a driver-side OLS over the ranked vocabulary") {
+    val cf = docs.collect()
+      .flatMap(_.getString(1).split(" ").filter(_.nonEmpty))
+      .groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val ranked = cf.toSeq.sortBy { case (t, c) => (-c, t) }.zipWithIndex
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val xs = ranked.map { case (_, i) => r6(math.log((i + 1).toDouble)) }
+    val ys = ranked.map { case ((_, c), _) => r6(math.log(c.toDouble)) }
+    val n = xs.length.toDouble
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (x, y) => r6(x * y) }.sum
+    val sxx = xs.map(x => r6(x * x)).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val row = TextOps.queries("q_zipf_slope")(spark, sf).head()
+    assert(row.getLong(0) == xs.length)
+    assert(math.abs(row.getDouble(1) - slope) < 1e-5,
+      s"slope ${row.getDouble(1)} vs $slope")
+    assert(row.getDouble(1) < 0.0, "token frequency must decay with rank")
+  }
 }
