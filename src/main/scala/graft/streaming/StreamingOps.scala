@@ -260,6 +260,65 @@ object StreamingOps {
     }
   }
 
+  // ---- Streaming interval union: the stateful twin of the batch
+  // q_interval_merge. Per user, ValueState carries (closed-block count,
+  // closed-covered µs, open-block start, open-block end); each batch's
+  // rows are sorted by (ts, event_id) inside the handler (the iterator
+  // order within a micro-batch is not guaranteed), and cross-batch order
+  // is supplied by the ts-ordered chunk replay. The emitted running
+  // total (blocks, covered-including-open-block) is monotone, so the
+  // Update-trajectory max IS the final state — the same recovery rule
+  // as qStreamUpdate. State is 4 longs per user regardless of event
+  // volume: the 100 TB property that makes interval union streamable. ----
+  private class UserIntervalUnion
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, (Long, Long, Long)] {
+    private val HoldUs = 600L * 1000000L
+    @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[(Long, Long, Long, Long)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long, Long)]("iv",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    private def us(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long)] = {
+      var (closed, covered, b0, b1) =
+        if (st.exists()) st.get() else (0L, 0L, Long.MinValue, Long.MinValue)
+      rows.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+        val s0 = us(e.ts)
+        if (b1 == Long.MinValue) { b0 = s0; b1 = s0 + HoldUs }
+        else if (s0 > b1) { closed += 1; covered += b1 - b0; b0 = s0; b1 = s0 + HoldUs }
+        else b1 = math.max(b1, s0 + HoldUs)
+      }
+      st.update((closed, covered, b0, b1))
+      Iterator((key, closed + 1, covered + (b1 - b0)))
+    }
+  }
+
+  def qStreamIntervalMerge(s: SparkSession, dir: String): DataFrame =
+    withRocksDb(s) {
+      import s.implicits._
+      val stream = replay(s, prepareChunks(s, dir)).as[Event]
+        .groupByKey(_.user_id)
+        .transformWithState(new UserIntervalUnion,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update)
+        .toDF("user_id", "n_blocks", "covered_us")
+      val out = drain(stream, "q_interval_sink", OutputMode.Update())
+      out.groupBy("user_id")
+        .agg(max("n_blocks").as("n_blocks"),
+          round(max("covered_us").cast("double") / 1000000d, 6)
+            .as("covered_s"))
+        .orderBy("user_id")
+    }
+
   def qStreamTwsMap(s: SparkSession, dir: String): DataFrame = withRocksDb(s) {
     import s.implicits._
     val stream = replay(s, prepareChunks(s, dir)).as[Event]
@@ -569,7 +628,8 @@ object StreamingOps {
     "q41_stream_dedup" -> (q41 _),
     "q42_stream_stateful" -> (q42 _),
     "q_stream_tws" -> (qStreamTws _),
-    "q_stream_tws_map" -> (qStreamTwsMap _))
+    "q_stream_tws_map" -> (qStreamTwsMap _),
+    "q_stream_interval_merge" -> (qStreamIntervalMerge _))
 
   /** DuckDB twins: the streaming results must equal these batch queries. */
   val oracle: Map[String, String] = Map(
@@ -686,6 +746,9 @@ object StreamingOps {
 
     "q_stream_tws_map" -> """
       SELECT user_id, event_type, count(*) AS cnt
-      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // Identical semantics to the batch operator — one source of truth.
+    "q_stream_interval_merge" -> graft.queries.EventOps.oracle("q_interval_merge")
   )
 }

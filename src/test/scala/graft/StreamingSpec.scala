@@ -336,6 +336,21 @@ class StreamingSpec extends SparkSpec {
     assert(streamRows == batchRows)
   }
 
+  test("streaming interval union equals the batch q_interval_merge twin") {
+    // The 4-long ValueState must reproduce the batch gaps-and-islands
+    // result exactly — including blocks that straddle micro-batch
+    // boundaries (6 chunks cut every user's sequence mid-stream). The
+    // Update-trajectory max recovers the final state because both
+    // emitted columns are monotone in event order.
+    val streamRows =
+      StreamingOps.queries("q_stream_interval_merge")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val batchRows = graft.queries.EventOps.queries("q_interval_merge")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(streamRows == batchRows)
+    assert(streamRows.exists(_._2 > 1), "fixture should produce split blocks")
+  }
+
   test("transformWithState MapState counts equal the batch per-type group-by") {
     val streamRows = StreamingOps.queries("q_stream_tws_map")(spark, sf)
       .collect().toSeq
