@@ -67,7 +67,9 @@ object Bench {
     // its 100 TB path is the IVF construction measured via q_ann_ivf.
     "q_interval_merge", "q_repetition_ratio", "q_vocab_cdf",
     // Skyline + corpus-statistics batch.
-    "q_skyline", "q_cooccur_window", "q_char_entropy", "q_zipf_slope")
+    "q_skyline", "q_cooccur_window", "q_char_entropy", "q_zipf_slope",
+    // Event analytics: TWA, attribution (via AsOfJoin plan), overlap.
+    "q_time_weighted_avg", "q_first_touch", "q_user_overlap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -448,6 +448,81 @@ object EventOps {
           round(sum(col("b1") - col("b0")).cast("double") / 1000000d, 6)
             .as("covered_s"))
         .orderBy("user_id")
+    },
+
+    // Time-weighted average value per user: each reading holds until the
+    // next one (step interpolation); weights are exact integer µs gaps
+    // and values exact 10⁻⁴ units, so the whole TWA is one integer
+    // num/den pair up to a single rounded division — the
+    // sensor/billing-meter aggregation. Lead window and final agg share
+    // one user_id exchange. Single-event users have no observed span and
+    // are excluded (documented; the oracle's WHERE mirrors it).
+    "q_time_weighted_avg" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"),
+          (col("value").cast("decimal(18,4)") * 10000).cast("long").as("v"))
+        .withColumn("nxt", lead("us", 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy("user_id")
+        .agg(sum(col("v") * (col("nxt") - col("us"))).as("num"),
+          sum(col("nxt") - col("us")).as("den"))
+        .select(col("user_id"),
+          round(col("num").cast("double") / col("den") / 10000d, 6)
+            .as("twa"),
+          round(col("den").cast("double") / 1000000d, 6).as("obs_s"))
+        .orderBy("user_id")
+    },
+
+    // Last-touch attribution: each purchase attributes to the user's
+    // latest click at-or-before it, IF within a 7-day window — the
+    // canonical marketing-attribution shape, and a second consumer of
+    // the custom AsOfJoin plan (one merge pass per user, never the
+    // purchases×clicks pair blowup a naive range join materializes;
+    // the out-of-window check is a post-filter on the unique as-of
+    // winner, which is exactly the windowed-max since older clicks are
+    // farther out of window). Lag stats in exact integer µs to one
+    // rounded division.
+    "q_first_touch" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"),
+          unix_micros(col("ts")).as("pts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), unix_micros(col("ts")).as("cts"))
+        .distinct()
+      val winUs = 7L * 86400L * 1000000L
+      graft.plans.AsOfJoin.asofLeft(p, c, "user_id", "cu", "pts", "cts")
+        .withColumn("att",
+          col("cts").isNotNull && col("cts") > col("pts") - winUs)
+        .agg(sum(when(col("att"), 1L).otherwise(0L)).as("attributed"),
+          sum(when(col("att"), 0L).otherwise(1L)).as("unattributed"),
+          round(sum(when(col("att"), col("pts") - col("cts"))).cast("double")
+            / sum(when(col("att"), 1L)) / 1000000d, 6).as("avg_lag_s"))
+    },
+
+    // Audience overlap: Jaccard similarity of user sets between every
+    // event-type pair. The distinct (type, user) projection is the only
+    // corpus-sized pass (map-side partial); the self-join fans out by
+    // types-per-user (≤ |types|, a constant), and pair/size tables are
+    // type-domain-bounded — the cohort-overlap matrix at any scale.
+    "q_user_overlap" -> { (s, dir) =>
+      val ut = t(s, dir, "events")
+        .select(col("event_type").as("t"), col("user_id").as("u")).distinct()
+      val pairs = ut.as("a")
+        .join(ut.select(col("t").as("t2"), col("u").as("u2")).as("b"),
+          col("u") === col("u2") && col("t") < col("t2"))
+        .groupBy(col("t").as("t1"), col("t2"))
+        .agg(count(lit(1)).as("inter"))
+      val sizes = ut.groupBy(col("t")).agg(count(lit(1)).as("n"))
+      pairs
+        .join(broadcast(sizes.select(col("t").as("t1"), col("n").as("n1"))), "t1")
+        .join(broadcast(sizes.select(col("t").as("t2"), col("n").as("n2"))), "t2")
+        .select(col("t1"), col("t2"), col("inter"), col("n1"), col("n2"),
+          round(col("inter").cast("double") /
+            (col("n1") + col("n2") - col("inter")), 6).as("jaccard"))
+        .orderBy("t1", "t2")
     }
   )
 
@@ -814,6 +889,57 @@ object EventOps {
             FROM bl GROUP BY user_id, blk)
       SELECT user_id, CAST(count(*) AS BIGINT) AS n_blocks,
              round(CAST(sum(b1 - b0) AS DOUBLE) / 1000000, 6) AS covered_s
-      FROM g GROUP BY user_id ORDER BY user_id"""
+      FROM g GROUP BY user_id ORDER BY user_id""",
+
+    "q_time_weighted_avg" -> """
+      WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v
+        FROM events),
+      w AS (
+        SELECT user_id, v, us,
+               lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nxt
+        FROM e),
+      a AS (
+        SELECT user_id, sum(v * (nxt - us)) AS num, sum(nxt - us) AS den
+        FROM w WHERE nxt IS NOT NULL GROUP BY user_id)
+      SELECT user_id,
+             round(CAST(num AS DOUBLE) / den / 10000, 6) AS twa,
+             round(CAST(den AS DOUBLE) / 1000000, 6) AS obs_s
+      FROM a ORDER BY user_id""",
+
+    "q_first_touch" -> """
+      WITH p AS (
+        SELECT event_id AS pid, user_id, epoch_us(ts) AS pts
+        FROM events WHERE event_type = 'purchase'),
+      c AS (
+        SELECT DISTINCT user_id AS cu, epoch_us(ts) AS cts
+        FROM events WHERE event_type = 'click'),
+      j AS (
+        SELECT p.pid, p.pts, max(c.cts) AS lc
+        FROM p LEFT JOIN c ON p.user_id = c.cu AND c.cts <= p.pts
+        GROUP BY p.pid, p.pts),
+      f AS (
+        SELECT pid, pts,
+               CASE WHEN lc IS NOT NULL AND lc > pts - 604800000000
+                    THEN lc END AS alc
+        FROM j)
+      SELECT CAST(count(alc) AS BIGINT) AS attributed,
+             CAST(count(*) - count(alc) AS BIGINT) AS unattributed,
+             round(CAST(sum(pts - alc) AS DOUBLE) / count(alc) / 1000000, 6)
+               AS avg_lag_s
+      FROM f""",
+
+    "q_user_overlap" -> """
+      WITH ut AS (SELECT DISTINCT event_type AS t, user_id AS u FROM events),
+      pairs AS (
+        SELECT a.t AS t1, b.t AS t2, count(*) AS inter
+        FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t
+        GROUP BY a.t, b.t),
+      sizes AS (SELECT t, count(*) AS n FROM ut GROUP BY t)
+      SELECT t1, t2, inter, s1.n AS n1, s2.n AS n2,
+             round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6) AS jaccard
+      FROM pairs JOIN sizes s1 ON t1 = s1.t JOIN sizes s2 ON t2 = s2.t
+      ORDER BY t1, t2"""
   )
 }

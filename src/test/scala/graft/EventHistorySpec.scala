@@ -176,4 +176,67 @@ class EventHistorySpec extends SparkSpec {
     assert(got.exists { case (u, nb, _) => nb < perUser(u) },
       "fixture produced no overlapping intervals — hold too small?")
   }
+
+  test("q_first_touch equals a sequential per-purchase attribution scan") {
+    val ev = graft.core.Tables.t(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val clicks = ev.filter(_._2 == "click").groupBy(_._1)
+      .view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    val win = 7L * 86400L * 1000000L
+    val lags = ev.filter(_._2 == "purchase").map { case (u, _, pts) =>
+      clicks.getOrElse(u, Seq.empty).filter(_ <= pts).lastOption
+        .filter(_ > pts - win).map(pts - _)
+    }
+    val att = lags.count(_.isDefined).toLong
+    val row = EventOps.queries("q_first_touch")(spark, sf).head()
+    assert(row.getLong(0) == att, "attributed count")
+    assert(row.getLong(1) == lags.length - att, "unattributed count")
+    val expLag = lags.flatten.map(_.toDouble).sum / att / 1e6
+    assert(math.abs(row.getDouble(2) - expLag) < 1e-5,
+      s"avg lag ${row.getDouble(2)} vs $expLag")
+    assert(att > 0 && att < lags.length,
+      "fixture should exercise both attribution outcomes")
+  }
+
+  test("q_time_weighted_avg equals a sequential step-integration") {
+    val got = EventOps.queries("q_time_weighted_avg")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val byUser = graft.core.Tables.t(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    byUser.foreach { case (u, rows) =>
+      val seq = rows.sortBy(r => (r._3, r._2))
+      if (seq.length >= 2) {
+        val vs = seq.map(r => math.round(r._4 * 10000))
+        val gaps = seq.map(_._3).sliding(2).map(p => p(1) - p(0)).toSeq
+        val num = vs.init.zip(gaps).map { case (v, g) => BigInt(v) * g }.sum
+        val den = gaps.sum
+        val twa = (BigDecimal(num) / BigDecimal(den) / 10000).toDouble
+        val (gTwa, gObs) = (got(u)._1, got(u)._2)
+        assert(math.abs(gTwa - twa) < 1e-5, s"user $u twa $gTwa vs $twa")
+        assert(math.abs(gObs - den / 1e6) < 1e-5, s"user $u span")
+      } else assert(!got.contains(u), s"single-event user $u must be absent")
+    }
+  }
+
+  test("q_user_overlap equals brute user-set jaccard per type pair") {
+    val ev = graft.core.Tables.t(spark, sf, "events")
+      .select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val sets = ev.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val types = sets.keySet.toSeq.sorted
+    val expected = for {
+      i <- types.indices; j <- i + 1 until types.length
+      (a, b) = (sets(types(i)), sets(types(j)))
+      inter = (a intersect b).size.toLong
+    } yield (types(i), types(j), inter, a.size.toLong, b.size.toLong,
+      math.round(inter.toDouble / (a.size + b.size - inter) * 1e6) / 1e6)
+    val got = EventOps.queries("q_user_overlap")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == expected.toSeq)
+  }
 }
