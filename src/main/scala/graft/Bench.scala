@@ -69,7 +69,9 @@ object Bench {
     // Skyline + corpus-statistics batch.
     "q_skyline", "q_cooccur_window", "q_char_entropy", "q_zipf_slope",
     // Event analytics: TWA, attribution (via AsOfJoin plan), overlap.
-    "q_time_weighted_avg", "q_first_touch", "q_user_overlap")
+    "q_time_weighted_avg", "q_first_touch", "q_user_overlap",
+    // Curation/retail analytics: novelty, source KL, cohort LTV, RFM.
+    "q_ngram_novelty", "q_source_kl", "q_cohort_ltv", "q_rfm")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -188,6 +188,48 @@ object RelationalC {
         .select(col("rf"), col("q").cast("double").as("q"),
           round(col("p"), 2).cast("double").as("p"))
         .orderBy("rf", "q")
+    },
+
+    // Cohort LTV matrix: customers cohorted by first-order month, order
+    // count + revenue per (cohort, age-in-years) — the lifetime-value
+    // table. The first-order month is an agg + equi-join-back (never a
+    // global window); both aggregations partial-combine map-side and
+    // everything shuffles on custkey then the small (cohort, age) key.
+    "q_cohort_ltv" -> { (s, dir) =>
+      val o = t(s, dir, "orders").select(col("o_custkey"),
+        col("o_totalprice"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .as("m"))
+      val first = o.groupBy("o_custkey").agg(min("m").as("cm"))
+      o.join(first, "o_custkey")
+        .groupBy(col("cm").as("cohort_month"),
+          ((col("m") - col("cm")) / 12).cast("long").as("age_years"))
+        .agg(count(lit(1)).as("n_orders"),
+          money(sum(dec(col("o_totalprice")))).as("revenue"))
+        .orderBy("cohort_month", "age_years")
+    },
+
+    // RFM segmentation: recency/frequency/monetary quintiles per
+    // customer, segment sizes. The per-customer aggregate is the only
+    // corpus-sized pass; the three ntile windows run over one row per
+    // customer (dimension-bounded — the same contract as q_vocab_cdf's
+    // vocabulary window; two-level bucketing is the refinement if the
+    // customer dimension ever outgrows one task's sort).
+    "q_rfm" -> { (s, dir) =>
+      val a = t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(max(unix_micros(col("o_orderdate"))).as("last_us"),
+          count(lit(1)).as("freq"),
+          sum(dec(col("o_totalprice"))).as("money"))
+      val seg = a
+        .withColumn("r", ntile(5).over(
+          Window.orderBy(desc("last_us"), asc("o_custkey"))))
+        .withColumn("f", ntile(5).over(
+          Window.orderBy(desc("freq"), asc("o_custkey"))))
+        .withColumn("m", ntile(5).over(
+          Window.orderBy(desc("money"), asc("o_custkey"))))
+      seg.groupBy("r", "f", "m").agg(count(lit(1)).as("n"))
+        .orderBy("r", "f", "m")
     }
   )
 
@@ -290,6 +332,37 @@ object RelationalC {
                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
         FROM m)
       SELECT rf, CAST(q AS DOUBLE) AS q, CAST(round(p, 2) AS DOUBLE) AS p
-      FROM s WHERE pm IS NULL OR p > pm ORDER BY rf, q"""
+      FROM s WHERE pm IS NULL OR p > pm ORDER BY rf, q""",
+
+    "q_cohort_ltv" -> """
+      WITH o AS (
+        SELECT o_custkey, o_totalprice,
+               CAST(strftime(o_orderdate, '%Y') AS INT) * 12 +
+               CAST(strftime(o_orderdate, '%m') AS INT) - 1 AS m
+        FROM orders),
+      first AS (SELECT o_custkey, min(m) AS cm FROM o GROUP BY o_custkey),
+      j AS (SELECT o.o_totalprice, f.cm, o.m - f.cm AS age
+            FROM o JOIN first f USING (o_custkey))
+      SELECT cm AS cohort_month, CAST(age // 12 AS BIGINT) AS age_years,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS revenue
+      FROM j GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_rfm" -> """
+      WITH a AS (
+        SELECT o_custkey,
+               max(epoch_us(o_orderdate)) AS last_us,
+               count(*) AS freq,
+               sum(CAST(o_totalprice AS DECIMAL(18,4))) AS money
+        FROM orders GROUP BY o_custkey),
+      s AS (
+        SELECT o_custkey,
+               ntile(5) OVER (ORDER BY last_us DESC, o_custkey) AS r,
+               ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS f,
+               ntile(5) OVER (ORDER BY money DESC, o_custkey) AS m
+        FROM a)
+      SELECT r, f, m, CAST(count(*) AS BIGINT) AS n
+      FROM s GROUP BY r, f, m ORDER BY r, f, m"""
   )
 }

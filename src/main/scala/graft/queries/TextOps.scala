@@ -898,6 +898,59 @@ object TextOps {
           round((col("sy") * col("sxx") - col("sx") * col("sxy")) /
             (col("n") * col("sxx") - col("sx") * col("sx")), 6)
             .as("intercept"))
+    },
+
+    // N-gram novelty curve (doc_id = ingestion order): the fraction of
+    // each document's distinct 3-grams first seen in THAT document —
+    // the marginal-contribution signal dataset curation ranks new
+    // sources by. Two corpus-linear shuffles (ngram → first-doc min,
+    // doc_id → per-doc ratio); the shuffle key is an md5 of the ngram
+    // would be the 100 TB refinement but the distinct pre-collapse
+    // already bounds rows at one per (doc, distinct ngram).
+    "q_ngram_novelty" -> { (s, dir) =>
+      val g = t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), t -> t <> '')").as("ts"))
+        .filter(size(col("ts")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ts) - 2), i -> concat_ws(' '," +
+            " element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2)))"))
+          .as("ng"))
+        .distinct()
+      val first = g.groupBy("ng").agg(min("doc_id").as("fd"))
+      g.join(first, "ng")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_ngrams"),
+          sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_ngrams"), col("n_novel"),
+          round(col("n_novel").cast("double") / col("n_ngrams"), 6)
+            .as("novelty"))
+        .orderBy("doc_id")
+    },
+
+    // Per-source KL divergence from the corpus token distribution — the
+    // domain-shift / source-signature monitor (a source whose KL spikes
+    // changed its content mix). Every table in the join is
+    // vocabulary-bounded after the one corpus-sized (source, token)
+    // count; totals ride broadcasts. ln()-parity canon per term.
+    "q_source_kl" -> { (s, dir) =>
+      val st = t(s, dir, "documents")
+        .select(col("source"),
+          explode(expr("filter(split(text, ' '), t -> t <> '')")).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      val ssum = st.groupBy("source").agg(sum("c").as("sn"))
+      val ct = st.groupBy("tok").agg(sum("c").as("cc"))
+      val tot = st.agg(sum("c").as("n"))
+      st.join(ssum, "source").join(ct, "tok").crossJoin(broadcast(tot))
+        .select(col("source"),
+          round((col("c").cast("double") / col("sn")) *
+            log((col("c").cast("double") / col("sn")) /
+              (col("cc").cast("double") / col("n"))), 6)
+            .cast("decimal(18,6)").as("term"))
+        .groupBy("source")
+        .agg(round(sum("term").cast("double"), 6).as("kl"))
+        .orderBy("source")
     }
   )
 
@@ -1495,7 +1548,42 @@ object TextOps {
       SELECT CAST(n AS BIGINT) AS vocab,
              round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
              round((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 6) AS intercept
-      FROM s"""
+      FROM s""",
+
+    "q_ngram_novelty" -> """
+      WITH f AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        FROM documents),
+      g AS (
+        SELECT DISTINCT doc_id, array_to_string(list_slice(ts, i, i + 2), ' ') AS ng
+        FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+              FROM f WHERE len(ts) >= 3)),
+      first AS (SELECT ng, min(doc_id) AS fd FROM g GROUP BY ng),
+      j AS (
+        SELECT g.doc_id, count(*) AS n,
+               sum(CASE WHEN fi.fd = g.doc_id THEN 1 ELSE 0 END) AS novel
+        FROM g JOIN first fi USING (ng) GROUP BY g.doc_id)
+      SELECT doc_id, CAST(n AS BIGINT) AS n_ngrams,
+             CAST(novel AS BIGINT) AS n_novel,
+             round(CAST(novel AS DOUBLE) / n, 6) AS novelty
+      FROM j ORDER BY doc_id""",
+
+    "q_source_kl" -> """
+      WITH tok AS (
+        SELECT source, unnest(list_filter(string_split(text, ' '),
+                 t -> t <> '')) AS tok
+        FROM documents),
+      st AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY source, tok),
+      ssum AS (SELECT source, sum(c) AS sn FROM st GROUP BY source),
+      ct AS (SELECT tok, sum(c) AS cc FROM st GROUP BY tok),
+      tot AS (SELECT sum(c) AS n FROM st),
+      terms AS (
+        SELECT st.source,
+               CAST(round((st.c / ssum.sn) * ln((st.c / ssum.sn) /
+                      (ct.cc / tot.n)), 6) AS DECIMAL(18,6)) AS term
+        FROM st JOIN ssum USING (source) JOIN ct USING (tok) CROSS JOIN tot)
+      SELECT source, round(CAST(sum(term) AS DOUBLE), 6) AS kl
+      FROM terms GROUP BY source ORDER BY source"""
   )
 }
 

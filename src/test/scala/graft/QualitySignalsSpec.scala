@@ -99,6 +99,56 @@ class QualitySignalsSpec extends SparkSpec {
     assert(got.map(_._2).toSeq == got.map(_._2).toSeq.sorted)
   }
 
+  test("ngram novelty equals a first-seen scan in doc_id order") {
+    val grams = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ").filter(_.nonEmpty).sliding(3)
+          .filter(_.length == 3).map(_.mkString(" ")).toSet)
+      .sortBy(_._1)
+    val seen = scala.collection.mutable.Set.empty[String]
+    val expected = grams.filter(_._2.nonEmpty).map { case (id, gs) =>
+      val novel = gs.count(g => !seen.contains(g))
+      seen ++= gs
+      (id, gs.size.toLong, novel.toLong,
+        math.round(novel.toDouble / gs.size * 1e6) / 1e6)
+    }.toSeq
+    val got = TextOps.queries("q_ngram_novelty")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected)
+    // The curve must actually decay: later docs repeat earlier content.
+    assert(got.last._4 < got.head._4, "novelty did not decay over the corpus")
+  }
+
+  test("per-source KL is nonnegative and equals an exact recomputation") {
+    val toks = docs.select("source", "text").collect()
+      .flatMap(r => r.getString(1).split(" ").filter(_.nonEmpty)
+        .map(t => (r.getString(0), t)))
+    val st = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val sn = toks.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cc = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = toks.length.toDouble
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    // toSeq before mapping: Map.keys has Set semantics, and mapping a
+    // Set to per-term BigDecimals silently DEDUPES equal terms from
+    // different tokens before the sum.
+    val expected = st.keys.toSeq.groupBy(_._1).map { case (src, keys) =>
+      src -> keys.map { case (s, t) =>
+        val p = st((s, t)).toDouble / sn(s)
+        r6(p * math.log(p / (cc(t) / n)))
+      }.sum.toDouble
+    }
+    val got = TextOps.queries("q_source_kl")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (src, kl) =>
+      assert(kl >= 0.0, s"KL($src) negative: $kl")
+      assert(math.abs(kl - expected(src)) < 1e-5,
+        s"KL($src) $kl vs ${expected(src)}")
+    }
+  }
+
   test("co-occurrence window counts equal a positional recomputation") {
     val texts = docs.collect().map(_.getString(1).split(" ").filter(_.nonEmpty))
     val counts = scala.collection.mutable.Map.empty[(String, String), Long]
