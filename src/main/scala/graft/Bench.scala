@@ -71,7 +71,9 @@ object Bench {
     // Event analytics: TWA, attribution (via AsOfJoin plan), overlap.
     "q_time_weighted_avg", "q_first_touch", "q_user_overlap",
     // Curation/retail analytics: novelty, source KL, cohort LTV, RFM.
-    "q_ngram_novelty", "q_source_kl", "q_cohort_ltv", "q_rfm")
+    "q_ngram_novelty", "q_source_kl", "q_cohort_ltv", "q_rfm",
+    // Monitoring: degree profile + level-shift changepoint.
+    "q_degree_dist", "q_changepoint")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -523,6 +523,41 @@ object EventOps {
           round(col("inter").cast("double") /
             (col("n1") + col("n2") - col("inter")), 6).as("jaccard"))
         .orderBy("t1", "t2")
+    },
+
+    // Level-shift changepoint (one round of binary segmentation): per
+    // event type, the day split maximizing |mean(before) − mean(after)|
+    // of the daily value series. Prefix sums ride ONE window over the
+    // per-(type, day) pre-aggregation (series length = days, not
+    // events), means stay exact integer rationals until the single
+    // rounded gap per candidate split — the monitoring primitive for
+    // "when did this metric change"; recursing on the two halves is the
+    // full segmentation at scale.
+    "q_changepoint" -> { (s, dir) =>
+      val d = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(date_trunc('DAY', ts)) div 86400000000").as("day"))
+        .agg(sum((col("value").cast("decimal(18,4)") * 10000).cast("long"))
+          .as("sv"), count(lit(1)).as("c"))
+      val ord = Window.partitionBy("event_type").orderBy("day")
+      val all = Window.partitionBy("event_type")
+      val w = d
+        .withColumn("csv", sum("sv").over(ord))
+        .withColumn("cc", sum("c").over(ord))
+        .withColumn("tsv", sum("sv").over(all))
+        .withColumn("tc", sum("c").over(all))
+        .withColumn("rn", row_number().over(ord))
+        .withColumn("nd", count(lit(1)).over(all))
+        .filter(col("rn") < col("nd"))
+        .select(col("event_type"), col("day"),
+          round(abs(col("csv").cast("double") / col("cc") -
+            (col("tsv") - col("csv")).cast("double") / (col("tc") - col("cc")))
+            / 10000d, 6).as("gap"))
+      val best = Window.partitionBy("event_type")
+        .orderBy(desc("gap"), asc("day"))
+      w.withColumn("rk", row_number().over(best)).filter(col("rk") === 1)
+        .select(col("event_type"), col("day").as("split_day"), col("gap"))
+        .orderBy("event_type")
     }
   )
 
@@ -940,6 +975,35 @@ object EventOps {
       SELECT t1, t2, inter, s1.n AS n1, s2.n AS n2,
              round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6) AS jaccard
       FROM pairs JOIN sizes s1 ON t1 = s1.t JOIN sizes s2 ON t2 = s2.t
-      ORDER BY t1, t2"""
+      ORDER BY t1, t2""",
+
+    "q_changepoint" -> """
+      WITH d AS (
+        SELECT event_type,
+               epoch_us(date_trunc('day', ts)) // 86400000000 AS day,
+               sum(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS sv,
+               count(*) AS c
+        FROM events GROUP BY 1, 2),
+      w AS (
+        SELECT event_type, day, sv, c,
+               sum(sv) OVER (PARTITION BY event_type ORDER BY day) AS csv,
+               sum(c)  OVER (PARTITION BY event_type ORDER BY day) AS cc,
+               sum(sv) OVER (PARTITION BY event_type) AS tsv,
+               sum(c)  OVER (PARTITION BY event_type) AS tc,
+               row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS nd
+        FROM d),
+      s AS (
+        SELECT event_type, day,
+               round(abs(CAST(csv AS DOUBLE) / cc -
+                 CAST(tsv - csv AS DOUBLE) / (tc - cc)) / 10000, 6) AS gap
+        FROM w WHERE rn < nd),
+      b AS (
+        SELECT event_type, day, gap,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY gap DESC, day) AS rk
+        FROM s)
+      SELECT event_type, day AS split_day, gap FROM b WHERE rk = 1
+      ORDER BY event_type"""
   )
 }

@@ -224,6 +224,25 @@ object GraphOps {
         .groupBy("dist")
         .agg(count(lit(1)).as("n_nodes"), sum("node").as("node_sum"))
         .orderBy("dist")
+    },
+
+    // Degree distribution of the min-support-2 co-occurrence graph —
+    // the first thing to look at before ANY graph algorithm at scale
+    // (a heavy tail says salt the hubs; see the MinHash rerank).
+    // Out-degree = in-degree (undirected construction), so one groupBy
+    // on src suffices; the histogram re-aggregates on the tiny degree
+    // domain. Edges stay in the shuffle, never the driver.
+    "q_degree_dist" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      li.as("a").join(li.as("b"), Seq("l_orderkey"))
+        .where(col("a.l_partkey") =!= col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .groupBy("src").agg(count(lit(1)).as("deg"))
+        .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("deg")
     }
   )
 
@@ -335,6 +354,16 @@ object GraphOps {
              coalesce(ps.n_pairs, 0) AS n_pairs, ps.min_dist,
              coalesce(ps.n_close, 0) AS n_close
       FROM blocks b LEFT JOIN ps ON b.lang = ps.lang AND b.source = ps.source
-      ORDER BY b.lang, b.source"""
+      ORDER BY b.lang, b.source""",
+
+    "q_degree_dist" -> """
+      WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      e0 AS (SELECT a.p AS src, b.p AS dst, count(*) AS support
+             FROM pp a JOIN pp b ON a.o = b.o AND a.p <> b.p
+             GROUP BY a.p, b.p),
+      e AS (SELECT src, dst FROM e0 WHERE support >= 2),
+      d AS (SELECT src, count(*) AS deg FROM e GROUP BY src)
+      SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes
+      FROM d GROUP BY deg ORDER BY deg"""
   )
 }

@@ -319,6 +319,63 @@ object StreamingOps {
         .orderBy("user_id")
     }
 
+  // ---- Streaming time-weighted average: stateful twin of the batch
+  // q_time_weighted_avg. State per user is (last µs, last 10⁻⁴-unit
+  // value, Σv·gap, Σgap) — four longs, constant in event volume. The
+  // observed span Σgap is monotone, so max_by(twa, den) over the Update
+  // trajectory recovers the final value; users whose span is still zero
+  // (single event so far) emit nothing, matching the batch exclusion. ----
+  private class UserTwa
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, (Long, Long, Long)] {
+    @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[(Long, Long, Long, Long)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long, Long)]("twa",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    private def us(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long)] = {
+      var (lastUs, lastV, num, den) =
+        if (st.exists()) st.get() else (Long.MinValue, 0L, 0L, 0L)
+      rows.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+        val t = us(e.ts)
+        // Same 10⁻⁴-unit quantization as the batch twin's
+        // DECIMAL(18,4) cast (HALF_UP at 4 decimals, exact binary in).
+        val v = (BigDecimal(e.value)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP) * 10000).toLongExact
+        if (lastUs != Long.MinValue) { num += lastV * (t - lastUs); den += t - lastUs }
+        lastUs = t; lastV = v
+      }
+      st.update((lastUs, lastV, num, den))
+      if (den > 0) Iterator((key, num, den)) else Iterator.empty
+    }
+  }
+
+  def qStreamTwa(s: SparkSession, dir: String): DataFrame = withRocksDb(s) {
+    import s.implicits._
+    val stream = replay(s, prepareChunks(s, dir)).as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new UserTwa,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update)
+      .toDF("user_id", "num", "den")
+    val out = drain(stream, "q_twa_sink", OutputMode.Update())
+    out.groupBy("user_id")
+      .agg(max_by(col("num"), col("den")).as("num"), max("den").as("den"))
+      .select(col("user_id"),
+        round(col("num").cast("double") / col("den") / 10000d, 6).as("twa"),
+        round(col("den").cast("double") / 1000000d, 6).as("obs_s"))
+      .orderBy("user_id")
+  }
+
   def qStreamTwsMap(s: SparkSession, dir: String): DataFrame = withRocksDb(s) {
     import s.implicits._
     val stream = replay(s, prepareChunks(s, dir)).as[Event]
@@ -629,7 +686,8 @@ object StreamingOps {
     "q42_stream_stateful" -> (q42 _),
     "q_stream_tws" -> (qStreamTws _),
     "q_stream_tws_map" -> (qStreamTwsMap _),
-    "q_stream_interval_merge" -> (qStreamIntervalMerge _))
+    "q_stream_interval_merge" -> (qStreamIntervalMerge _),
+    "q_stream_twa" -> (qStreamTwa _))
 
   /** DuckDB twins: the streaming results must equal these batch queries. */
   val oracle: Map[String, String] = Map(
@@ -748,7 +806,8 @@ object StreamingOps {
       SELECT user_id, event_type, count(*) AS cnt
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
 
-    // Identical semantics to the batch operator — one source of truth.
-    "q_stream_interval_merge" -> graft.queries.EventOps.oracle("q_interval_merge")
+    // Identical semantics to the batch operators — one source of truth.
+    "q_stream_interval_merge" -> graft.queries.EventOps.oracle("q_interval_merge"),
+    "q_stream_twa" -> graft.queries.EventOps.oracle("q_time_weighted_avg")
   )
 }

@@ -222,6 +222,35 @@ class EventHistorySpec extends SparkSpec {
     }
   }
 
+  test("q_changepoint equals a sequential best-split scan") {
+    val daily = graft.core.Tables.t(spark, sf, "events")
+      .select(col("event_type"),
+        expr("unix_micros(date_trunc('DAY', ts)) div 86400000000").as("day"),
+        col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(r => (r._1, r._2))
+      .map { case ((t, d), rows) =>
+        (t, d, rows.map(r => (BigDecimal(r._3).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP) * 10000).toLongExact).sum,
+          rows.size.toLong)
+      }.toSeq
+    val expected = daily.groupBy(_._1).map { case (t, rows) =>
+      val seq = rows.sortBy(_._2)
+      val (tsv, tc) = (seq.map(_._3).sum, seq.map(_._4).sum)
+      var (csv, cc) = (0L, 0L)
+      val gaps = seq.init.map { case (_, d, sv, c) =>
+        csv += sv; cc += c
+        val g = math.abs(csv.toDouble / cc - (tsv - csv).toDouble / (tc - cc)) / 10000
+        (d, math.round(g * 1e6) / 1e6)
+      }
+      val best = gaps.maxBy { case (d, g) => (g, -d) }
+      (t, best._1, best._2)
+    }.toSeq.sortBy(_._1)
+    val got = EventOps.queries("q_changepoint")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected)
+  }
+
   test("q_user_overlap equals brute user-set jaccard per type pair") {
     val ev = graft.core.Tables.t(spark, sf, "events")
       .select("event_type", "user_id").collect()

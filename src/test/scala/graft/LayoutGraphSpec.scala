@@ -161,4 +161,25 @@ class LayoutGraphSpec extends SparkSpec {
     assert(got == expected,
       s"extra=${got.diff(expected)} missing=${expected.diff(got)}")
   }
+
+  test("q_degree_dist equals a brute adjacency-degree histogram") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val support = li.toSeq.groupBy(_._1).values.toSeq.flatMap(xs =>
+        for (a <- xs; b <- xs if a._2 != b._2) yield (a._2, b._2))
+      .groupBy(identity).filter(_._2.size >= 2).keySet
+    val expected = support.toSeq.groupBy(_._1).values
+      .map(_.size).groupBy(identity)
+      .map { case (deg, xs) => (deg.toLong, xs.size.toLong) }.toSet
+    val got = graft.queries.GraphOps.queries("q_degree_dist")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"extra=${got.diff(expected)} missing=${expected.diff(got)}")
+    // toSeq first: mapping a Set would dedupe equal counts (the KL-spec
+    // Set.map trap) and understate the node total.
+    assert(got.toSeq.map(_._2).sum ==
+      support.toSeq.map(_._1).distinct.size.toLong,
+      "histogram must cover every node with at least one edge")
+  }
 }

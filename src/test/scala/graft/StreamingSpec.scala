@@ -351,6 +351,19 @@ class StreamingSpec extends SparkSpec {
     assert(streamRows.exists(_._2 > 1), "fixture should produce split blocks")
   }
 
+  test("streaming TWA equals the batch q_time_weighted_avg twin") {
+    // Four-long state (last ts, last value, Σv·gap, Σgap); users whose
+    // observed span is still zero emit nothing — matching the batch
+    // single-event exclusion. max_by(num, den) over the Update
+    // trajectory is exact because the span only grows.
+    val streamRows = StreamingOps.queries("q_stream_twa")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    val batchRows =
+      graft.queries.EventOps.queries("q_time_weighted_avg")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(streamRows == batchRows)
+  }
+
   test("transformWithState MapState counts equal the batch per-type group-by") {
     val streamRows = StreamingOps.queries("q_stream_tws_map")(spark, sf)
       .collect().toSeq
