@@ -73,7 +73,9 @@ object Bench {
     // Curation/retail analytics: novelty, source KL, cohort LTV, RFM.
     "q_ngram_novelty", "q_source_kl", "q_cohort_ltv", "q_rfm",
     // Monitoring: degree profile + level-shift changepoint.
-    "q_degree_dist", "q_changepoint")
+    "q_degree_dist", "q_changepoint",
+    // Engagement curves: cumulative uniques + rolling distinct.
+    "q_cumulative_users", "q_rolling_dau")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -558,6 +558,50 @@ object EventOps {
       w.withColumn("rk", row_number().over(best)).filter(col("rk") === 1)
         .select(col("event_type"), col("day").as("split_day"), col("gap"))
         .orderBy("event_type")
+    },
+
+    // Cumulative unique users (the growth curve): first-seen day per
+    // user → new-user counts → running total over the active-day spine.
+    // Two partial-aggregable shuffles; the cumulative window runs over
+    // the DAY domain (calendar-bounded), never user rows.
+    "q_cumulative_users" -> { (s, dir) =>
+      val dayCol = expr("unix_micros(date_trunc('DAY', ts)) div 86400000000")
+      val ev = t(s, dir, "events").select(col("user_id"), dayCol.as("day"))
+      val nd = ev.groupBy("user_id").agg(min("day").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("new_users"))
+      val days = ev.select("day").distinct()
+      days.join(nd, Seq("day"), "left")
+        .select(col("day"),
+          coalesce(col("new_users"), lit(0L)).as("new_users"))
+        .withColumn("cum_users", sum("new_users").over(Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy("day")
+    },
+
+    // DAU / rolling-7-day WAU / stickiness: the rolling DISTINCT count
+    // is the classic engagement metric a naive range join (u.day
+    // BETWEEN d-6 AND d) turns into a BNLJ at scale. Instead each
+    // (user, active day) row is EXPLODED into the ≤ 7 observation days
+    // it contributes to (the q_session_concurrency interval→bucket
+    // trick) — fixed fan-out, everything equi-keyed, distinct
+    // partial-aggregates map-side. The oracle keeps the BETWEEN join:
+    // provably the same set.
+    "q_rolling_dau" -> { (s, dir) =>
+      val dayCol = expr("unix_micros(date_trunc('DAY', ts)) div 86400000000")
+      val ud = t(s, dir, "events")
+        .select(col("user_id"), dayCol.as("day")).distinct()
+      val days = ud.select("day").distinct()
+      val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("day"))
+        .distinct()
+        .join(days, "day") // only emit real observation days
+        .groupBy("day").agg(count(lit(1)).as("wau"))
+      dau.join(wau, "day")
+        .select(col("day"), col("dau"), col("wau"),
+          round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+        .orderBy("day")
     }
   )
 
@@ -1004,6 +1048,35 @@ object EventOps {
                                   ORDER BY gap DESC, day) AS rk
         FROM s)
       SELECT event_type, day AS split_day, gap FROM b WHERE rk = 1
-      ORDER BY event_type"""
+      ORDER BY event_type""",
+
+    "q_cumulative_users" -> """
+      WITH ud AS (
+        SELECT user_id,
+               min(epoch_us(date_trunc('day', ts)) // 86400000000) AS fd
+        FROM events GROUP BY user_id),
+      nd AS (SELECT fd AS day, count(*) AS new_users FROM ud GROUP BY fd),
+      days AS (SELECT DISTINCT epoch_us(date_trunc('day', ts)) // 86400000000
+                      AS day FROM events)
+      SELECT d.day, coalesce(n.new_users, 0) AS new_users,
+             sum(coalesce(n.new_users, 0)) OVER (ORDER BY d.day
+               ROWS UNBOUNDED PRECEDING) AS cum_users
+      FROM days d LEFT JOIN nd n USING (day) ORDER BY d.day""",
+
+    "q_rolling_dau" -> """
+      WITH ud AS (
+        SELECT DISTINCT user_id,
+               epoch_us(date_trunc('day', ts)) // 86400000000 AS day
+        FROM events),
+      days AS (SELECT DISTINCT day FROM ud),
+      roll AS (
+        SELECT d.day, count(DISTINCT u.user_id) AS wau
+        FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+        GROUP BY d.day),
+      dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day)
+      SELECT d.day, dau.dau, roll.wau,
+             round(CAST(dau.dau AS DOUBLE) / roll.wau, 6) AS stickiness
+      FROM days d JOIN dau USING (day) JOIN roll USING (day)
+      ORDER BY d.day"""
   )
 }

@@ -251,6 +251,39 @@ class EventHistorySpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("engagement curves equal brute recomputations and obey their bounds") {
+    val ud = graft.core.Tables.t(spark, sf, "events")
+      .select(col("user_id"),
+        expr("unix_micros(date_trunc('DAY', ts)) div 86400000000").as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val days = ud.map(_._2).distinct.sorted
+    val nUsers = ud.map(_._1).distinct.length.toLong
+
+    val cum = EventOps.queries("q_cumulative_users")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(cum.map(_._1).toSeq == days.toSeq, "day spine must be the active days")
+    assert(cum.last._3 == nUsers, "final cumulative must equal distinct users")
+    assert(cum.map(_._3).toSeq == cum.map(_._3).toSeq.sorted, "monotone")
+    val firstDay = ud.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    cum.foreach { case (d, nu, cu) =>
+      assert(nu == firstDay.values.count(_ == d).toLong, s"new_users at $d")
+      assert(cu == firstDay.values.count(_ <= d).toLong, s"cum_users at $d")
+    }
+
+    val roll = EventOps.queries("q_rolling_dau")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(roll.map(_._1).toSeq == days.toSeq)
+    roll.foreach { case (d, dau, wau, stick) =>
+      val dauExp = ud.count(_._2 == d).toLong
+      val wauExp = ud.filter(u => u._2 >= d - 6 && u._2 <= d)
+        .map(_._1).distinct.length.toLong
+      assert(dau == dauExp, s"dau at $d")
+      assert(wau == wauExp, s"wau at $d")
+      assert(wau >= dau, s"wau < dau at $d")
+      assert(math.abs(stick - dau.toDouble / wau) < 1e-6)
+    }
+  }
+
   test("q_user_overlap equals brute user-set jaccard per type pair") {
     val ev = graft.core.Tables.t(spark, sf, "events")
       .select("event_type", "user_id").collect()
