@@ -75,7 +75,9 @@ object Bench {
     // Monitoring: degree profile + level-shift changepoint.
     "q_degree_dist", "q_changepoint",
     // Engagement curves: cumulative uniques + rolling distinct.
-    "q_cumulative_users", "q_rolling_dau")
+    "q_cumulative_users", "q_rolling_dau",
+    // Per-block dedup contamination (rides the q31 exact-pair tier).
+    "q_dedup_rate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

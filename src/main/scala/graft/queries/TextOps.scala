@@ -951,6 +951,50 @@ object TextOps {
         .groupBy("source")
         .agg(round(sum("term").cast("double"), 6).as("kl"))
         .orderBy("source")
+    },
+
+    // Per-block near-dup contamination report — "how dirty is each
+    // (lang, source)": doc count, exact jaccard ≥ 0.5 pair count, and
+    // the fraction of docs in at least one near-dup pair. Rides Q31's
+    // blocked exact pair join (the oracle-twin tier; q43 MinHash is
+    // the at-scale candidate generator feeding the same report); the
+    // involved-doc count is a distinct over pair endpoints, bounded by
+    // block size. The curation dashboard number that decides which
+    // source needs dedup FIRST.
+    "q_dedup_rate" -> { (s, dir) =>
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .filter(col("tok") =!= "")
+      val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val inter = tok.as("a").join(tok.as("b"),
+          col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.lang").as("lang"), col("a.source").as("source"),
+          col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .agg(count(lit(1)).as("ix"))
+      val jac = col("ix").cast("double") /
+        (col("s1.sz") + col("s2.sz") - col("ix"))
+      val pairs = inter
+        .join(sizes.as("s1"), col("id1") === col("s1.doc_id"))
+        .join(sizes.as("s2"), col("id2") === col("s2.doc_id"))
+        .filter(jac >= 0.5)
+        .select(col("lang"), col("source"), col("id1"), col("id2"))
+      val involved = pairs
+        .select(col("lang"), col("source"), explode(array(col("id1"), col("id2"))).as("d"))
+        .distinct()
+        .groupBy("lang", "source").agg(count(lit(1)).as("n_dup_docs"))
+      val nPairs = pairs.groupBy("lang", "source").agg(count(lit(1)).as("n_pairs"))
+      val blocks = t(s, dir, "documents")
+        .groupBy("lang", "source").agg(count(lit(1)).as("n_docs"))
+      blocks.join(nPairs, Seq("lang", "source"), "left")
+        .join(involved, Seq("lang", "source"), "left")
+        .select(col("lang"), col("source"), col("n_docs"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
+          round(coalesce(col("n_dup_docs"), lit(0L)).cast("double") /
+            col("n_docs"), 6).as("dup_rate"))
+        .orderBy("lang", "source")
     }
   )
 
@@ -1583,7 +1627,44 @@ object TextOps {
                       (ct.cc / tot.n)), 6) AS DECIMAL(18,6)) AS term
         FROM st JOIN ssum USING (source) JOIN ct USING (tok) CROSS JOIN tot)
       SELECT source, round(CAST(sum(term) AS DOUBLE), 6) AS kl
-      FROM terms GROUP BY source ORDER BY source"""
+      FROM terms GROUP BY source ORDER BY source""",
+
+    "q_dedup_rate" -> """
+      WITH tok AS (
+        SELECT DISTINCT doc_id, lang, source,
+               unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      tokf AS (SELECT * FROM tok WHERE tok <> ''),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM tokf GROUP BY doc_id),
+      inter AS (
+        SELECT a.lang, a.source, a.doc_id AS id1, b.doc_id AS id2,
+               count(*) AS ix
+        FROM tokf a JOIN tokf b
+          ON a.lang = b.lang AND a.source = b.source
+         AND a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4),
+      pairs AS (
+        SELECT i.lang, i.source, id1, id2
+        FROM inter i
+        JOIN sizes s1 ON id1 = s1.doc_id
+        JOIN sizes s2 ON id2 = s2.doc_id
+        WHERE CAST(ix AS DOUBLE) / (s1.sz + s2.sz - ix) >= 0.5),
+      inv AS (
+        SELECT lang, source, count(*) AS n_dup_docs
+        FROM (SELECT DISTINCT lang, source, unnest([id1, id2]) AS d FROM pairs)
+        GROUP BY 1, 2),
+      np AS (SELECT lang, source, count(*) AS n_pairs FROM pairs GROUP BY 1, 2),
+      blocks AS (SELECT lang, source, count(*) AS n_docs
+                 FROM documents GROUP BY 1, 2)
+      SELECT b.lang, b.source, b.n_docs,
+             coalesce(np.n_pairs, 0) AS n_pairs,
+             coalesce(inv.n_dup_docs, 0) AS n_dup_docs,
+             round(CAST(coalesce(inv.n_dup_docs, 0) AS DOUBLE) / b.n_docs, 6)
+               AS dup_rate
+      FROM blocks b
+      LEFT JOIN np USING (lang, source)
+      LEFT JOIN inv USING (lang, source)
+      ORDER BY b.lang, b.source"""
   )
 }
 

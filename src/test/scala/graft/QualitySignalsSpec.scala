@@ -149,6 +149,28 @@ class QualitySignalsSpec extends SparkSpec {
     }
   }
 
+  test("dedup-rate report is consistent with the q31 exact pair set") {
+    val meta = docs.select("doc_id", "lang", "source").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    val pairs = TextOps.queries("q31_jaccard_pairs")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val perBlock = pairs.groupBy(p => meta(p._1))
+    val got = TextOps.queries("q_dedup_rate")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.values.map(_._1).sum == meta.size, "blocks must cover the corpus")
+    got.foreach { case (blk, (nDocs, nPairs, nDup, rate)) =>
+      val expPairs = perBlock.get(blk).map(_.length.toLong).getOrElse(0L)
+      val expDup = perBlock.get(blk)
+        .map(ps => ps.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong)
+        .getOrElse(0L)
+      assert(nPairs == expPairs, s"$blk pairs $nPairs != $expPairs")
+      assert(nDup == expDup, s"$blk dup docs $nDup != $expDup")
+      assert(nDup <= nDocs && math.abs(rate - nDup.toDouble / nDocs) < 1e-6)
+    }
+    assert(got.values.exists(_._2 > 0), "fixture should contain near-dups")
+  }
+
   test("co-occurrence window counts equal a positional recomputation") {
     val texts = docs.collect().map(_.getString(1).split(" ").filter(_.nonEmpty))
     val counts = scala.collection.mutable.Map.empty[(String, String), Long]
