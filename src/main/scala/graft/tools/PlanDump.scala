@@ -47,7 +47,13 @@ object PlanDump {
       "q_embed_standardize" -> "Per-dim standardization: 64-row stats table broadcast back; exploded values partial-aggregate to (label, dim) before the only data shuffle",
       "q_auc_rank" -> "Rank-sum AUC: per-(source,score) pre-aggregation bounds the midrank window input by score cardinality, not corpus size; window and both aggs share the source exchange",
       "q_weighted_sample" -> "Systematic weighted sample: two-level distributed prefix sum (256 md5-prefix bucket totals broadcast as the offset table) replaces the global cumulative window; stride selection is exact integer arithmetic",
-      "q_bfs_hops" -> "Multi-source frontier BFS: each level is one frontier-edges equi-join + one left-anti vs visited, snapshots parquet-materialized per level (lineage truncation), driver holds only the 1-row frontier count")
+      "q_bfs_hops" -> "Multi-source frontier BFS: each level is one frontier-edges equi-join + one left-anti vs visited, snapshots parquet-materialized per level (lineage truncation), driver holds only the 1-row frontier count",
+      "q_interval_merge" -> "Interval union: running-max-end break + running-sum block id + both aggs ALL ride one user_id exchange; interval payload is 3 longs",
+      "q_first_touch" -> "Attribution via the custom AsOfJoin node (second consumer): one merge pass per user, 7-day window as a post-filter on the unique as-of winner — no purchases-by-clicks pair blowup",
+      "q_skyline" -> "Pareto frontier: max-per-quantity pre-collapse partial-aggregates map-side, then ONE descending window over distinct quantities per flag — no dominance self-join",
+      "q_cooccur_window" -> "Skip-gram co-occurrence: pairs GENERATED by array transform in the scan projection (fan-out 2), never a positional self-join; only shuffle is the map-side-combined pair count",
+      "q_rolling_dau" -> "Rolling 7-day distinct: explode-to-observation-days turns the BETWEEN range join (BNLJ) into fixed-fan-out equi-joins; distinct partial-aggregates map-side",
+      "q_knn_graph" -> "Exact kNN graph (oracle twin): broadcast NLJ + windowed top-4 — quadratic BY CONTRACT; the scale path is the persisted IVF index (see q_ann_ivf), recall-gated vs this graph")
     val sb = new StringBuilder
     sb ++= "# PLANS — physical plans of representative queries (sf0.01, AQE on)\n\n"
     sb ++= "Generated by `sbt \"runMain graft.tools.PlanDump\"`; regenerate after plan-affecting changes.\n\n"
