@@ -1058,9 +1058,9 @@ object EventOps {
       nd AS (SELECT fd AS day, count(*) AS new_users FROM ud GROUP BY fd),
       days AS (SELECT DISTINCT epoch_us(date_trunc('day', ts)) // 86400000000
                       AS day FROM events)
-      SELECT d.day, coalesce(n.new_users, 0) AS new_users,
-             sum(coalesce(n.new_users, 0)) OVER (ORDER BY d.day
-               ROWS UNBOUNDED PRECEDING) AS cum_users
+      SELECT d.day, CAST(coalesce(n.new_users, 0) AS BIGINT) AS new_users,
+             CAST(sum(coalesce(n.new_users, 0)) OVER (ORDER BY d.day
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
       FROM days d LEFT JOIN nd n USING (day) ORDER BY d.day""",
 
     "q_rolling_dau" -> """
