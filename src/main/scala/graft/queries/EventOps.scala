@@ -349,6 +349,11 @@ object EventOps {
         .orderBy("hour")
     },
 
+    // Day-key canon (applies to every `div 86400000000` below): the
+    // session timezone is pinned UTC, so unix_micros(date_trunc('DAY',
+    // ts)) is an EXACT multiple of 86400000000 — truncating `div` and
+    // the oracle's floor `//` agree even for pre-epoch timestamps.
+    //
     // OHLC resampling (financial bar aggregation): per (event_type, day),
     // open/close = first/last value in (ts, event_id) order, high/low =
     // max/min, in exact DECIMAL(18,4). One hash exchange on the

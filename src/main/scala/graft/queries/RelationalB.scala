@@ -244,7 +244,9 @@ object RelationalB {
       SELECT * FROM (
         SELECT o_custkey, o_orderkey,
                strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
-               row_number() OVER w AS rn, rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+               CAST(row_number() OVER w AS INT) AS rn,
+               CAST(rank() OVER w AS INT) AS rnk,
+               CAST(dense_rank() OVER w AS INT) AS drnk
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
       WHERE rn <= 3 ORDER BY o_custkey, rn, o_orderkey""",
@@ -308,7 +310,7 @@ object RelationalB {
              trim(p_name) AS trimmed,
              concat_ws('-', p_brand, p_type) AS brand_type,
              replace(p_name, ' ', '_') AS name_u,
-             length(p_name) AS name_len,
+             CAST(length(p_name) AS INT) AS name_len,
              p_type LIKE '%BRASS%' AS is_brass,
              coalesce(regexp_extract(p_type, '^(\w+)', 1), '') AS first_word,
              string_split(p_name, ' ')[1] AS first_tok

@@ -268,7 +268,7 @@ object RelationalC {
 
     "q_window_dist" -> """
       SELECT o_orderkey, o_orderstatus,
-             ntile(4) OVER w AS quartile,
+             CAST(ntile(4) OVER w AS INT) AS quartile,
              round(percent_rank() OVER w, 6) AS pct_rank,
              round(cume_dist() OVER w, 6) AS cume
       FROM orders
@@ -358,9 +358,9 @@ object RelationalC {
         FROM orders GROUP BY o_custkey),
       s AS (
         SELECT o_custkey,
-               ntile(5) OVER (ORDER BY last_us DESC, o_custkey) AS r,
-               ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS f,
-               ntile(5) OVER (ORDER BY money DESC, o_custkey) AS m
+               CAST(ntile(5) OVER (ORDER BY last_us DESC, o_custkey) AS INT) AS r,
+               CAST(ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS INT) AS f,
+               CAST(ntile(5) OVER (ORDER BY money DESC, o_custkey) AS INT) AS m
         FROM a)
       SELECT r, f, m, CAST(count(*) AS BIGINT) AS n
       FROM s GROUP BY r, f, m ORDER BY r, f, m"""

@@ -193,7 +193,8 @@ object SimilarityOps {
             FROM q JOIN e ON e.vec_id <> qid),
       r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cand_id) AS rn
             FROM s)
-      SELECT qid, cand_id, cos_sim, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""",
+      SELECT qid, cand_id, cos_sim, CAST(rn AS INT) AS rn
+      FROM r WHERE rn <= 5 ORDER BY qid, rn""",
 
     "q_embed_quantize" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
@@ -269,7 +270,7 @@ object SimilarityOps {
       r AS (SELECT *, row_number() OVER (PARTITION BY qid
                         ORDER BY cos_sim DESC, cand_id) AS rn
             FROM s)
-      SELECT qid, cand_id, cos_sim, rn FROM r WHERE rn <= 4
-      ORDER BY qid, rn"""
+      SELECT qid, cand_id, cos_sim, CAST(rn AS INT) AS rn
+      FROM r WHERE rn <= 4 ORDER BY qid, rn"""
   )
 }

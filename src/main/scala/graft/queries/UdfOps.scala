@@ -113,7 +113,7 @@ object UdfOps {
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "q36_posexplode" -> """
-      SELECT doc_id, i - 1 AS pos, string_split(text, ' ')[i] AS tok
+      SELECT doc_id, CAST(i - 1 AS INT) AS pos, string_split(text, ' ')[i] AS tok
       FROM documents,
            LATERAL (SELECT unnest(generate_series(1, len(string_split(text, ' ')))) AS i) u
       WHERE doc_id < 20 AND string_split(text, ' ')[i] <> ''

@@ -42,7 +42,7 @@ def main():
             continue
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    failed, passed, skipped = [], [], []
+    failed, passed, skipped, skews = [], [], [], []
     for name in sorted(oracle):
         if only and name not in only:
             continue
@@ -79,6 +79,7 @@ def main():
                 if c in et and gt[c] != et[c]:
                     print(f"WARN {name}: arrow type skew on '{c}': "
                           f"spark={gt[c]} duck={et[c]}")
+                    skews.append((name, c, gt[c], et[c]))
         except Exception:
             pass
         gidx = [got_cols.index(c) for c in sorted(got_cols)]
@@ -99,7 +100,14 @@ def main():
     for n, m in failed:
         print(f"FAIL {n}: {m}")
     print(f"\n{len(passed)} passed, {len(failed)} failed")
-    sys.exit(1 if failed else 0)
+    if skews:
+        # Determinism canon: any result-type divergence is a gate failure
+        # even when stringified values agree — the driver's Arrow-level
+        # hash has mismatched on exactly this class (HUGEINT window sums,
+        # round-8 q_cumulative_users). Cast one side until types align.
+        print(f"{len(skews)} arrow type skew(s) — treat as FAIL "
+              "(cast the oracle or the Spark column)")
+    sys.exit(1 if (failed or skews) else 0)
 
 
 if __name__ == "__main__":
