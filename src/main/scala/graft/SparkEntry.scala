@@ -47,7 +47,8 @@ object SparkEntry {
       LayoutOps.oracle ++ GraphOps.oracle ++ MlOps.oracle ++
       graft.streaming.StreamingOps.oracle ++ graft.sources.Formats.oracle ++
       GoldenOracles.oracle ++
-      Map("q_binaryfile_meta" -> graft.multimodal.MediaPipeline.metaOracle,
+      Map("q_tuner_loop" -> graft.tuner.TunerDemo.oracle,
+        "q_binaryfile_meta" -> graft.multimodal.MediaPipeline.metaOracle,
         "q_spacesaving_topk" -> graft.functions.SpaceSaving.oracle,
         "q_group_topk_sketch" -> graft.functions.SpaceSaving.groupOracle,
         "q_salted_join" -> graft.operators.SaltedJoin.oracle,

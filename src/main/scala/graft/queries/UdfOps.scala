@@ -49,22 +49,43 @@ object UdfOps {
         .orderBy("doc_id", "pos")
     },
 
-    // Q37 — approx_count_distinct (HLL++). No DuckDB oracle (tolerance
-    // class); driver records a rows-only check. A scalatest spec asserts
-    // the ±5% bound against the exact count.
+    // Q37 — approx_count_distinct (HLL++), made a self-checking H row
+    // (VERDICT r8 item 4): alongside the exact distinct count the result
+    // carries `within_5pct`, the sketch-vs-exact relative-error check the
+    // spec asserts, computed IN the query. The HLL++ estimate is
+    // deterministic for fixed data, so the row hashes stably, and the
+    // DuckDB twin recomputes the exact count and emits `true` — the
+    // driver's hash compare now covers the sketch path without needing
+    // DuckDB to reproduce the estimate. rsd=0.02 keeps the sketch in
+    // sparse (near-exact) mode at test scale while staying a true HLL at
+    // 100 TB cardinalities. ±5% bound additionally spec-asserted.
     "q37_approx_distinct" -> { (s, dir) =>
       t(s, dir, "lineitem").groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_nd_part"),
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
+          count_distinct(col("l_partkey")).as("exact_nd_part"),
           count(lit(1)).as("cnt"))
+        .select(col("l_returnflag"), col("exact_nd_part"), col("cnt"),
+          (abs(col("approx") - col("exact_nd_part")).cast("double") /
+            col("exact_nd_part") <= 0.05).as("within_5pct"))
         .orderBy("l_returnflag")
     },
 
-    // Approximate percentile (quantile sketch). Tolerance class like Q37:
-    // rows-only driver check, accuracy bound in ApproxDistinctSpec.
+    // Approximate percentile (KLL-style quantile sketch), self-checking
+    // like Q37: p50/p95 are computed EXACTLY (percentile_approx with
+    // accuracy ≥ n returns the true discrete quantile element — no
+    // interpolation, so both engines pick the same stored value), and
+    // `within_1pct` checks the bounded-accuracy sketch (accuracy=1000,
+    // the at-scale configuration) against them inside the query.
     "q_approx_percentile" -> { (s, dir) =>
       t(s, dir, "lineitem").groupBy("l_returnflag")
-        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx"),
-          percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("p95_approx"))
+        .agg(
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("a50"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("a95"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000000)).as("p50"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000000)).as("p95"))
+        .select(col("l_returnflag"), col("p50"), col("p95"),
+          (abs(col("a50") - col("p50")) / col("p50") <= 0.01 &&
+            abs(col("a95") - col("p95")) / col("p95") <= 0.01).as("within_1pct"))
         .orderBy("l_returnflag")
     },
 
@@ -73,8 +94,11 @@ object UdfOps {
     // "distinct users per segment AND overall" costs one pass over the
     // data plus a sketch-sized shuffle (vs a full re-shuffle per rollup
     // for exact distinct). Per-status estimates ride the sketch column;
-    // the union row re-merges the SAME sketches. Tolerance class like
-    // Q37: rows-only driver check, error bound in ApproxDistinctSpec.
+    // the union row re-merges the SAME sketches. Self-checking H row like
+    // Q37: the hashed output is the EXACT distinct count (cheap at test
+    // scale; at 100 TB the sketch IS the product and this exact twin is
+    // the audit query) plus `within_5pct` comparing the sketch estimate
+    // to it in-query. Error bound additionally spec-asserted.
     "q_hll_union" -> { (s, dir) =>
       // Materialize the (tiny: one row per status) sketch table to scratch
       // parquet so BOTH consumers — per-status estimates and the merged ALL
@@ -92,7 +116,17 @@ object UdfOps {
         hll_sketch_estimate(col("sk")).as("approx_custs"))
       val union = sk.agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_custs"))
         .select(lit("ALL").as("o_orderstatus"), col("approx_custs"))
-      per.union(union).orderBy("o_orderstatus")
+      val approx = per.union(union)
+      val orders = t(s, dir, "orders")
+      val exactPer = orders.groupBy("o_orderstatus")
+        .agg(count_distinct(col("o_custkey")).as("exact_custs"))
+      val exactAll = orders.agg(count_distinct(col("o_custkey")).as("exact_custs"))
+        .select(lit("ALL").as("o_orderstatus"), col("exact_custs"))
+      exactPer.union(exactAll).join(approx, "o_orderstatus")
+        .select(col("o_orderstatus"), col("exact_custs"),
+          (abs(col("approx_custs") - col("exact_custs")).cast("double") /
+            col("exact_custs") <= 0.05).as("within_5pct"))
+        .orderBy("o_orderstatus")
     }
   )
 
@@ -117,6 +151,31 @@ object UdfOps {
       FROM documents,
            LATERAL (SELECT unnest(generate_series(1, len(string_split(text, ' ')))) AS i) u
       WHERE doc_id < 20 AND string_split(text, ' ')[i] <> ''
-      ORDER BY doc_id, pos"""
+      ORDER BY doc_id, pos""",
+
+    // Self-checking sketch twins: DuckDB recomputes the EXACT side and
+    // asserts `true` for the in-query tolerance check — any sketch drift
+    // past tolerance (or exact-side bug) hash-mismatches.
+    "q37_approx_distinct" -> """
+      SELECT l_returnflag,
+             count(DISTINCT l_partkey) AS exact_nd_part,
+             CAST(count(*) AS BIGINT) AS cnt,
+             true AS within_5pct
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_approx_percentile" -> """
+      SELECT l_returnflag,
+             quantile_disc(l_extendedprice, 0.5) AS p50,
+             quantile_disc(l_extendedprice, 0.95) AS p95,
+             true AS within_1pct
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_hll_union" -> """
+      SELECT o_orderstatus, count(DISTINCT o_custkey) AS exact_custs,
+             true AS within_5pct
+      FROM orders GROUP BY o_orderstatus
+      UNION ALL
+      SELECT 'ALL', count(DISTINCT o_custkey), true FROM orders
+      ORDER BY o_orderstatus"""
   )
 }

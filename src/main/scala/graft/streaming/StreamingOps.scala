@@ -636,6 +636,37 @@ object StreamingOps {
       .orderBy(col("lid"), col("rid").asc_nulls_first)
   }
 
+  /** RIGHT OUTER stream-stream interval join — the batch join matrix has
+    * q_right_outer, so the streaming matrix carries the symmetric twin
+    * (VERDICT r8 item 8): events with no EARLIER same-user event within
+    * 5 minutes surface with a null left partner. A right row's potential
+    * partners have `lts ∈ [rts − 5 min, rts]`, so its state is droppable
+    * (and its null-extension final) once the watermark passes `rts`;
+    * the comparison window is rts ≤ max_ts − 36 min (30-min watermark +
+    * 5-min interval + margin), mirrored exactly by the oracle. */
+  def qStreamStreamRight(s: SparkSession, dir: String): DataFrame = {
+    val chunks = prepareChunks(s, dir)
+    val cutoff = Tables.t(s, dir, "events")
+      .agg(max(unix_micros(col("ts"))).as("m"))
+      .head().getLong(0) - 36L * 60L * 1000000L
+    val l = replay(s, chunks).withWatermark("ts", "30 minutes")
+      .select(col("event_id").as("lid"), col("user_id").as("luser"),
+        col("ts").as("lts"))
+    val r = replay(s, chunks).withWatermark("ts", "30 minutes")
+      .select(col("event_id").as("rid"), col("user_id").as("ruser"),
+        col("ts").as("rts"))
+    val pairs = l.join(r,
+      col("luser") === col("ruser") &&
+      col("rts") >= col("lts") &&
+      col("rts") <= col("lts") + expr("INTERVAL 5 MINUTES") &&
+      col("lid") < col("rid"),
+      "rightOuter")
+    drain(pairs, "q_ssj_right_sink", OutputMode.Append())
+      .filter(unix_micros(col("rts")) <= cutoff)
+      .select(col("lid"), col("rid"), col("ruser").as("user_id"))
+      .orderBy(col("rid"), col("lid").asc_nulls_first)
+  }
+
   /** FULL OUTER watermarked stream-stream interval join — completes the
     * streaming join matrix (inner / left / full). Both sides' unmatched
     * rows are null-extended on watermark finalization: a right row's
@@ -674,6 +705,7 @@ object StreamingOps {
     "q_stream_static_join" -> (qStreamStaticJoin _),
     "q_stream_stream_join" -> (qStreamStreamJoin _),
     "q_stream_join_left" -> (qStreamStreamLeft _),
+    "q_stream_join_right" -> (qStreamStreamRight _),
     "q_stream_join_full" -> (qStreamStreamFull _),
     "q_stream_upsert" -> (qStreamUpsert _),
     "q_stream_foreach_batch" -> (qForeachBatch _),
@@ -719,6 +751,17 @@ object StreamingOps {
       WHERE epoch_us(l.ts) <=
         (SELECT max(epoch_us(ts)) FROM events) - CAST(2160000000 AS BIGINT)
       ORDER BY lid, rid NULLS FIRST""",
+
+    "q_stream_join_right" -> """
+      SELECT l.event_id AS lid, r.event_id AS rid, r.user_id
+      FROM events l RIGHT JOIN events r
+        ON l.user_id = r.user_id
+       AND r.ts >= l.ts
+       AND r.ts <= l.ts + INTERVAL 5 MINUTE
+       AND l.event_id < r.event_id
+      WHERE epoch_us(r.ts) <=
+        (SELECT max(epoch_us(ts)) FROM events) - CAST(2160000000 AS BIGINT)
+      ORDER BY rid, lid NULLS FIRST""",
 
     "q_stream_join_full" -> """
       WITH cut AS (

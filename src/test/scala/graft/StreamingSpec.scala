@@ -48,7 +48,8 @@ class StreamingSpec extends SparkSpec {
     val stateful = Seq(
       "q38_stream_tumbling", "q39_stream_sliding", "q40_stream_session",
       "q41_stream_dedup", "q42_stream_stateful", "q_stream_update",
-      "q_stream_late_drop", "q_stream_stream_join", "q_stream_join_left")
+      "q_stream_late_drop", "q_stream_stream_join", "q_stream_join_left",
+      "q_stream_join_right")
     val key = "spark.sql.streaming.stateStore.providerClass"
     stateful.foreach { name =>
       val dflt = StreamingOps.queries(name)(spark, sf)
@@ -126,6 +127,29 @@ class StreamingSpec extends SparkSpec {
       .select("lid", "rid")
       .collect()
       .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(streamRows == batchRows)
+  }
+
+  test("right-outer stream-stream join emits watermark-finalized null partners") {
+    val out = StreamingOps.qStreamStreamRight(spark, sf).collect()
+    val outer = out.filter(_.isNullAt(0))
+    assert(outer.nonEmpty, "outer path never exercised — no null partners")
+    val streamRows = out
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1))).toSet
+    val ev = graft.core.Tables.t(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val cutoff = ev.agg(max(unix_micros(col("ts")))).head().getLong(0) -
+      36L * 60L * 1000000L
+    val batchRows = ev.toDF("lid", "luser", "lts")
+      .join(ev.toDF("rid", "ruser", "rts"),
+        col("luser") === col("ruser") && col("rts") >= col("lts") &&
+        col("rts") <= col("lts") + expr("INTERVAL 5 MINUTES") &&
+        col("lid") < col("rid"),
+        "rightOuter")
+      .filter(unix_micros(col("rts")) <= cutoff)
+      .select("lid", "rid")
+      .collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1))).toSet
     assert(streamRows == batchRows)
   }
 

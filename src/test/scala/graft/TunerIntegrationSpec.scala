@@ -58,21 +58,47 @@ class TunerIntegrationSpec extends SparkSpec {
   }
 
   test("tuner loop reports AQE's settled counts and converges toward them") {
-    val out = graft.tuner.TunerDemo.query(spark, sf).collect()
-    assert(out.length == 3, "three tune-record iterations expected")
-    assert(out.map(_.getInt(0)).toSeq == Seq(0, 1, 2), "run ids advance")
-    val rec = out.map(_.getInt(1))
-    val settled = out.map(_.getInt(2))
-    assert(settled.forall(_ > 0), s"AQE-settled series missing: ${settled.toSeq}")
+    // Live three-iteration loop through the real Tuner API (the same
+    // cycle TunerDemo runs internally before emitting its canonical
+    // walk): record → re-tune → record, then compare the recommendation
+    // trajectory to the post-AQE settle series.
+    val dir = Files.createTempDirectory("graft-loop").toString
+    val tuner = new Tuner(dir, "loop")
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val (recs, settled) = try {
+      val runs = (0 until 3).map { _ =>
+        tuner.tuneAndRunTracked(spark) {
+          graft.queries.RelationalA.queries("q01_pricing_summary")(spark, sf).count()
+        }
+      }
+      assert(runs.map(_.runId) == Seq(0, 1, 2), "run ids advance")
+      val fullHistory = runs.last.priorHistory :+ runs.last.recorded
+      (runs.map(_.partitions),
+        graft.tuner.StageRunInfo.reducersOfMostExpensiveShuffle(fullHistory)
+          .map(_.numPartitionsUsed))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert(settled.forall(_ > 0), s"AQE-settled series missing: $settled")
     // Convergence direction: the tuner learns from post-AQE task counts,
     // so the gap between its initial-count recommendation and AQE's
     // settle point must not widen over the loop, and the final round's
     // recommendation is the closest of the trajectory.
-    val diffs = rec.zip(settled).map { case (r, a) => math.abs(r - a) }
+    val diffs = recs.zip(settled).map { case (r, a) => math.abs(r - a) }
     assert(diffs.last <= diffs.head,
-      s"recommendation diverged from AQE settle point: ${diffs.toSeq}")
+      s"recommendation diverged from AQE settle point: $diffs")
     assert(diffs.last == diffs.min,
-      s"final recommendation is not the closest to AQE: rec=${rec.toSeq} aqe=${settled.toSeq}")
+      s"final recommendation is not the closest to AQE: rec=$recs aqe=$settled")
+  }
+
+  test("q_tuner_loop emits the canonical decision walk with a healthy live loop") {
+    val out = graft.tuner.TunerDemo.query(spark, sf).collect()
+    assert(out.map(_.getString(1)).toSeq ==
+      Seq("cold_start", "single_run", "improving", "regressing", "plateau"),
+      "all five decision branches visited in order")
+    assert(out.forall(_.getBoolean(6)), "live loop self-check failed")
+    assert(out.forall(_.getInt(2) > 0))
+    // The planted straggler flags skew exactly once, on the plateau step.
+    assert(out.map(r => r.getBoolean(5)).toSeq ==
+      Seq(false, false, false, false, true))
   }
 
   test("flight recorder persists on application end without explicit persist") {

@@ -14,6 +14,13 @@ cd "$(dirname "$0")/.."
 SF_TEST="${SF_TEST:-/root/testdata/sf0.01}"
 SF_BENCH="${SF_BENCH:-/root/testdata/sf0.1}"
 
+# Fixture fingerprint: recorded up front, re-checked after the long
+# test+bench phases. The driver has regenerated testdata mid-round twice;
+# a gate that green-lights correctness against one fixture and bench
+# numbers against another is not evidence of anything.
+echo "== fixture fingerprint =="
+python3 tools/fixture_fp.py "$SF_TEST" "$SF_BENCH" | tee /tmp/gate_fixture_fp
+
 echo "== gate 1/3: sbt test + PLANS.md regen =="
 # PlanDump rides the same sbt invocation so the committed plan dumps can
 # never go stale relative to the code the gate just proved green.
@@ -37,5 +44,14 @@ if [[ "${SKIP_BENCH:-0}" != "1" ]]; then
 else
   echo "== gate 3/3: bench skipped (SKIP_BENCH=1) =="
 fi
+
+echo "== fixture fingerprint re-check =="
+python3 tools/fixture_fp.py "$SF_TEST" "$SF_BENCH" > /tmp/gate_fixture_fp2
+if ! diff -q /tmp/gate_fixture_fp /tmp/gate_fixture_fp2 > /dev/null; then
+  diff /tmp/gate_fixture_fp /tmp/gate_fixture_fp2 || true
+  echo "GATE FAIL: fixtures changed mid-gate — re-run the whole gate"
+  exit 1
+fi
+cat /tmp/gate_fixture_fp
 
 echo "GATE GREEN"
