@@ -1,0 +1,57 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Streaming-tier scale measurement — the decade evidence the batch
+  * (sf0.1→sf1→sf10) and similarity (AnnScale) tiers already carry,
+  * applied to Structured Streaming replay: wall time and events/sec for
+  * representative stateful queries at sf0.1 and a scaled dir (default
+  * `localdata/sf1`, ScaleData ×10).
+  *
+  * Replay shape is held constant (6 chunks, maxFilesPerTrigger=1 ⇒ 6
+  * micro-batches at every scale) so the measurement isolates per-event
+  * state-machine cost: watermarked window aggregation (q38), streaming
+  * dedup state (q41), and the interval-join state store
+  * (q_stream_stream_join) — the three state layouts production jobs
+  * combine. Chunk building is warmed OUT of the timing (it is fixture
+  * prep, not streaming cost).
+  *
+  * Usage: runMain graft.tools.StreamScale [baseDir scaledDir]
+  * Prints one JSON line per (query, dir) with min-of-two wall seconds.
+  */
+object StreamScale {
+  private val Queries = Seq(
+    "q38_stream_tumbling", "q41_stream_dedup", "q_stream_stream_join")
+
+  def main(args: Array[String]): Unit = {
+    val base = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val scaled = args.lift(1).getOrElse("/root/repo/localdata/sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.core.LogQuiet.boundedWindowWarnings()
+
+    Seq(base, scaled).filter(d => new java.io.File(d).exists).foreach { dir =>
+      val n = graft.core.Tables.t(spark, dir, "events").count()
+      graft.streaming.StreamingOps.prepareChunks(spark, dir) // warm fixture
+      Queries.foreach { name =>
+        val fn = graft.streaming.StreamingOps.queries(name)
+        fn(spark, dir).count() // warm pass: plan compile + codegen
+        val secs = (0 until 2).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, dir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val best = secs.min
+        println(f"""{"query":"$name","dir":"$dir","events":$n,"runs":[${secs.map(s => f"$s%.3f").mkString(",")}],"min_sec":$best%.3f,"events_per_sec":${(n / best).toLong}}""")
+      }
+    }
+    graft.core.TempDirs.cleanupAll()
+    spark.stop()
+  }
+}
