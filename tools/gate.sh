@@ -20,6 +20,16 @@ SF_BENCH="${SF_BENCH:-/root/testdata/sf0.1}"
 # numbers against another is not evidence of anything.
 echo "== fixture fingerprint =="
 python3 tools/fixture_fp.py "$SF_TEST" "$SF_BENCH" | tee /tmp/gate_fixture_fp
+# Cross-round check: FIXTURES_FP.txt records the fingerprint the committed
+# golden oracles (GoldenOracles.scala) were derived from. A mismatch means
+# the driver regenerated testdata since — the goldens are stale and will
+# hash-FAIL; regenerate them BEFORE trusting this gate.
+if [[ -f FIXTURES_FP.txt ]] && ! diff -q FIXTURES_FP.txt /tmp/gate_fixture_fp > /dev/null; then
+  diff FIXTURES_FP.txt /tmp/gate_fixture_fp || true
+  echo "WARNING: fixtures differ from the committed FIXTURES_FP.txt —"
+  echo "  run tools/regen_goldens.sh, update GoldenOracles.scala, then"
+  echo "  refresh FIXTURES_FP.txt (python3 tools/fixture_fp.py > FIXTURES_FP.txt)"
+fi
 
 echo "== gate 1/3: sbt test + PLANS.md regen =="
 # PlanDump rides the same sbt invocation so the committed plan dumps can
