@@ -20,6 +20,7 @@ object SparkEntry {
         "q43_minhash_lsh" -> (graft.dedup.MinHashDedup.query _),
         "q_dedup_clusters" -> (graft.dedup.DedupClusters.query _),
         "q_dedup_keep_best" -> (graft.dedup.DedupClusters.keepBestQuery _),
+        "q_cluster_size_stats" -> (graft.dedup.DedupClusters.statsQuery _),
         "q_ann_ivf" -> ((s: SparkSession, dir: String) =>
           graft.similarity.AnnIvf.query(s, dir)),
         "q_ann_lsh" -> ((s: SparkSession, dir: String) =>
@@ -54,5 +55,6 @@ object SparkEntry {
         "q_salted_join" -> graft.operators.SaltedJoin.oracle,
         "q_bucketed_join" -> graft.operators.BucketedJoin.oracle,
         "q_dedup_clusters" -> graft.dedup.DedupClusters.oracle,
-        "q_dedup_keep_best" -> graft.dedup.DedupClusters.keepBestOracle)
+        "q_dedup_keep_best" -> graft.dedup.DedupClusters.keepBestOracle,
+        "q_cluster_size_stats" -> graft.dedup.DedupClusters.statsOracle)
 }

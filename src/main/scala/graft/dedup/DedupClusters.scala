@@ -98,6 +98,48 @@ object DedupClusters {
       .orderBy("doc_id")
   }
 
+  /** Cluster-size HISTOGRAM: per cluster size, how many clusters, how
+    * many docs they hold, and how many a keep-one-rep dedup would drop —
+    * the "what did dedup find" summary read before shipping a dedup pass
+    * (a corpus whose mass sits in giant clusters needs different
+    * treatment — template/boilerplate removal — than one with many
+    * pairs). Domain is bounded by the largest cluster, so the final agg
+    * is tiny; the cost is the same CC the cluster queries share. */
+  def statsQuery(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.queries.TextOps.queries("q31_jaccard_pairs")(s, dir)
+      .select("id1", "id2")
+    connectedComponents(pairs)
+      .groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"),
+        col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("removable"))
+      .orderBy("cluster_size")
+  }
+
+  val statsOracle: String = {
+    val pairs = s"(${graft.queries.TextOps.q31OracleSql})"
+    s"""
+      WITH RECURSIVE p AS (SELECT id1, id2 FROM $pairs),
+      edges AS (
+        SELECT id1 AS a, id2 AS b FROM p
+        UNION
+        SELECT id2, id1 FROM p),
+      nodes AS (SELECT DISTINCT a AS id FROM edges),
+      r(id, n) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.id, e.b FROM r JOIN edges e ON r.n = e.a),
+      comp AS (SELECT id, min(n) AS rep FROM r GROUP BY id),
+      sizes AS (SELECT rep, count(*) AS cluster_size FROM comp GROUP BY rep)
+      SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+             CAST(count(*) AS BIGINT) AS n_clusters,
+             CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+             CAST((cluster_size - 1) * count(*) AS BIGINT) AS removable
+      FROM sizes GROUP BY cluster_size ORDER BY cluster_size"""
+  }
+
   /** Canonical-doc SELECTION: within each near-dup cluster keep the
     * highest-QUALITY doc (corpus-clean scoring formula), not merely the
     * min-id — what a production dedup actually ships downstream. One

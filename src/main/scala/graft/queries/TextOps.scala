@@ -995,6 +995,79 @@ object TextOps {
           round(coalesce(col("n_dup_docs"), lit(0L)).cast("double") /
             col("n_docs"), 6).as("dup_rate"))
         .orderBy("lang", "source")
+    },
+
+    // Dedup-threshold sweep: pair and involved-doc counts at each
+    // candidate jaccard threshold — the curve a curation team reads to
+    // CHOOSE the dedup threshold (too low deletes distinct docs, too
+    // high keeps near-dups). Rides the Q31 exact-pair tier once; the
+    // fixed 5-threshold fan-out is a bounded explode, everything after
+    // is partial-aggregable counts keyed on a 5-value domain.
+    "q_threshold_sweep" -> { (s, dir) =>
+      val pairs = queries("q31_jaccard_pairs")(s, dir)
+        .select(col("id1"), col("id2"), col("jaccard"))
+      val ts = array(Seq(0.5, 0.6, 0.7, 0.8, 0.9).map(lit): _*)
+      val pe = pairs.withColumn("threshold", explode(ts))
+        .filter(col("jaccard") >= col("threshold"))
+      val nPairs = pe.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+      val nDocs = pe
+        .select(col("threshold"), explode(array(col("id1"), col("id2"))).as("d"))
+        .distinct()
+        .groupBy("threshold").agg(count(lit(1)).as("n_dup_docs"))
+      // Left join from the full threshold domain so an empty high bucket
+      // still emits a zero row (the curve must cover every candidate).
+      s.range(1).select(explode(ts).as("threshold"))
+        .join(nPairs, Seq("threshold"), "left")
+        .join(nDocs, Seq("threshold"), "left")
+        .select(col("threshold"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"))
+        .orderBy("threshold")
+    },
+
+    // Per-source token-inflation report: how much compute duplicates
+    // waste. Tokens before vs after near-dup dedup (one min-id rep kept
+    // per Q31/CC cluster; unpaired docs keep themselves). Q31 blocks
+    // pairs on (lang, source), so clusters never straddle a source and
+    // the per-source attribution is exact. The CC labels join is the
+    // only non-local step; everything else is one map-side projection
+    // plus a source-keyed partial agg.
+    "q_dup_inflation" -> { (s, dir) =>
+      val pairs = queries("q31_jaccard_pairs")(s, dir).select("id1", "id2")
+      val comp = graft.dedup.DedupClusters.connectedComponents(pairs)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      docs.join(comp, docs("doc_id") === comp("id"), "left")
+        .withColumn("rep", coalesce(col("comp"), col("doc_id")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs"),
+          sum("n_tok").as("tokens"),
+          sum(when(col("doc_id") === col("rep"), 1L).otherwise(0L)).as("docs_after"),
+          sum(when(col("doc_id") === col("rep"), col("n_tok"))
+            .otherwise(0L)).as("tokens_after"))
+        .select(col("source"), col("docs"), col("tokens"), col("docs_after"),
+          col("tokens_after"),
+          round(col("tokens").cast("double") / col("tokens_after"), 6)
+            .as("inflation"))
+        .orderBy("source")
+    },
+
+    // Per-source quota sampling: keep at most CAP docs per source,
+    // chosen by the deterministic md5 order every mixing op in this
+    // engine shares — the "cap, don't scale" primitive that bounds any
+    // one source's contribution to a training mix (weighted/temperature
+    // sampling rescale; quotas clip). One row_number window per source
+    // partition — partition-bounded state, no global sort.
+    "q_quota_sample" -> { (s, dir) =>
+      val cap = 10
+      val w = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+        .withColumn("rn", row_number().over(w).cast("int"))
+        .filter(col("rn") <= cap)
+        .orderBy("source", "rn")
     }
   )
 
@@ -1004,6 +1077,29 @@ object TextOps {
   private def bucketExpr = expr(
     "(instr('0123456789abcdef', substring(md5(cast(doc_id AS string)), 1, 1)) - 1) * 16" +
       " + (instr('0123456789abcdef', substring(md5(cast(doc_id AS string)), 2, 1)) - 1)")
+
+  /** Q31's oracle body, shared verbatim by every oracle that rides the
+    * exact-pair tier (q_dedup_clusters and friends in DedupClusters,
+    * q_threshold_sweep, q_dup_inflation). */
+  val q31OracleSql: String = """
+      WITH tok AS (
+        SELECT DISTINCT doc_id, lang, source, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      tokf AS (SELECT * FROM tok WHERE tok <> ''),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM tokf GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ix
+        FROM tokf a JOIN tokf b
+          ON a.lang = b.lang AND a.source = b.source
+         AND a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id1, id2,
+             round(CAST(ix AS DOUBLE) / (s1.sz + s2.sz - ix), 6) AS jaccard
+      FROM inter
+      JOIN sizes s1 ON id1 = s1.doc_id
+      JOIN sizes s2 ON id2 = s2.doc_id
+      WHERE CAST(ix AS DOUBLE) / (s1.sz + s2.sz - ix) >= 0.5
+      ORDER BY id1, id2"""
 
   val oracle: Map[String, String] = Map(
     "q_span_dedup" -> """
@@ -1069,25 +1165,7 @@ object TextOps {
       FROM documents JOIN reps USING (doc_id)
       GROUP BY lang ORDER BY lang""",
 
-    "q31_jaccard_pairs" -> """
-      WITH tok AS (
-        SELECT DISTINCT doc_id, lang, source, unnest(string_split(text, ' ')) AS tok
-        FROM documents),
-      tokf AS (SELECT * FROM tok WHERE tok <> ''),
-      sizes AS (SELECT doc_id, count(*) AS sz FROM tokf GROUP BY doc_id),
-      inter AS (
-        SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ix
-        FROM tokf a JOIN tokf b
-          ON a.lang = b.lang AND a.source = b.source
-         AND a.tok = b.tok AND a.doc_id < b.doc_id
-        GROUP BY 1, 2)
-      SELECT id1, id2,
-             round(CAST(ix AS DOUBLE) / (s1.sz + s2.sz - ix), 6) AS jaccard
-      FROM inter
-      JOIN sizes s1 ON id1 = s1.doc_id
-      JOIN sizes s2 ON id2 = s2.doc_id
-      WHERE CAST(ix AS DOUBLE) / (s1.sz + s2.sz - ix) >= 0.5
-      ORDER BY id1, id2""",
+    "q31_jaccard_pairs" -> q31OracleSql,
 
     "q33_wordcount" -> """
       WITH tk AS (
@@ -1664,7 +1742,66 @@ object TextOps {
       FROM blocks b
       LEFT JOIN np USING (lang, source)
       LEFT JOIN inv USING (lang, source)
-      ORDER BY b.lang, b.source"""
+      ORDER BY b.lang, b.source""",
+
+    "q_threshold_sweep" -> s"""
+      WITH pairs AS ($q31OracleSql),
+      t(threshold) AS (VALUES (0.5), (0.6), (0.7), (0.8), (0.9)),
+      pe AS (
+        SELECT CAST(t.threshold AS DOUBLE) AS threshold, p.id1, p.id2
+        FROM t JOIN pairs p ON p.jaccard >= t.threshold),
+      np AS (SELECT threshold, count(*) AS n_pairs FROM pe GROUP BY 1),
+      nd AS (
+        SELECT threshold, count(*) AS n_dup_docs
+        FROM (SELECT DISTINCT threshold, unnest([id1, id2]) AS d FROM pe)
+        GROUP BY 1)
+      SELECT CAST(t.threshold AS DOUBLE) AS threshold,
+             CAST(coalesce(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+             CAST(coalesce(nd.n_dup_docs, 0) AS BIGINT) AS n_dup_docs
+      FROM t
+      LEFT JOIN np ON np.threshold = CAST(t.threshold AS DOUBLE)
+      LEFT JOIN nd ON nd.threshold = CAST(t.threshold AS DOUBLE)
+      ORDER BY threshold""",
+
+    "q_dup_inflation" -> s"""
+      WITH RECURSIVE pairs AS ($q31OracleSql),
+      edges AS (
+        SELECT id1 AS a, id2 AS b FROM pairs
+        UNION
+        SELECT id2, id1 FROM pairs),
+      nodes AS (SELECT DISTINCT a AS id FROM edges),
+      r(id, n) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.id, e.b FROM r JOIN edges e ON r.n = e.a),
+      comp AS (SELECT id, min(n) AS rep FROM r GROUP BY id),
+      d AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      j AS (
+        SELECT d.doc_id, d.source, d.n_tok,
+               coalesce(c.rep, d.doc_id) AS rep
+        FROM d LEFT JOIN comp c ON d.doc_id = c.id)
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS docs,
+             CAST(sum(n_tok) AS BIGINT) AS tokens,
+             CAST(sum(CASE WHEN doc_id = rep THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_after,
+             CAST(sum(CASE WHEN doc_id = rep THEN n_tok ELSE 0 END) AS BIGINT)
+               AS tokens_after,
+             round(CAST(sum(n_tok) AS DOUBLE)
+               / sum(CASE WHEN doc_id = rep THEN n_tok ELSE 0 END), 6)
+               AS inflation
+      FROM j GROUP BY source ORDER BY source""",
+
+    "q_quota_sample" -> """
+      SELECT doc_id, source, CAST(rn AS INT) AS rn FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents)
+      WHERE rn <= 10 ORDER BY source, rn"""
   )
 }
 
