@@ -117,7 +117,12 @@ object MinHashDedup {
     * MinHashSkewSpec — only the per-task bound changes. */
   def candidatePairs(bands: DataFrame,
       maxBucket: Int = DEFAULT_MAX_BUCKET): DataFrame = {
-    val salted = saltedCells(bands, maxBucket)
+    // Singleton buckets (bcnt = 1) cannot produce a pair — drop them
+    // before either join side replicates/explodes. At web scale the vast
+    // majority of band buckets are singletons, so this prunes most of the
+    // self-join input for free (bcnt already rides the window exchange);
+    // the pair set is unchanged (a pair needs 2 docs in one bucket).
+    val salted = saltedCells(bands, maxBucket).filter(col("bcnt") >= 2)
     val x = salted.select(col("lang"), col("source"), col("band"), col("sig"),
       col("doc_id"), col("salt").as("cell_i"),
       explode(sequence(col("salt"), col("g") - 1)).as("cell_j"))
