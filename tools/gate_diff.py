@@ -151,6 +151,25 @@ def bench(bench_json):
     else:
         basis, prev_q, cur_q = ("queries", merged(prev, "queries"),
                                 merged(cur, "queries"))
+    # Environment-drift normalization (r9): a plan regression moves ONE
+    # query relative to the rest; a VM-boot / noisy-neighbor shift moves
+    # the whole suite together (bench_evidence/r9_boot_drift.txt: +5-20%
+    # on untouched code, a different query tripping the gate each run).
+    # Arbitrate on the suite MEDIAN ratio: each query is compared against
+    # prev * env, so only regressions relative to the suite fail. The
+    # factor is capped at ENV_CAP and printed loudly — a code change that
+    # slows EVERYTHING (session config, shared scan layer) beyond the cap
+    # still fails, and the cap keeps the exemption from ever absorbing a
+    # genuine suite-wide regression silently.
+    ENV_CAP = float(os.environ.get("GATE_BENCH_ENV_CAP", "1.3"))
+    ratios = sorted(cur_q[q] / t for q, t in prev_q.items()
+                    if t > 0 and cur_q.get(q, -1) > 0)
+    env = ratios[len(ratios) // 2] if len(ratios) >= 5 else 1.0
+    env = min(max(env, 1.0), ENV_CAP)
+    if env > 1.02:
+        print(f"gate_diff bench NOTE: suite median ratio {env:.2f}x vs "
+              f"{os.path.basename(prev_path)} — normalizing per-query "
+              f"tolerance for environment drift (cap {ENV_CAP}x)")
     regressions = []
     for q, t_prev in prev_q.items():
         t_cur = cur_q.get(q)
@@ -158,10 +177,12 @@ def bench(bench_json):
             regressions.append(f"{q}: missing from current bench")
         elif t_cur < 0:
             regressions.append(f"{q}: failed (sentinel {t_cur})")
-        elif t_prev > 0 and t_cur > t_prev * TOLERANCE:
-            if t_cur - t_prev > ABS_FLOOR:
+        elif t_prev > 0 and t_cur > t_prev * env * TOLERANCE:
+            if t_cur - t_prev * env > ABS_FLOOR:
                 regressions.append(
-                    f"{q}: {t_cur:.2f}s vs {t_prev:.2f}s (+{100*(t_cur/t_prev-1):.0f}%)")
+                    f"{q}: {t_cur:.2f}s vs {t_prev:.2f}s (+{100*(t_cur/t_prev-1):.0f}%"
+                    + (f", {100*(t_cur/(t_prev*env)-1):.0f}% over drift" if env > 1.02 else "")
+                    + ")")
             else:
                 # Over the ratio tolerance but under the absolute floor:
                 # almost certainly sub-second load noise, but a real
