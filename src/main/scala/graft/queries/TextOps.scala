@@ -1057,8 +1057,15 @@ object TextOps {
     // chosen by the deterministic md5 order every mixing op in this
     // engine shares — the "cap, don't scale" primitive that bounds any
     // one source's contribution to a training mix (weighted/temperature
-    // sampling rescale; quotas clip). One row_number window per source
-    // partition — partition-bounded state, no global sort.
+    // sampling rescale; quotas clip). The rank ≤ cap filter triggers
+    // Catalyst's InferWindowGroupLimit: the physical plan (PLANS.md)
+    // carries a PARTIAL WindowGroupLimit before the exchange, so each
+    // map task forwards only its local top-cap per source and the
+    // reducer-side sort sees ≤ cap × map-partitions rows per source —
+    // a mega-source never funnels its full row set through one task.
+    // (A hand-rolled two-phase salt/re-rank spelling was measured: it
+    // produces the identical result with one MORE exchange — the engine
+    // already does the bounding.)
     "q_quota_sample" -> { (s, dir) =>
       val cap = 10
       val w = Window.partitionBy("source")
