@@ -1007,18 +1007,25 @@ object TextOps {
       val pairs = queries("q31_jaccard_pairs")(s, dir)
         .select(col("id1"), col("id2"), col("jaccard"))
       val ts = array(Seq(0.5, 0.6, 0.7, 0.8, 0.9).map(lit): _*)
-      val pe = pairs.withColumn("threshold", explode(ts))
+      // ONE pass over the pair tier (a separate n_pairs branch and a
+      // distinct-docs branch would each replay the q31 token self-join —
+      // the plan carried the whole pair subtree twice): explode to
+      // (threshold, doc) rows and count each doc's pair memberships m;
+      // then per threshold n_dup_docs = #rows and n_pairs = Σm / 2
+      // (every pair contributes one membership to each of its two docs,
+      // so the sum is exactly even).
+      val pd = pairs.withColumn("threshold", explode(ts))
         .filter(col("jaccard") >= col("threshold"))
-      val nPairs = pe.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
-      val nDocs = pe
-        .select(col("threshold"), explode(array(col("id1"), col("id2"))).as("d"))
-        .distinct()
-        .groupBy("threshold").agg(count(lit(1)).as("n_dup_docs"))
+        .select(col("threshold"),
+          explode(array(col("id1"), col("id2"))).as("d"))
+        .groupBy("threshold", "d").agg(count(lit(1)).as("m"))
+        .groupBy("threshold").agg(
+          (sum("m") / 2).cast("long").as("n_pairs"),
+          count(lit(1)).as("n_dup_docs"))
       // Left join from the full threshold domain so an empty high bucket
       // still emits a zero row (the curve must cover every candidate).
       s.range(1).select(explode(ts).as("threshold"))
-        .join(nPairs, Seq("threshold"), "left")
-        .join(nDocs, Seq("threshold"), "left")
+        .join(pd, Seq("threshold"), "left")
         .select(col("threshold"),
           coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
           coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"))

@@ -54,7 +54,7 @@ object PlanDump {
       "q_cooccur_window" -> "Skip-gram co-occurrence: pairs GENERATED by array transform in the scan projection (fan-out 2), never a positional self-join; only shuffle is the map-side-combined pair count",
       "q_rolling_dau" -> "Rolling 7-day distinct: explode-to-observation-days turns the BETWEEN range join (BNLJ) into fixed-fan-out equi-joins; distinct partial-aggregates map-side",
       "q_knn_graph" -> "Exact kNN graph (oracle twin): broadcast NLJ + windowed top-4 — quadratic BY CONTRACT; the scale path is the persisted IVF index (see q_ann_ivf), recall-gated vs this graph",
-      "q_threshold_sweep" -> "Threshold curve: bounded 5-way explode over the Q31 pair tier; every agg keys on the 5-value threshold domain",
+      "q_threshold_sweep" -> "Threshold curve: ONE pass over the Q31 pair tier — (threshold, doc) membership counts give n_dup_docs = rows and n_pairs = sum(m)/2 in a single agg (two branches would replay the pair subtree twice)",
       "q_dup_inflation" -> "Token-inflation report: CC labels equi-joined to a map-side token-count projection; one source-keyed partial agg",
       "q_quota_sample" -> "Per-source top-cap: the rank<=cap filter triggers InferWindowGroupLimit — a PARTIAL WindowGroupLimit runs before the exchange, so map tasks forward only local top-cap rows and no mega-source funnels through one task",
       "q_cumulative_users" -> "Growth curve: first-seen-day agg then a running sum over the calendar-bounded day spine — the cumulative window never sees user rows")
