@@ -393,11 +393,26 @@ object TextOps {
     // comparison so an ulp of pow() divergence between engines cannot
     // flip a doc's assignment.
     "q_temperature_mix" -> { (s, dir) =>
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          size(split(col("text"), " ")).cast("long").as("n_tok"))
-      val langTok = docs.groupBy("lang")
+      // ONE corpus pass, for real: the lang totals AND the per-doc epoch
+      // assignment both reduce to the (lang, md5-bucket) grain — docs
+      // with the same bucket get the same ⌊f⌋ + (bucket < thr) epoch
+      // count — so the corpus aggregates once into a ≤ langs×256-row
+      // table (materialized: every downstream consumer reads the tiny
+      // parquet, never the corpus; the first spelling's static plan
+      // carried NINE corpus scans through the factor-chain branches).
+      // planned_copies = docs_l·base_l + Σ_{bucket<thr} bucket_docs —
+      // identical to summing per-doc epochs.
+      val tmp = graft.core.TempDirs.create("graft-tempmix")
+      t(s, dir, "documents")
+        .select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          bucketExpr.cast("long").as("bucket"))
+        .groupBy("lang", "bucket")
         .agg(count(lit(1)).as("docs"), sum("n_tok").as("tokens"))
+        .write.mode("overwrite").parquet(tmp)
+      val langBuck = s.read.parquet(tmp)
+      val langTok = langBuck.groupBy("lang")
+        .agg(sum("docs").as("docs"), sum("tokens").as("tokens"))
       val tot = langTok.agg(sum("tokens").cast("double").as("tot_tokens"))
       val withP = langTok.crossJoin(broadcast(tot))
         .withColumn("p", col("tokens").cast("double") / col("tot_tokens"))
@@ -409,17 +424,17 @@ object TextOps {
         .withColumn("base", floor(col("f")).cast("long"))
         .withColumn("thr", round((col("f") - col("base")) * 256, 0))
         .select("lang", "docs", "tokens", "p", "q", "f", "base", "thr")
-      val epochs = docs.join(broadcast(fct), "lang")
-        .select(col("lang"),
-          (col("base") + when(bucketExpr < col("thr"), 1L).otherwise(0L))
-            .as("epochs"))
-        .groupBy("lang").agg(sum("epochs").as("planned_copies"))
-      fct.join(epochs, "lang")
+      val extra = langBuck
+        .join(broadcast(fct.select(col("lang"), col("thr"))), "lang")
+        .filter(col("bucket") < col("thr"))
+        .groupBy("lang").agg(sum("docs").as("extra"))
+      fct.join(extra, Seq("lang"), "left")
         .select(col("lang"), col("docs"), col("tokens"),
           round(col("p"), 6).as("p_nat"),
           round(col("q"), 6).as("p_temp"),
           round(col("f"), 6).as("factor"),
-          col("planned_copies"))
+          (col("docs") * col("base") + coalesce(col("extra"), lit(0L)))
+            .as("planned_copies"))
         .orderBy("lang")
     },
 
@@ -980,15 +995,19 @@ object TextOps {
         .join(sizes.as("s2"), col("id2") === col("s2.doc_id"))
         .filter(jac >= 0.5)
         .select(col("lang"), col("source"), col("id1"), col("id2"))
-      val involved = pairs
+      // ONE pass over the pair tier (separate involved/n_pairs branches
+      // would replay the token self-join twice — the q_threshold_sweep
+      // plan audit): per-(block, doc) membership counts m give
+      // n_dup_docs = #rows and n_pairs = Σm/2 in a single agg chain.
+      val pd = pairs
         .select(col("lang"), col("source"), explode(array(col("id1"), col("id2"))).as("d"))
-        .distinct()
-        .groupBy("lang", "source").agg(count(lit(1)).as("n_dup_docs"))
-      val nPairs = pairs.groupBy("lang", "source").agg(count(lit(1)).as("n_pairs"))
+        .groupBy("lang", "source", "d").agg(count(lit(1)).as("m"))
+        .groupBy("lang", "source").agg(
+          (sum("m") / 2).cast("long").as("n_pairs"),
+          count(lit(1)).as("n_dup_docs"))
       val blocks = t(s, dir, "documents")
         .groupBy("lang", "source").agg(count(lit(1)).as("n_docs"))
-      blocks.join(nPairs, Seq("lang", "source"), "left")
-        .join(involved, Seq("lang", "source"), "left")
+      blocks.join(pd, Seq("lang", "source"), "left")
         .select(col("lang"), col("source"), col("n_docs"),
           coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
           coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),

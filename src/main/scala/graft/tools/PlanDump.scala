@@ -34,7 +34,7 @@ object PlanDump {
       "q_bm25_rank" -> "BM25 retrieval: explode filtered to query tokens BEFORE any shuffle, df + (N, avgdl) broadcast, top-20 as TakeOrdered (no full sort)",
       "q_rare_token_ratio" -> "Corpus-frequency quality signal: tf aggregates map-side, cf aggregates from tf (vocab-sized) and its exchange is reused by the tf-side join, mean_cf is a one-row broadcast",
       "q_pmi_pairs" -> "PMI collocations: corpus restricted to the BROADCAST top-100 vocab before the doc self-join — pair fan-out bounded at C(100,2) per doc, pair agg <= 4950 keys",
-      "q_temperature_mix" -> "Temperature re-sampling: per-lang factor table broadcast back to the corpus; assignment is a map-side projection, corpus never shuffled",
+      "q_temperature_mix" -> "Temperature re-sampling: corpus aggregates ONCE into a materialized (lang, md5-bucket) table (the write job holds the only corpus scan); the factor chain and planned-copies sum all read that <= langs*256-row parquet — every FileScan below is the tiny table, never documents",
       "q_zorder_key" -> "Z-order layout key: pure bit-arithmetic projection fused into the scan (2-column ReadSchema), one small cell agg",
       "q_cms_topk" -> "Count-min sketch: three <=4096-cell counter tables folded from the ONE token-count shuffle (exchange reuse), broadcast-joined back to the exact top-20",
       "q_pagerank_parts" -> "PageRank: delta-terminated join+partial-agg rounds over a materialized edge list (lineage truncated per round); driver holds only the 1-row convergence scalar",
