@@ -513,8 +513,12 @@ object EventOps {
     // types-per-user (≤ |types|, a constant), and pair/size tables are
     // type-domain-bounded — the cohort-overlap matrix at any scale.
     "q_user_overlap" -> { (s, dir) =>
-      val ut = t(s, dir, "events")
-        .select(col("event_type").as("t"), col("user_id").as("u")).distinct()
+      // Materialized: ut feeds both self-join sides plus the size table —
+      // four corpus scans in the executed plan without it (ReuseProbe).
+      val ut = graft.core.Materialize(
+        t(s, dir, "events")
+          .select(col("event_type").as("t"), col("user_id").as("u")).distinct(),
+        "useroverlap-ut")
       val pairs = ut.as("a")
         .join(ut.select(col("t").as("t2"), col("u").as("u2")).as("b"),
           col("u") === col("u2") && col("t") < col("t2"))
@@ -571,10 +575,15 @@ object EventOps {
     // the DAY domain (calendar-bounded), never user rows.
     "q_cumulative_users" -> { (s, dir) =>
       val dayCol = expr("unix_micros(date_trunc('DAY', ts)) div 86400000000")
-      val ev = t(s, dir, "events").select(col("user_id"), dayCol.as("day"))
-      val nd = ev.groupBy("user_id").agg(min("day").as("day"))
+      // Materialized distinct (user, day): its two consumers (first-seen
+      // agg, day spine) would otherwise each replay the corpus scan —
+      // ReuseProbe proved the shared subtree is NOT exchange-reused.
+      val ud = graft.core.Materialize(
+        t(s, dir, "events").select(col("user_id"), dayCol.as("day")).distinct(),
+        "cumusers-ud")
+      val nd = ud.groupBy("user_id").agg(min("day").as("day"))
         .groupBy("day").agg(count(lit(1)).as("new_users"))
-      val days = ev.select("day").distinct()
+      val days = ud.select("day").distinct()
       days.join(nd, Seq("day"), "left")
         .select(col("day"),
           coalesce(col("new_users"), lit(0L)).as("new_users"))
@@ -593,8 +602,13 @@ object EventOps {
     // provably the same set.
     "q_rolling_dau" -> { (s, dir) =>
       val dayCol = expr("unix_micros(date_trunc('DAY', ts)) div 86400000000")
-      val ud = t(s, dir, "events")
-        .select(col("user_id"), dayCol.as("day")).distinct()
+      // Materialized: ud feeds three consumers (dau, the wau explode,
+      // the day spine) and the corpus scan+distinct was replaying per
+      // consumer (ReuseProbe: 3 events scans, zero reuse).
+      val ud = graft.core.Materialize(
+        t(s, dir, "events")
+          .select(col("user_id"), dayCol.as("day")).distinct(),
+        "rollingdau-ud")
       val days = ud.select("day").distinct()
       val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
       val wau = ud

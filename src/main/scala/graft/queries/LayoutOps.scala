@@ -266,10 +266,15 @@ object LayoutOps {
 
     // Count-min sketch heavy hitters: 3×4096 counters vs exact top-20.
     "q_cms_topk" -> { (s, dir) =>
-      val tf = t(s, dir, "documents")
-        .select(explode(split(col("text"), " ")).as("w"))
-        .filter(length(col("w")) > 0)
-        .groupBy("w").agg(count(lit(1)).as("cnt"))
+      // Materialized: tf feeds the three sketch rows AND the exact top-20
+      // — four replays of the corpus tokenize+count without the barrier
+      // (ReuseProbe r9: subtle per-consumer pruning defeats ReuseExchange).
+      val tf = graft.core.Materialize(
+        t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy("w").agg(count(lit(1)).as("cnt")),
+        "cms-tf")
       val sketches = (0 until 3).map { i =>
         val b = expr(cmsBucketSql(i, "w"))
         tf.groupBy(b.as("b")).agg(sum("cnt").as(s"row$i"))

@@ -72,6 +72,12 @@ object TextOps {
         .select(col("doc_id"), col("lang"), col("source"),
           explode(array_distinct(split(col("text"), " "))).as("tok"))
         .filter(col("tok") =!= "")
+      // sizes is consumed by both rerank sides and replays its
+      // tokenize+agg per side — MEASURED (Q31Ab, same-JVM interleaved
+      // sf0.1): a Materialize barrier here is ~10% SLOWER (2.41 vs
+      // 2.17 s min-of-5) because the replayed agg is small and overlaps
+      // the self-join stages, while the barrier serializes on a write.
+      // q31 is the bench-timed exact-oracle twin; its 100 TB path is q43.
       val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val inter = tok.as("a").join(tok.as("b"),
           col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
@@ -202,7 +208,11 @@ object TextOps {
       val tok = docs
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .filter(col("tok") =!= "")
-      val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      // Materialized: tf feeds both the df rollup and the scoring join —
+      // unbarriered, each consumer replays the tokenize+count shuffle
+      // (ReuseProbe r9: per-consumer pruning defeats ReuseExchange).
+      val tf = graft.core.Materialize(
+        tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")), "tfidf-tf")
       val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       val score = round(col("tf") * log(col("n") / col("df")), 6)
       val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("tok"))
@@ -468,14 +478,23 @@ object TextOps {
     // tie-break so last-ulp ln()/sum differences cannot flip the cut.
     "q_bm25_rank" -> { (s, dir) =>
       val qToks = Seq("spark", "window", "hash")
-      val d = t(s, dir, "documents")
-        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+      // Materialized: d (doc lengths) feeds the corpus stats AND the
+      // scoring join; tf (match set) feeds df AND the scoring join — the
+      // isin filter runs post-explode, so every unbarriered replay paid a
+      // full tokenize (ReuseProbe r9: 4 corpus scans).
+      val d = graft.core.Materialize(
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("dl")),
+        "bm25-dl")
       val stats = d.agg(count(lit(1)).cast("double").as("n"),
         avg(col("dl").cast("double")).as("avgdl"))
-      val tf = t(s, dir, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .filter(col("tok").isin(qToks: _*))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val tf = graft.core.Materialize(
+        t(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok").isin(qToks: _*))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")),
+        "bm25-tf")
       val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1)
       val sat = col("tf") * (lit(1.2) + 1) /
@@ -499,11 +518,19 @@ object TextOps {
           explode(array_distinct(split(col("text"), " "))).as("tok"))
         .filter(col("tok") =!= "")
       val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val inter = tok.as("a").join(tok.as("b"),
-          col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
-          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-        .agg(count(lit(1)).as("ix"))
+      // Materialized: the union of directions consumes inter twice, and
+      // unbarriered THE WHOLE blocked token self-join ran twice
+      // (ReuseProbe r9). The pair list is tiny next to the join that
+      // builds it. tok's two join sides stay unmaterialized — the
+      // corpus-sized write costs more than the extra tokenize pass (the
+      // MinHash token-table trade).
+      val inter = graft.core.Materialize(
+        tok.as("a").join(tok.as("b"),
+            col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+            col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+          .agg(count(lit(1)).as("ix")),
+        "containment-inter")
       val directed = inter.select(col("id1").as("src_doc"), col("id2").as("dst_doc"), col("ix"))
         .union(inter.select(col("id2"), col("id1"), col("ix")))
         .join(sizes.withColumnRenamed("doc_id", "src_doc"), "src_doc")
@@ -543,10 +570,18 @@ object TextOps {
     // copies to ReusedExchange (verified on the executed plan), so the
     // corpus is scanned and token-shuffled a single time.
     "q_rare_token_ratio" -> { (s, dir) =>
-      val tf = t(s, dir, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .filter(col("tok") =!= "")
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      // Materialized: tf feeds the corpus-frequency rollup AND the
+      // rare-flag join — the AQE exchange-reuse this relied on does not
+      // actually fire (ReuseProbe r9: per-consumer pruning breaks plan
+      // identity), so each branch replayed tokenize+shuffle. The count
+      // table is smaller than the raw text it summarizes (repeats
+      // collapse, the text column drops), so the one write wins.
+      val tf = graft.core.Materialize(
+        t(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")),
+        "raretok-tf")
       val cf = tf.groupBy("tok").agg(sum("tf").as("cf"))
       val mean = cf.agg(avg(col("cf").cast("double")).as("mean_cf"))
       tf.join(cf, "tok").crossJoin(broadcast(mean))
@@ -575,7 +610,11 @@ object TextOps {
       val vocab = tok.groupBy("tok").agg(count(lit(1)).as("df"))
         .orderBy(desc("df"), asc("tok")).limit(100)
       val n = t(s, dir, "documents").agg(count(lit(1)).cast("double").as("n"))
-      val vtok = tok.join(broadcast(vocab), "tok")
+      // Materialized: vtok (corpus restricted to the top-100 vocab — tiny,
+      // ≤ 100 rows/doc) feeds BOTH self-join sides; unbarriered each side
+      // replays the corpus tokenize + vocab join (ReuseProbe r9: 5 scans).
+      val vtok = graft.core.Materialize(
+        tok.join(broadcast(vocab), "tok"), "pmi-vtok")
       val co = vtok.as("a").join(vtok.as("b"),
           col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
         .groupBy(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"),
@@ -650,7 +689,12 @@ object TextOps {
         "transform(sequence(1, size(ts) - 1)," +
           " i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"))
         .as("pair"))
-      val c2 = bg.groupBy("pair").agg(count(lit(1)).as("c2"))
+      // Materialized: c2 feeds the prefix rollup AND the probability
+      // join; unbarriered each replays the corpus bigram shuffle. bg
+      // itself stays unmaterialized (corpus-sized — the write would cost
+      // more than its one extra pass, the MinHash token-table trade).
+      val c2 = graft.core.Materialize(
+        bg.groupBy("pair").agg(count(lit(1)).as("c2")), "bigramlm-c2")
       val c1 = c2.groupBy(expr("split_part(pair, ' ', 1)").as("w1"))
         .agg(sum("c2").as("c1"))
       bg.join(c2, "pair")
@@ -720,10 +764,15 @@ object TextOps {
     // parity canon) and ranking cuts on the rounded score with a token
     // tie-break.
     "q_llr_keywords" -> { (s, dir) =>
-      val tf = t(s, dir, "documents")
-        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
-        .filter(length(col("tok")) > 0)
-        .groupBy("lang", "tok").agg(count(lit(1)).as("k11"))
+      // Materialized: tf feeds the token totals, lang totals, grand total
+      // AND the contingency join — four corpus replays unbarriered
+      // (ReuseProbe r9); the (lang, tok) count table is vocab-sized.
+      val tf = graft.core.Materialize(
+        t(s, dir, "documents")
+          .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+          .filter(length(col("tok")) > 0)
+          .groupBy("lang", "tok").agg(count(lit(1)).as("k11")),
+        "llr-tf")
       val tokTot = tf.groupBy("tok").agg(sum("k11").as("tok_tot"))
       val langTot = tf.groupBy("lang").agg(sum("k11").as("lang_tot"))
       val nTot = tf.agg(sum("k11").as("n_tot"))
@@ -816,10 +865,14 @@ object TextOps {
     // crossing test two-levels over count-range buckets exactly like
     // q_weighted_sample's prefix sum.
     "q_vocab_cdf" -> { (s, dir) =>
-      val counts = t(s, dir, "documents")
-        .select(explode(expr("filter(split(text, ' '), t -> t <> '')"))
-          .as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("c"))
+      // Materialized: counts feeds the ranking window AND the total —
+      // two corpus tokenize replays unbarriered (ReuseProbe r9).
+      val counts = graft.core.Materialize(
+        t(s, dir, "documents")
+          .select(explode(expr("filter(split(text, ' '), t -> t <> '')"))
+            .as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("c")),
+        "vocabcdf-counts")
       val ord = Window.orderBy(desc("c"), asc("tok"))
       val ranked = counts
         .withColumn("rn", row_number().over(ord).cast("long"))
@@ -950,10 +1003,15 @@ object TextOps {
     // vocabulary-bounded after the one corpus-sized (source, token)
     // count; totals ride broadcasts. ln()-parity canon per term.
     "q_source_kl" -> { (s, dir) =>
-      val st = t(s, dir, "documents")
-        .select(col("source"),
-          explode(expr("filter(split(text, ' '), t -> t <> '')")).as("tok"))
-        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      // Materialized: st feeds the per-source totals, the corpus token
+      // totals, the grand total AND the KL join — four corpus replays
+      // unbarriered (ReuseProbe r9).
+      val st = graft.core.Materialize(
+        t(s, dir, "documents")
+          .select(col("source"),
+            explode(expr("filter(split(text, ' '), t -> t <> '')")).as("tok"))
+          .groupBy("source", "tok").agg(count(lit(1)).as("c")),
+        "sourcekl-st")
       val ssum = st.groupBy("source").agg(sum("c").as("sn"))
       val ct = st.groupBy("tok").agg(sum("c").as("cc"))
       val tot = st.agg(sum("c").as("n"))
@@ -981,6 +1039,8 @@ object TextOps {
         .select(col("doc_id"), col("lang"), col("source"),
           explode(array_distinct(split(col("text"), " "))).as("tok"))
         .filter(col("tok") =!= "")
+      // Unbarriered size table — the replayed agg overlaps the self-join
+      // stages and beats a write barrier at this shape (Q31Ab, q31 canon).
       val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val inter = tok.as("a").join(tok.as("b"),
           col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&

@@ -117,10 +117,16 @@ object UdfOps {
       val union = sk.agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_custs"))
         .select(lit("ALL").as("o_orderstatus"), col("approx_custs"))
       val approx = per.union(union)
-      val orders = t(s, dir, "orders")
-      val exactPer = orders.groupBy("o_orderstatus")
-        .agg(count_distinct(col("o_custkey")).as("exact_custs"))
-      val exactAll = orders.agg(count_distinct(col("o_custkey")).as("exact_custs"))
+      // Exact side through one materialized distinct (status, cust)
+      // projection: the per-status and ALL branches each scanned orders
+      // unbarriered (ReuseProbe r9), and both reduce over this frame.
+      val dc = graft.core.Materialize(
+        t(s, dir, "orders").select(col("o_orderstatus"), col("o_custkey"))
+          .distinct(), "hll-dc")
+      val exactPer = dc.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("exact_custs"))
+      val exactAll = dc.select(col("o_custkey")).distinct()
+        .agg(count(lit(1)).as("exact_custs"))
         .select(lit("ALL").as("o_orderstatus"), col("exact_custs"))
       exactPer.union(exactAll).join(approx, "o_orderstatus")
         .select(col("o_orderstatus"), col("exact_custs"),

@@ -31,12 +31,12 @@ object PlanDump {
       "q_ann_lsh" -> "Radius-2 multi-probe LSH search from the persisted bucket table: fixed 79-lookup/band probe fan-out on the query side only, windowed top-k rerank",
       "q_ann_ivf" -> "IVF search at the fixed production nprobe=16: broadcast centroid probe, cell-restricted exact rerank, windowed top-k",
       "q_span_dedup" -> "Cross-doc span ownership: window min over the span partition (one exchange, ONE corpus scan — no groupBy+join-back), then a partial-aggregable per-doc rollup; never doc×doc",
-      "q_bm25_rank" -> "BM25 retrieval: explode filtered to query tokens BEFORE any shuffle, df + (N, avgdl) broadcast, top-20 as TakeOrdered (no full sort)",
-      "q_rare_token_ratio" -> "Corpus-frequency quality signal: tf aggregates map-side, cf aggregates from tf (vocab-sized) and its exchange is reused by the tf-side join, mean_cf is a one-row broadcast",
-      "q_pmi_pairs" -> "PMI collocations: corpus restricted to the BROADCAST top-100 vocab before the doc self-join — pair fan-out bounded at C(100,2) per doc, pair agg <= 4950 keys",
+      "q_bm25_rank" -> "BM25 retrieval: explode filtered to query tokens before any shuffle; match-set tf and doc-length tables MATERIALIZED so df/stats branches read them instead of re-tokenizing (ReuseProbe r9); df + (N, avgdl) broadcast, top-20 as TakeOrdered",
+      "q_rare_token_ratio" -> "Corpus-frequency quality signal: the (doc, tok) count table is MATERIALIZED once — cf rollup and the rare-flag join both read it (the exchange-reuse this previously relied on does not fire: per-consumer pruning breaks plan identity, ReuseProbe r9); mean_cf is a one-row broadcast",
+      "q_pmi_pairs" -> "PMI collocations: corpus restricted to the BROADCAST top-100 vocab, then MATERIALIZED so both self-join sides read the tiny filtered table (ReuseProbe r9) — pair fan-out bounded at C(100,2) per doc, pair agg <= 4950 keys",
       "q_temperature_mix" -> "Temperature re-sampling: corpus aggregates ONCE into a materialized (lang, md5-bucket) table (the write job holds the only corpus scan); the factor chain and planned-copies sum all read that <= langs*256-row parquet — every FileScan below is the tiny table, never documents",
       "q_zorder_key" -> "Z-order layout key: pure bit-arithmetic projection fused into the scan (2-column ReadSchema), one small cell agg",
-      "q_cms_topk" -> "Count-min sketch: three <=4096-cell counter tables folded from the ONE token-count shuffle (exchange reuse), broadcast-joined back to the exact top-20",
+      "q_cms_topk" -> "Count-min sketch: the token-count table is MATERIALIZED once and the three counter rows + exact top-20 all read it (ReuseProbe r9 showed the claimed exchange reuse never fired — four corpus replays); sketch rows broadcast-joined back",
       "q_pagerank_parts" -> "PageRank: delta-terminated join+partial-agg rounds over a materialized edge list (lineage truncated per round); driver holds only the 1-row convergence scalar",
       "q_decay_sum" -> "Half-life decay: exact integer shift arithmetic in a map-side projection; single per-user agg; anchor day is a 1-row cross join",
       "q_incr_rollup" -> "Incremental rollup refresh: persisted (day,type) partial table unioned with delta partials, re-agg sum-of-sums/sum-of-counts — refresh cost scales with delta + MV size, never the base corpus",
