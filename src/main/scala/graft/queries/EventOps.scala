@@ -48,12 +48,18 @@ object EventOps {
     // per-event self-join. Gap math in integer micros (precision canon).
     "q_funnel" -> { (s, dir) =>
       val ev = t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
-      val step1 = ev.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min(col("ts")).as("t1"))
-      val step2 = ev.filter(col("event_type") === "click")
-        .join(step1, "user_id")
-        .filter(unix_micros(col("ts")) > unix_micros(col("t1")))
-        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      // step1/step2 materialized: each step feeds the next step AND its
+      // own count, and the unbarriered cascade replayed every upstream
+      // step per consumer — 6 corpus scans (ReuseProbe r9); with the two
+      // barriers it is one pushed-filter scan per funnel stage.
+      val step1 = graft.core.Materialize(
+        ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("t1")), "funnel-s1")
+      val step2 = graft.core.Materialize(
+        ev.filter(col("event_type") === "click")
+          .join(step1, "user_id")
+          .filter(unix_micros(col("ts")) > unix_micros(col("t1")))
+          .groupBy("user_id").agg(min(col("ts")).as("t2")), "funnel-s2")
       val step3 = ev.filter(col("event_type") === "purchase")
         .join(step2, "user_id")
         .filter(unix_micros(col("ts")) > unix_micros(col("t2")))
@@ -222,8 +228,15 @@ object EventOps {
     // engines decide from the same grain.
     "q_mad_outliers" -> { (s, dir) =>
       val ev = t(s, dir, "events").select(col("event_type"), col("value"))
-      val med = ev.groupBy("event_type")
-        .agg(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY value)").as("med"))
+      // med materialized (4 rows): dev is consumed by the MAD percentile
+      // AND the final flag pass, and each unbarriered replay recomputed
+      // the exact-median percentile over the corpus (ReuseProbe r9).
+      // dev itself stays unbarriered — corpus-sized, and its replay is a
+      // projection + broadcast join riding a scan that must happen anyway.
+      val med = graft.core.Materialize(
+        ev.groupBy("event_type")
+          .agg(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY value)").as("med")),
+        "mad-med")
       val dev = ev.join(broadcast(med), "event_type")
         .withColumn("adev", abs(col("value") - col("med")))
       val mad = dev.groupBy("event_type")
@@ -275,13 +288,18 @@ object EventOps {
     // explicit zero rows (the shape every monitoring rollup needs; the
     // spine is generated, never scanned).
     "q_day_spine" -> { (s, dir) =>
-      val ev = t(s, dir, "events")
-        .select(date_trunc("day", col("ts")).as("day"), col("event_type"))
-      val spine = ev.agg(min("day").as("d0"), max("day").as("d1"))
+      // One corpus pass: the day bounds and the type dimension are both
+      // derivable from the materialized (day, type) aggregate — the
+      // unbarriered spelling scanned events three times (ReuseProbe r9).
+      val actual = graft.core.Materialize(
+        t(s, dir, "events")
+          .select(date_trunc("day", col("ts")).as("day"), col("event_type"))
+          .groupBy("day", "event_type").agg(count(lit(1)).as("n")),
+        "dayspine-actual")
+      val spine = actual.agg(min("day").as("d0"), max("day").as("d1"))
         .select(explode(sequence(col("d0"), col("d1"),
           expr("interval 1 day"))).as("day"))
-      val types = ev.select("event_type").distinct()
-      val actual = ev.groupBy("day", "event_type").agg(count(lit(1)).as("n"))
+      val types = actual.select("event_type").distinct()
       spine.crossJoin(types)
         .join(actual, Seq("day", "event_type"), "left")
         .select(tsStr(col("day")).as("day"), col("event_type"),

@@ -115,19 +115,29 @@ object GraphOps {
     "q_triangle_count" -> { (s, dir) =>
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val e0 = li.as("a")
-        .join(li.as("b"), Seq("l_orderkey"))
-        .where(col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-        .distinct()
+      // Materialized twice: e0 feeds the degree union (2x) and the
+      // truncated edge build; e feeds both wedge-join sides, the closing
+      // join and the edge count. Unbarriered the replays CASCADE — every
+      // consumer of e replays e0, which replays the corpus self-join and
+      // the degree branches — and the executed plan carried 44 corpus
+      // scans (ReuseProbe r9). With the two barriers: exactly the 2
+      // inherent self-join sides.
+      val e0 = graft.core.Materialize(
+        li.as("a")
+          .join(li.as("b"), Seq("l_orderkey"))
+          .where(col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+          .distinct(),
+        "tri-e0")
       val deg = e0.select(col("src").as("node"))
         .union(e0.select(col("dst").as("node")))
         .groupBy("node").agg(count(lit(1)).as("d"))
       val keep = deg.filter(col("d") <= 128).select("node")
-      val e = e0
-        .join(keep.withColumnRenamed("node", "src"), "src")
-        .join(keep.withColumnRenamed("node", "dst"), "dst")
-        .select("src", "dst")
+      val e = graft.core.Materialize(
+        e0.join(keep.withColumnRenamed("node", "src"), "src")
+          .join(keep.withColumnRenamed("node", "dst"), "dst")
+          .select("src", "dst"),
+        "tri-e")
       val wedges = e.as("x")
         .join(e.as("y"), col("x.dst") === col("y.src"))
         .select(col("x.src").as("u"), col("x.dst").as("v"), col("y.dst").as("w"))
