@@ -162,7 +162,14 @@ object TextOps {
     // 6 × 8-bit bands catch every pair within Hamming distance 5).
     "q_simhash_pairs" -> { (s, dir) =>
       t(s, dir, "documents").createOrReplaceTempView("documents")
-      s.sql(SimhashSql.pairsSpark)
+      // Two barriers (see SimhashSql.tokSql doc): token counts, then
+      // block-keyed fingerprints; the band self-join reads only the
+      // doc-count-sized fingerprint table. 6 corpus scans → 2.
+      graft.core.Materialize(s.sql(SimhashSql.tokSql), "simhash-tok")
+        .createOrReplaceTempView("simhash_tok")
+      graft.core.Materialize(s.sql(SimhashSql.fpSql), "simhash-fp")
+        .createOrReplaceTempView("simhash_fp")
+      s.sql(SimhashSql.pairsFromFp)
     },
 
     // Repetition/diversity quality signals (the Gopher-rule family):
@@ -1948,6 +1955,63 @@ object SimhashSql {
   val spark: String = s"""$fpChain
     SELECT doc_id, simhash FROM fp ORDER BY doc_id"""
 
+  /** Split spelling for the PAIRS query (ReuseProbe r9): inline CTEs
+    * re-execute per reference, so `pairsSpark`'s band self-join computed
+    * the whole fingerprint chain twice — and the vocab-distinct inside it
+    * doubled again — 6 corpus scans. The pairs query instead materializes
+    * tokSql then fpSql (each below reads the previous step's scratch
+    * view), and the banded join reads only the tiny fingerprint table. */
+  val tokSql: String = """
+    SELECT doc_id, tok, count(*) AS cnt FROM (
+      SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents)
+    WHERE tok <> '' GROUP BY doc_id, tok"""
+
+  /** Fingerprints + block keys from the materialized `simhash_tok` view —
+    * identical votes to `fpChain` (same md5 sign math, same join). */
+  val fpSql: String = s"""
+    WITH vocab AS (
+      SELECT tok,
+             transform(sequence(0, 47), b ->
+               2 * (((instr('0123456789abcdef',
+                     substring(h, CAST(b / 4 AS INT) + 1, 1)) - 1)
+                   div CAST(pow(2, b % 4) AS INT)) % 2) - 1) AS sgns
+      FROM (SELECT tok, md5(tok) AS h
+            FROM (SELECT DISTINCT tok FROM simhash_tok))),
+    bitvotes AS (
+      SELECT t.doc_id,
+             $voteSums
+      FROM simhash_tok t JOIN vocab v ON t.tok = v.tok
+      GROUP BY t.doc_id),
+    fp AS (
+      SELECT doc_id,
+             $simhashFromVotes AS simhash
+      FROM bitvotes)
+    SELECT f.doc_id, f.simhash, d.lang, d.source
+    FROM fp f JOIN documents d ON f.doc_id = d.doc_id"""
+
+  /** Near-dup PAIRS by banded SimHash over the materialized `simhash_fp`
+    * view: split the 48-bit fingerprint into 6 bands of 8 bits; by
+    * pigeonhole, any two fingerprints within Hamming distance 5 agree
+    * exactly on at least one band, so the band-equality equi-join
+    * (blocked on (lang, source) like every other candidate generator
+    * here) finds ALL such pairs — never a cross join. Hamming distance
+    * via bit_count(xor) on the exact candidates only. */
+  val pairsFromFp: String = """
+    WITH bands AS (
+      SELECT doc_id, simhash, lang, source, bs.b,
+             (simhash div CAST(pow(256, bs.b) AS BIGINT)) % 256 AS bv
+      FROM simhash_fp
+      CROSS JOIN (SELECT explode(sequence(0, 5)) AS b) bs),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2,
+             x.simhash AS f1, y.simhash AS f2
+      FROM bands x JOIN bands y
+        ON x.lang = y.lang AND x.source = y.source
+       AND x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
+    SELECT id1, id2, CAST(bit_count(f1 ^ f2) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(f1 ^ f2) <= 5
+    ORDER BY id1, id2"""
+
   val duck: String = """
     WITH tok AS (
       SELECT doc_id, tok, count(*) AS cnt FROM (
@@ -1967,30 +2031,6 @@ object SimhashSql {
     SELECT doc_id,
            CAST(sum(CASE WHEN vote > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
     FROM bits GROUP BY doc_id ORDER BY doc_id"""
-
-  /** Near-dup PAIRS by banded SimHash: split the 48-bit fingerprint into
-    * 6 bands of 8 bits; by pigeonhole, any two fingerprints within
-    * Hamming distance 5 agree exactly on at least one band, so the
-    * band-equality equi-join (blocked on (lang, source) like every other
-    * candidate generator here) finds ALL such pairs — never a cross
-    * join. Hamming distance via bit_count(xor) on the exact candidates
-    * only. 6 bands of 8 bits catch every pair within Hamming
-    * distance 5 over 256-way buckets per band. */
-  val pairsSpark: String = s"""$fpChain,
-    bands AS (
-      SELECT f.doc_id, f.simhash, d.lang, d.source, bs.b,
-             (f.simhash div CAST(pow(256, bs.b) AS BIGINT)) % 256 AS bv
-      FROM fp f JOIN documents d ON f.doc_id = d.doc_id
-      CROSS JOIN (SELECT explode(sequence(0, 5)) AS b) bs),
-    cand AS (
-      SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2,
-             x.simhash AS f1, y.simhash AS f2
-      FROM bands x JOIN bands y
-        ON x.lang = y.lang AND x.source = y.source
-       AND x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
-    SELECT id1, id2, CAST(bit_count(f1 ^ f2) AS BIGINT) AS hamming
-    FROM cand WHERE bit_count(f1 ^ f2) <= 5
-    ORDER BY id1, id2"""
 
   val pairsDuck: String = """
     WITH tok AS (

@@ -17,7 +17,13 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 object ReuseProbe {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val names = if (args.nonEmpty) args.toSeq else Seq(
+    // --all: sweep the whole batch registry (streaming queries excluded —
+    // their cost is the drain harness, not a batch plan shape).
+    val names: Seq[String] = if (args.sameElements(Array("--all")))
+      graft.SparkEntry.queries.keys.toSeq.sorted
+        .filterNot(n => n.startsWith("q_stream") ||
+          Seq("q38", "q39", "q40", "q41", "q42").exists(n.startsWith))
+    else if (args.nonEmpty) args.toSeq else Seq(
       "q31_jaccard_pairs", "q_cms_topk", "q_rolling_dau", "q_bm25_rank",
       "q_hll_union", "q_pmi_pairs", "q_rare_token_ratio", "q_user_overlap",
       "q_bigram_lm", "q_tfidf_keywords", "q_containment_pairs",
