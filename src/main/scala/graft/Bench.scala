@@ -77,7 +77,12 @@ object Bench {
     // Engagement curves: cumulative uniques + rolling distinct.
     "q_cumulative_users", "q_rolling_dau",
     // Per-block dedup contamination (rides the q31 exact-pair tier).
-    "q_dedup_rate")
+    "q_dedup_rate",
+    // Curation-report tier (threshold curve, inflation, cluster sizes,
+    // quota capping) + the banded SimHash pair join after its round-9
+    // single-fingerprint-chain restructure.
+    "q_threshold_sweep", "q_dup_inflation", "q_cluster_size_stats",
+    "q_quota_sample", "q_simhash_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
