@@ -21,7 +21,11 @@ import org.apache.spark.sql.SparkSession
   */
 object StreamScale {
   private val Queries = Seq(
-    "q38_stream_tumbling", "q41_stream_dedup", "q_stream_stream_join")
+    "q38_stream_tumbling", "q41_stream_dedup", "q_stream_stream_join",
+    // Right-outer interval join: same state store as the inner join
+    // plus watermark-driven finalization of unmatched right rows — the
+    // outer-null path is the part the inner measurement can't see.
+    "q_stream_join_right")
 
   def main(args: Array[String]): Unit = {
     val base = args.lift(0).getOrElse("/root/testdata/sf0.1")
