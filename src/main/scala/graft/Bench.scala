@@ -97,6 +97,27 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     graft.core.LogQuiet.boundedWindowWarnings()
 
+    // Machine-load metadata (VERDICT r9 item 5): the r8→r9 gate comparison
+    // needed a narrative VM-drift adjudication twice; recording 1-min load
+    // average per pass plus the /proc/stat busy fraction over the whole
+    // run makes that adjudication mechanical (gate_diff prints it).
+    def loadAvg1: Double =
+      scala.util.Try(scala.io.Source.fromFile("/proc/loadavg").getLines()
+        .next().split("\\s+")(0).toDouble).getOrElse(-1.0)
+    // /proc/stat line 1: cpu user nice system idle iowait irq softirq ...
+    // busy = total - idle - iowait; fraction over the bench run tells how
+    // much CPU OTHER processes plus the bench itself consumed.
+    def cpuJiffies: (Long, Long) =
+      scala.util.Try {
+        val f = scala.io.Source.fromFile("/proc/stat").getLines().next()
+          .split("\\s+").drop(1).map(_.toLong)
+        val total = f.sum
+        val idle = f(3) + (if (f.length > 4) f(4) else 0L)
+        (total - idle, total)
+      }.getOrElse((-1L, -1L))
+    val loadPasses = scala.collection.mutable.ArrayBuffer[Double]()
+    val (busy0, total0) = cpuJiffies
+
     def runAt(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, dir)
@@ -150,7 +171,11 @@ object Bench {
         if (MODE == "grouped")
           names.map(n => n -> Seq.fill(REPS)(run(n))).toMap
         else {
-          val passes = Seq.fill(REPS)(names.map(n => n -> run(n)).toMap)
+          val passes = Seq.fill(REPS) {
+            val p = names.map(n => n -> run(n)).toMap
+            loadPasses += loadAvg1
+            p
+          }
           names.map(n => n -> passes.map(_(n))).toMap
         }
       names.map { n =>
@@ -275,10 +300,33 @@ object Bench {
         (s"""{"dir":"$scaleDir","factor":$factor,"exponents":$exps}""",
           s"""{"dir":"$scaleDir","factor":$factor,"base_sec":${obj(base)},"scaled_sec":${obj(big)},"exponents":$exps}""")
       }
-    def jsonLine(scale: String) =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"meta":$metaQs,"meta_min":$metaQsMin,"reps":$REPS,"mode":"$MODE","sf":"$sfDir","scale":$scale}"""
-    val json = jsonLine(scaleJson)
-    val jsonFull = jsonLine(scaleJsonFull)
+    // Load metadata: per-pass 1-min load averages plus the /proc/stat busy
+    // fraction across the whole run. ncpu anchors interpretation (load 8 on
+    // a 32-way box is idle headroom; on an 8-way box it's saturation).
+    val (busy1, total1) = cpuJiffies
+    val statBusy =
+      if (busy0 < 0 || busy1 < 0 || total1 <= total0) -1.0
+      else (busy1 - busy0).toDouble / (total1 - total0)
+    val loadJson = {
+      val passes = loadPasses.map(fmt).mkString("[", ",", "]")
+      s"""{"avg1_passes":$passes,"stat_busy":${fmt(statBusy)},"ncpu":${Runtime.getRuntime.availableProcessors()}}"""
+    }
+    // VERDICT r9 item 1 (BENCH_r09.json parsed:null): the compact scale
+    // block alone now carries 74 exponent entries (~1.9 kB), so ANY inline
+    // scale payload can push the headline fields out of the driver's
+    // 2000-char stdout tail. The final stdout line therefore carries ONLY
+    // the headline record (scale reduced to a summary stub); the full
+    // exponent map is printed on its own EARLIER stdout line (tagged
+    // "metric":"scale") and mirrored to /tmp/graft_bench.json.
+    val scaleStub =
+      if (!scaleEnabled) "{}"
+      else s"""{"detail":"prior stdout line + /tmp/graft_bench.json"}"""
+    val json =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"meta":$metaQs,"meta_min":$metaQsMin,"reps":$REPS,"mode":"$MODE","sf":"$sfDir","load":$loadJson,"scale":$scaleStub}"""
+    val scaleLine =
+      if (scaleEnabled) Some(s"""{"metric":"scale","scale":$scaleJson}""") else None
+    val jsonFull =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"meta":$metaQs,"meta_min":$metaQsMin,"reps":$REPS,"mode":"$MODE","sf":"$sfDir","load":$loadJson,"scale":$scaleJsonFull}"""
     // Contract hardening (round-1 driver recorded parsed:null): stop Spark
     // FIRST so no late log line can land after the JSON, mirror the JSON to
     // a well-known file, then emit it as the final bare stdout line. Log
@@ -299,6 +347,9 @@ object Bench {
     if (json.length > 1900)
       System.err.println(s"[bench] WARNING: stdout JSON line is ${json.length} " +
         "chars — the driver's tail window is 2000; trim the line")
+    // Scale detail first (its own parseable JSON line), headline record
+    // LAST — the driver parses the final line of the stdout tail.
+    scaleLine.foreach(println)
     println(json)
     System.out.flush()
   }
