@@ -11,7 +11,17 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Laziness contract (ADVICE r9): most entries return an unexecuted
+    * plan, but entries built on an explicit multi-consumer barrier
+    * (`core.Materialize` — q_funnel, the stream-join family's shared
+    * fixture, …), an eager guard (`TextOps.exactPairTok`'s block-size
+    * pre-scan), or a streaming drain execute Spark jobs at CONSTRUCTION
+    * time. Plan-only tooling (EXPLAIN dumps, schema checks) therefore
+    * pays real execution for those entries; scratch dirs they allocate
+    * are owned by `core.TempDirs` (swept by `cleanupAll()` and the JVM
+    * shutdown hook). See Materialize's scaladoc for the full contract. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalA.queries ++ RelationalB.queries ++ RelationalC.queries ++
       AsOfOps.queries ++ Winnowing.queries ++ TextOps.queries ++

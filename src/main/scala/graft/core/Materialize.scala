@@ -21,6 +21,21 @@ import org.apache.spark.sql.DataFrame
   * corpus-sized frames consumed twice by cheap readers — the write can
   * cost more than the replay (measured for MinHash token hashes,
   * MinHashDedup.nearDuplicates doc).
+  *
+  * EAGER-EXECUTION CONTRACT (ADVICE r9): `apply` runs the write job at
+  * DataFrame-CONSTRUCTION time, so any registry entry that uses a
+  * Materialize barrier (directly or via a helper) is not lazy —
+  * EXPLAIN-only tooling, schema checks, and PlanDump pay the execution
+  * and allocate one scratch dir per construction. The dirs are owned by
+  * TempDirs: swept by `TempDirs.cleanupAll()` (Verify/Bench call it) and
+  * by the JVM shutdown hook, so they are bounded per process, not leaked
+  * — but a long interactive session that constructs Materialize-backed
+  * plans in a loop should call `TempDirs.cleanupAll()` between sweeps.
+  * The same contract note applies to the other deliberately-eager
+  * construction step, `TextOps.exactPairTok`'s block-size guard (which
+  * is memoized and allocates nothing). Plan-only tooling that must stay
+  * cheap should target queries without barriers, or accept the cost —
+  * the registry's `SparkEntry.queries` doc lists the contract.
   */
 object Materialize {
   def apply(df: DataFrame, label: String): DataFrame = {

@@ -51,19 +51,24 @@ object EventOps {
       // step1/step2 materialized: each step feeds the next step AND its
       // own count, and the unbarriered cascade replayed every upstream
       // step per consumer — 6 corpus scans (ReuseProbe r9); with the two
-      // barriers it is one pushed-filter scan per funnel stage.
+      // barriers it is one pushed-filter scan per funnel stage. Step
+      // times cross the parquet barrier as unix_micros LONGS, not
+      // timestamps (ADVICE r9): a timestamp round-trip would make result
+      // parity depend on session timezone / inferTimestampNTZ settings,
+      // while a long is config-independent (min over unix_micros equals
+      // unix_micros of the min ts — monotonic).
       val step1 = graft.core.Materialize(
         ev.filter(col("event_type") === "view")
-          .groupBy("user_id").agg(min(col("ts")).as("t1")), "funnel-s1")
+          .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("t1")), "funnel-s1")
       val step2 = graft.core.Materialize(
         ev.filter(col("event_type") === "click")
           .join(step1, "user_id")
-          .filter(unix_micros(col("ts")) > unix_micros(col("t1")))
-          .groupBy("user_id").agg(min(col("ts")).as("t2")), "funnel-s2")
+          .filter(unix_micros(col("ts")) > col("t1"))
+          .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("t2")), "funnel-s2")
       val step3 = ev.filter(col("event_type") === "purchase")
         .join(step2, "user_id")
-        .filter(unix_micros(col("ts")) > unix_micros(col("t2")))
-        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+        .filter(unix_micros(col("ts")) > col("t2"))
+        .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("t3"))
       step1.agg(count(lit(1)).as("users")).select(lit("1_view").as("step"), col("users"))
         .union(step2.agg(count(lit(1)).as("users")).select(lit("2_click").as("step"), col("users")))
         .union(step3.agg(count(lit(1)).as("users")).select(lit("3_purchase").as("step"), col("users")))

@@ -55,6 +55,63 @@ object TextOps {
       .groupBy("token").agg(count(lit(1)).as("cnt"))
   }
 
+  /** Default per-(lang, source) block-size ceiling for the EXACT pair
+    * tier. Within-block cost of the token self-join is quadratic in block
+    * density, so the tier's 100 TB contract is "q43's banded MinHash path
+    * is the at-scale candidate feed". This guard ENFORCES that contract
+    * (VERDICT r9 item 2) instead of leaving it documentation: 1 M docs in
+    * one block is far past where exact all-pairs is defensible and far
+    * above any test/bench fixture (sf1 ≈ 60 k docs total). Override with
+    * `spark.graft.exactPairs.maxBlockDocs`; <= 0 disables. */
+  val defaultMaxExactBlockDocs: Long = 1000000L
+
+  // Validated (docs-plan semanticHash, ceiling) pairs: the guard scan runs
+  // once per fixture per JVM, not once per query construction (q31 plus
+  // four curation riders share the same documents frame per verify sweep).
+  private val exactPairGuardCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, Long), Boolean]
+
+  /** Tokenized (doc_id, lang, source, tok) feed for the exact pair tier
+    * (q31 + the curation riders), with the block-size contract enforced:
+    * per-(lang, source) doc counts are checked against
+    * `spark.graft.exactPairs.maxBlockDocs` by an EAGER bounded pre-scan
+    * (2 columns, one partial-agg, `limit(1)` collect of offenders only),
+    * so an oversized block aborts here — before the quadratic pair
+    * expansion is even scheduled — with an error naming the block, the
+    * config, and the MinHash route. Eager-by-design (same contract note
+    * as core.Materialize): constructing an exact-tier frame runs the
+    * guard job. A first in-plan variant (assert_true on the build side of
+    * a broadcast join) was measured +15% on q31 at sf0.1 — the probe
+    * replays on both self-join sides — so the guard lives off the hot
+    * path and is memoized per (docs plan, ceiling). `ExactPairGuardSpec`
+    * proves the adversarial single-block fixture trips it. */
+  private[graft] def exactPairTok(s: SparkSession, docs: DataFrame): DataFrame = {
+    val maxBlock = s.conf.getOption("spark.graft.exactPairs.maxBlockDocs")
+      .map(_.toLong).getOrElse(defaultMaxExactBlockDocs)
+    if (maxBlock > 0L) {
+      val key = (docs.queryExecution.analyzed.semanticHash(), maxBlock)
+      if (!exactPairGuardCache.contains(key)) {
+        val over = docs.groupBy("lang", "source").agg(count(lit(1)).as("block_docs"))
+          .filter(col("block_docs") > maxBlock)
+          .orderBy(desc("block_docs")).limit(1).collect()
+        over.headOption.foreach { r =>
+          throw new IllegalStateException(
+            s"graft exact-pair tier: block (lang=${r.get(0)}, source=${r.get(1)}) " +
+              s"holds ${r.getLong(2)} docs, over spark.graft.exactPairs." +
+              s"maxBlockDocs=$maxBlock. The within-block pair cost is quadratic; " +
+              "at this scale use the banded MinHash path (q43 / " +
+              "MinHashDedup.candidatePairs) as the candidate feed, or " +
+              "raise/disable the ceiling deliberately.")
+        }
+        exactPairGuardCache(key) = true
+      }
+    }
+    docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .filter(col("tok") =!= "")
+  }
+
   val queries: Map[String, Q] = Map(
     // Q30 — exact dedup: keep min doc_id per distinct text, count per lang.
     "q30_exact_dedup" -> { (s, dir) =>
@@ -68,10 +125,7 @@ object TextOps {
     // Q31 — exact near-dup: token-set Jaccard >= 0.5 within (lang, source)
     // blocks. Exact oracle for the MinHash recall check.
     "q31_jaccard_pairs" -> { (s, dir) =>
-      val tok = t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("source"),
-          explode(array_distinct(split(col("text"), " "))).as("tok"))
-        .filter(col("tok") =!= "")
+      val tok = exactPairTok(s, t(s, dir, "documents"))
       // sizes is consumed by both rerank sides and replays its
       // tokenize+agg per side — MEASURED (Q31Ab, same-JVM interleaved
       // sf0.1): a Materialize barrier here is ~10% SLOWER (2.41 vs
@@ -1042,10 +1096,7 @@ object TextOps {
     // block size. The curation dashboard number that decides which
     // source needs dedup FIRST.
     "q_dedup_rate" -> { (s, dir) =>
-      val tok = t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("source"),
-          explode(array_distinct(split(col("text"), " "))).as("tok"))
-        .filter(col("tok") =!= "")
+      val tok = exactPairTok(s, t(s, dir, "documents"))
       // Unbarriered size table — the replayed agg overlaps the self-join
       // stages and beats a write barrier at this shape (Q31Ab, q31 canon).
       val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))

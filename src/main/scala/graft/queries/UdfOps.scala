@@ -120,8 +120,13 @@ object UdfOps {
       // Exact side through one materialized distinct (status, cust)
       // projection: the per-status and ALL branches each scanned orders
       // unbarriered (ReuseProbe r9), and both reduce over this frame.
+      // isNotNull before the distinct: the oracle's count(DISTINCT
+      // o_custkey) excludes NULLs, and count(lit(1)) over the distinct
+      // projection would count a NULL key as a value — a silent skew if
+      // o_custkey were ever nullable (ADVICE r9; non-null in TPC-H data).
       val dc = graft.core.Materialize(
         t(s, dir, "orders").select(col("o_orderstatus"), col("o_custkey"))
+          .filter(col("o_custkey").isNotNull)
           .distinct(), "hll-dc")
       val exactPer = dc.groupBy("o_orderstatus")
         .agg(count(lit(1)).as("exact_custs"))
