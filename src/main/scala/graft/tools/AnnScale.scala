@@ -2,12 +2,13 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import graft.PlantedEmbeddings
-import graft.similarity.AnnIvfPq
+import graft.similarity.{AnnIvf, AnnIvfPq, AnnLsh}
 
 /** Second-measured-decade evidence for the similarity tier (VERDICT r8
-  * item 9): IVF-PQ fit + search latency AND recall at the 10× and 100×
-  * planted-cluster corpus sizes (5k → 50k vectors — the same decade the
-  * relational scale suite measures as sf1 → sf10).
+  * item 9; extended to the full family set per VERDICT r9 item 6):
+  * fit + search latency AND recall for IVF, LSH, and IVF-PQ at the 10×
+  * and 100× planted-cluster corpus sizes (5k → 50k vectors — the same
+  * decade the relational scale suite measures as sf1 → sf10).
   *
   * The PLANTED fixture is used instead of the chained-rotation
   * `localdata/sf10` embeddings because the 64-dim rotation family runs
@@ -42,27 +43,55 @@ object AnnScale {
       case Seq(n, k, p) => Seq((n.toInt, k.toInt, p.toInt))
       case _ => Seq((500, 64, 8), (5000, 256, 32))
     }
+    // Restrict to one family via SPARK_GRAFT_ANN_FAMILIES=ivf,lsh,ivfpq.
+    val families = sys.env.get("SPARK_GRAFT_ANN_FAMILIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq("ivfpq", "ivf", "lsh"))
     points.foreach { case (numClusters, coarseK, nprobe) =>
       val e = PlantedEmbeddings.df(spark, numClusters)
         .repartition(cpus.toInt).cache()
       val n = e.count() // materialize before timing
-      val idx = graft.core.TempDirs.create(s"graft-annscale-$numClusters")
-      val t0 = System.nanoTime()
-      AnnIvfPq.fit(e, idx, coarseK = coarseK, iters = 2)
-      val fitS = (System.nanoTime() - t0) / 1e9
       val q = PlantedEmbeddings.queries(e, maxQid = 1000)
       val nq = q.count()
-      // Warm pass (plan compile), then timed search.
-      AnnIvfPq.search(spark, idx, q, nprobe = nprobe).count()
-      val t1 = System.nanoTime()
-      val approx = AnnIvfPq.search(spark, idx, q, nprobe = nprobe)
-        .select("qid", "cand_id").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-      val searchS = (System.nanoTime() - t1) / 1e9
+      // Exact ground truth computed once per point, shared by the families.
       val exact = PlantedEmbeddings.exactTopK(e, AnnIvfPq.TOP_K, q)
-      val recall = PlantedEmbeddings.recall(exact, approx)
+
+      // Each family follows the same protocol: timed persisted fit, warm
+      // search pass (plan compile), timed search, recall vs the planted
+      // truth. The shape policies are the production ones — coarse_k ~ √N
+      // for the IVF quantizers, the Sharp 4096-bucket shape for LSH —
+      // held FIXED across the decade so the measurement answers "does the
+      // same configuration policy hold recall while cost scales".
+      def measure(family: String)(fit: String => Unit,
+          search: String => org.apache.spark.sql.DataFrame): Unit = {
+        val idx = graft.core.TempDirs.create(s"graft-annscale-$family-$numClusters")
+        val t0 = System.nanoTime()
+        fit(idx)
+        val fitS = (System.nanoTime() - t0) / 1e9
+        search(idx).count() // warm
+        val t1 = System.nanoTime()
+        val approx = search(idx).select("qid", "cand_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val searchS = (System.nanoTime() - t1) / 1e9
+        val recall = PlantedEmbeddings.recall(exact, approx)
+        println(f"""{"family":"$family","n":$n,"num_clusters":$numClusters,"coarse_k":$coarseK,"nprobe":$nprobe,"queries":$nq,"fit_sec":$fitS%.2f,"search_sec":$searchS%.3f,"recall":$recall%.4f}""")
+      }
+      if (families.contains("ivfpq"))
+        measure("ivfpq")(
+          idx => AnnIvfPq.fit(e, idx, coarseK = coarseK, iters = 2),
+          idx => AnnIvfPq.search(spark, idx, q, nprobe = nprobe))
+      if (families.contains("ivf"))
+        measure("ivf")(
+          idx => AnnIvf.fit(e, idx, k = coarseK, fitIters = 2, knownN = n),
+          idx => AnnIvf.search(spark, idx, q, nprobe = nprobe))
+      if (families.contains("lsh"))
+        measure("lsh")(
+          idx => AnnLsh.buildIndex(e, idx, AnnLsh.Sharp),
+          idx => AnnLsh.search(spark, idx,
+            q.select(org.apache.spark.sql.functions.col("qid").as("vec_id"),
+              org.apache.spark.sql.functions.col("qemb").as("emb")),
+            AnnLsh.Sharp))
       e.unpersist()
-      println(f"""{"n":$n,"num_clusters":$numClusters,"coarse_k":$coarseK,"nprobe":$nprobe,"queries":$nq,"fit_sec":$fitS%.2f,"search_sec":$searchS%.3f,"recall":$recall%.4f}""")
     }
     graft.core.TempDirs.cleanupAll()
     spark.stop()

@@ -1,8 +1,9 @@
 #!/usr/bin/env bash
 # One-command gate: everything the driver's round gate checks, locally.
 #
-#   tools/gate.sh            # full: sbt test + correctness mirror + bench + cross-round diff
+#   tools/gate.sh            # full: sbt test + correctness mirror + scan budget + bench + cross-round diff
 #   SKIP_BENCH=1 tools/gate.sh   # faster inner loop (no sf0.1 bench)
+#   SKIP_SCAN=1 tools/gate.sh    # skip the corpus-scan budget audit
 #
 # Exits nonzero on: any failing scalatest, any DuckDB oracle mismatch, a
 # registry query lost or demoted vs the last CORRECTNESS_r*.json, or any
@@ -44,6 +45,20 @@ sbt -batch "runMain graft.Verify $SF_TEST /tmp/gate_verify" > /tmp/gate_verify.l
   || { tail -30 /tmp/gate_verify.log; echo "GATE FAIL: Verify crashed"; exit 1; }
 python3 tools/check.py /tmp/gate_verify "$SF_TEST"
 python3 tools/gate_diff.py correctness /tmp/gate_verify
+
+if [[ "${SKIP_SCAN:-0}" != "1" ]]; then
+  echo "== gate 2b/3: corpus-scan budget (ReuseProbe --all, $SF_TEST) =="
+  # Executed-final-plan scan audit vs the committed per-query budget
+  # (SCAN_BUDGET.txt). The r9 audit caught a 44-scan triangle-count
+  # blowup by hand; this fails the gate when any query's corpus-scan
+  # count exceeds its budget (scan_check.py; VERDICT r9 item 4).
+  SPARK_GRAFT_SF_DIR="$SF_TEST" sbt -batch "runMain graft.tools.ReuseProbe --all" \
+    > /tmp/gate_scans.log 2>&1 \
+    || { tail -30 /tmp/gate_scans.log; echo "GATE FAIL: ReuseProbe crashed"; exit 1; }
+  python3 tools/scan_check.py /tmp/gate_scans.log
+else
+  echo "== gate 2b/3: scan budget skipped (SKIP_SCAN=1) =="
+fi
 
 if [[ "${SKIP_BENCH:-0}" != "1" ]]; then
   echo "== gate 3/3: bench ($SF_BENCH) =="

@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Corpus-scan budget check (VERDICT r9 item 4).
+
+  scan_check.py <reuseprobe_output> [budget_file]
+
+Parses `sbt "runMain graft.tools.ReuseProbe --all"` output (executed
+final adaptive plans, ground truth for "how many times does this query
+scan the corpus") and compares each query's corpus-scan count against
+the committed per-query budget in SCAN_BUDGET.txt. The r9 audit found a
+44-scan blowup (triangle count) by hand; this makes the audit a gate:
+
+- measured > budget          -> FAIL (a plan change re-introduced replay)
+- query missing from budget  -> FAIL (new queries must declare a budget)
+- measured < budget          -> NOTE (tighten the committed budget)
+
+Budget file format: one `<query> <max_corpus_scans>` per line, `#`
+comments allowed. Scratch reads (Materialize barriers) are deliberately
+unbudgeted — they are the cheap byproduct of removing corpus replays.
+"""
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LINE = re.compile(r"^(q\S+)\s+corpus=\s*(\d+)\s+scratch=\s*(\d+)")
+
+
+def parse_probe(path):
+    seen = {}
+    for ln in open(path):
+        m = LINE.match(ln.strip())
+        if m:
+            seen[m.group(1)] = int(m.group(2))
+    return seen
+
+
+def parse_budget(path):
+    budget = {}
+    for ln in open(path):
+        ln = ln.split("#", 1)[0].strip()
+        if not ln:
+            continue
+        name, cap = ln.split()
+        budget[name] = int(cap)
+    return budget
+
+
+def main():
+    if len(sys.argv) < 2:
+        print(__doc__)
+        return 2
+    probe = parse_probe(sys.argv[1])
+    budget_path = sys.argv[2] if len(sys.argv) > 2 \
+        else os.path.join(REPO, "SCAN_BUDGET.txt")
+    budget = parse_budget(budget_path)
+    if not probe:
+        print(f"scan_check FAIL: no ReuseProbe rows parsed from {sys.argv[1]}")
+        return 1
+    failures, notes = [], []
+    for q, scans in sorted(probe.items()):
+        cap = budget.get(q)
+        if cap is None:
+            failures.append(f"{q}: {scans} corpus scans but no committed "
+                            f"budget — add it to {os.path.basename(budget_path)}")
+        elif scans > cap:
+            failures.append(f"{q}: {scans} corpus scans > budget {cap}")
+        elif scans < cap:
+            notes.append(f"{q}: {scans} < budget {cap} (tighten)")
+    stale = sorted(set(budget) - set(probe))
+    for q in stale:
+        notes.append(f"{q}: in budget but not probed (removed query? drop it)")
+    for n in notes:
+        print(f"scan_check NOTE: {n}")
+    if failures:
+        for f in failures:
+            print(f"scan_check FAIL: {f}")
+        return 1
+    print(f"scan_check OK: {len(probe)} queries within corpus-scan budget "
+          f"({os.path.basename(budget_path)})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
