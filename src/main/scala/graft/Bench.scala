@@ -101,20 +101,25 @@ object Bench {
     // needed a narrative VM-drift adjudication twice; recording 1-min load
     // average per pass plus the /proc/stat busy fraction over the whole
     // run makes that adjudication mechanical (gate_diff prints it).
-    def loadAvg1: Double =
-      scala.util.Try(scala.io.Source.fromFile("/proc/loadavg").getLines()
-        .next().split("\\s+")(0).toDouble).getOrElse(-1.0)
-    // /proc/stat line 1: cpu user nice system idle iowait irq softirq ...
-    // busy = total - idle - iowait; fraction over the bench run tells how
-    // much CPU OTHER processes plus the bench itself consumed.
-    def cpuJiffies: (Long, Long) =
-      scala.util.Try {
-        val f = scala.io.Source.fromFile("/proc/stat").getLines().next()
-          .split("\\s+").drop(1).map(_.toLong)
+    def readProcLine(path: String): Option[String] = scala.util.Try {
+      val src = scala.io.Source.fromFile(path)
+      try src.getLines().next() finally src.close()
+    }.toOption
+    def loadAvg1: Double = readProcLine("/proc/loadavg")
+      .flatMap(l => scala.util.Try(l.split("\\s+")(0).toDouble).toOption)
+      .getOrElse(-1.0)
+    // /proc/stat line 1: cpu user nice system idle iowait irq softirq
+    // steal guest guest_nice. busy = total - idle - iowait, with the
+    // total truncated to the first 8 fields — guest/guest_nice are
+    // already folded into user/nice and double-counting them would bias
+    // the busy fraction low on guest-running hosts.
+    def cpuJiffies: (Long, Long) = readProcLine("/proc/stat")
+      .flatMap(l => scala.util.Try {
+        val f = l.split("\\s+").drop(1).take(8).map(_.toLong)
         val total = f.sum
         val idle = f(3) + (if (f.length > 4) f(4) else 0L)
         (total - idle, total)
-      }.getOrElse((-1L, -1L))
+      }.toOption).getOrElse((-1L, -1L))
     val loadPasses = scala.collection.mutable.ArrayBuffer[Double]()
     val (busy0, total0) = cpuJiffies
 
@@ -169,7 +174,13 @@ object Bench {
     def suiteStats(names: Seq[String]): Seq[(String, (Double, Double))] = {
       val perQuery: Map[String, Seq[Double]] =
         if (MODE == "grouped")
-          names.map(n => n -> Seq.fill(REPS)(run(n))).toMap
+          // Grouped reps sample load per query block (interleaved samples
+          // per pass) so BOTH modes feed the gate's drift corroboration.
+          names.map { n =>
+            val reps = Seq.fill(REPS)(run(n))
+            loadPasses += loadAvg1
+            n -> reps
+          }.toMap
         else {
           val passes = Seq.fill(REPS) {
             val p = names.map(n => n -> run(n)).toMap

@@ -65,11 +65,15 @@ object TextOps {
     * `spark.graft.exactPairs.maxBlockDocs`; <= 0 disables. */
   val defaultMaxExactBlockDocs: Long = 1000000L
 
-  // Validated (docs-plan semanticHash, ceiling) pairs: the guard scan runs
-  // once per fixture per JVM, not once per query construction (q31 plus
-  // four curation riders share the same documents frame per verify sweep).
+  // Validated (docs-plan semanticHash, input-files hash, ceiling) keys:
+  // the guard scan runs once per fixture per JVM, not once per query
+  // construction (q31 plus four curation riders share the same documents
+  // frame per verify sweep). The inputFiles component keeps the memo
+  // honest across in-JVM fixture regeneration: a rewritten parquet dir
+  // gets fresh part-file names, so the same-path-new-data case re-checks
+  // instead of riding a stale validation (r10 self-review finding).
   private val exactPairGuardCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, Long), Boolean]
+    scala.collection.concurrent.TrieMap.empty[(Int, Int, Long), Boolean]
 
   /** Tokenized (doc_id, lang, source, tok) feed for the exact pair tier
     * (q31 + the curation riders), with the block-size contract enforced:
@@ -89,7 +93,8 @@ object TextOps {
     val maxBlock = s.conf.getOption("spark.graft.exactPairs.maxBlockDocs")
       .map(_.toLong).getOrElse(defaultMaxExactBlockDocs)
     if (maxBlock > 0L) {
-      val key = (docs.queryExecution.analyzed.semanticHash(), maxBlock)
+      val key = (docs.queryExecution.analyzed.semanticHash(),
+        docs.inputFiles.toSeq.hashCode, maxBlock)
       if (!exactPairGuardCache.contains(key)) {
         val over = docs.groupBy("lang", "source").agg(count(lit(1)).as("block_docs"))
           .filter(col("block_docs") > maxBlock)

@@ -120,18 +120,19 @@ object UdfOps {
       // Exact side through one materialized distinct (status, cust)
       // projection: the per-status and ALL branches each scanned orders
       // unbarriered (ReuseProbe r9), and both reduce over this frame.
-      // isNotNull before the distinct: the oracle's count(DISTINCT
-      // o_custkey) excludes NULLs, and count(lit(1)) over the distinct
-      // projection would count a NULL key as a value — a silent skew if
-      // o_custkey were ever nullable (ADVICE r9; non-null in TPC-H data).
+      // count(col), not count(lit(1)), over the distinct projection: the
+      // oracle's count(DISTINCT o_custkey) excludes NULLs but still emits
+      // a 0-count row for a group whose keys are all NULL — so NULLs are
+      // skipped INSIDE the count rather than filtered before the groupBy,
+      // which would drop such a group entirely (ADVICE r9 + r10
+      // self-review; o_custkey is non-null in TPC-H data either way).
       val dc = graft.core.Materialize(
         t(s, dir, "orders").select(col("o_orderstatus"), col("o_custkey"))
-          .filter(col("o_custkey").isNotNull)
           .distinct(), "hll-dc")
       val exactPer = dc.groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("exact_custs"))
+        .agg(count(col("o_custkey")).as("exact_custs"))
       val exactAll = dc.select(col("o_custkey")).distinct()
-        .agg(count(lit(1)).as("exact_custs"))
+        .agg(count(col("o_custkey")).as("exact_custs"))
         .select(lit("ALL").as("o_orderstatus"), col("exact_custs"))
       exactPer.union(exactAll).join(approx, "o_orderstatus")
         .select(col("o_orderstatus"), col("exact_custs"),

@@ -56,11 +56,21 @@ class ExactPairGuardSpec extends SparkSpec {
 
   test("guard is enforced through the registry q31 entry at the default ceiling") {
     // Default 1 M ceiling: the sf0.001 fixture is far below it, so q31
-    // still produces its oracle-checked pairs (spot-check: non-negative
-    // count and schema intact).
+    // still produces its oracle-checked pairs with the schema intact.
     val df = SparkEntry.queries("q31_jaccard_pairs")(spark, sf)
     assert(df.columns.toSeq === Seq("id1", "id2", "jaccard"))
-    assert(df.count() >= 0L)
+    assert(df.count() > 0L, "sf0.001 fixture is known to contain near-dup pairs")
+    // And the WIRING is pinned, not just the happy path: at ceiling 1,
+    // any (lang, source) block with >= 2 docs must abort q31's
+    // construction — if a refactor reverted the registry entry to inline
+    // tokenization, this intercept would fail (r10 self-review: the
+    // previous count >= 0 assertion was vacuous).
+    withCeiling(Some("1")) {
+      val e = intercept[Exception] {
+        SparkEntry.queries("q31_jaccard_pairs")(spark, sf).count()
+      }
+      assert(Option(e.getMessage).getOrElse("").contains("maxBlockDocs"))
+    }
   }
 
   test("ceiling <= 0 disables the guard (deliberate opt-out)") {

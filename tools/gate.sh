@@ -52,6 +52,12 @@ if [[ "${SKIP_SCAN:-0}" != "1" ]]; then
   # (SCAN_BUDGET.txt). The r9 audit caught a 44-scan triangle-count
   # blowup by hand; this fails the gate when any query's corpus-scan
   # count exceeds its budget (scan_check.py; VERDICT r9 item 4).
+  # Known cost: this re-executes the batch registry a second time after
+  # gate 2's Verify — accepted because ReuseProbe must inspect each
+  # query's OWN executed adaptive plan (Verify's plans end in a parquet
+  # write job, which changes AQE finalization); SKIP_SCAN=1 for loops.
+  # scan_check fails closed if the probe dir yields zero corpus scans
+  # (ReuseProbe classifies corpus by the /testdata/ path substring).
   SPARK_GRAFT_SF_DIR="$SF_TEST" sbt -batch "runMain graft.tools.ReuseProbe --all" \
     > /tmp/gate_scans.log 2>&1 \
     || { tail -30 /tmp/gate_scans.log; echo "GATE FAIL: ReuseProbe crashed"; exit 1; }

@@ -172,7 +172,12 @@ def bench(bench_json):
         ld = doc.get("load") or {}
         passes = [x for x in (ld.get("avg1_passes") or []) if x >= 0]
         avg1 = sorted(passes)[len(passes) // 2] if passes else None
-        return avg1, ld.get("stat_busy"), ld.get("ncpu")
+        # Bench emits -1 sentinels when /proc is unreadable; map them to
+        # None so they hit the n/a path instead of printing as measurements.
+        busy = ld.get("stat_busy")
+        if busy is not None and busy < 0:
+            busy = None
+        return avg1, busy, ld.get("ncpu")
     cur_avg1, cur_busy, cur_ncpu = load_summary(cur)
     prev_avg1, prev_busy, _ = load_summary(prev)
     def fmt_load(avg1, busy, ncpu):

@@ -56,6 +56,16 @@ def main():
     if not probe:
         print(f"scan_check FAIL: no ReuseProbe rows parsed from {sys.argv[1]}")
         return 1
+    # Vacuous-pass guard (r10 self-review): ReuseProbe classifies corpus
+    # scans by the '/testdata/' path substring, so probing against a dir
+    # outside testdata reports corpus=0 everywhere — which would wave any
+    # replay regression through. A registry where literally no query reads
+    # the corpus is a misconfigured probe, not a clean audit.
+    if all(v == 0 for v in probe.values()):
+        print("scan_check FAIL: every probed query reports 0 corpus scans — "
+              "the probe dir is likely outside /testdata/ (ReuseProbe "
+              "classifies corpus scans by path); re-run against a testdata sf dir")
+        return 1
     failures, notes = [], []
     for q, scans in sorted(probe.items()):
         cap = budget.get(q)
