@@ -174,8 +174,13 @@ object Bench {
     def suiteStats(names: Seq[String]): Seq[(String, (Double, Double))] = {
       val perQuery: Map[String, Seq[Double]] =
         if (MODE == "grouped")
-          // Grouped reps sample load per query block (interleaved samples
-          // per pass) so BOTH modes feed the gate's drift corroboration.
+          // Grouped reps sample load ONCE PER QUERY BLOCK (one sample per
+          // query name), so BOTH modes feed the gate's drift corroboration
+          // — but the avg1_passes array is shaped differently per mode:
+          // interleaved = one sample per suite pass (REPS entries),
+          // grouped = one sample per query block (names.length entries).
+          // Consumers must read the adjacent "mode" field before comparing
+          // arrays cross-mode (gate_diff takes the median, unaffected).
           names.map { n =>
             val reps = Seq.fill(REPS)(run(n))
             loadPasses += loadAvg1
@@ -237,12 +242,17 @@ object Bench {
     // object) when the scaled dir is absent so the one-line contract
     // never depends on local state.
     val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/root/repo/localdata/sf1")
-    // Factor: unset → 10 (the default sf0.1 → localdata/sf1 decade). Set
-    // but malformed or <= 1 → SKIP the scale block: silently substituting
-    // a default would emit plausible-looking but wrong exponents, and a
+    // Factor: unset → scale block OFF. The scale sweep is ~35 min of wall
+    // clock (79 queries × 2 timed passes at two dirs) and round 10 proved
+    // the hard way that defaulting it ON blows the driver's time-boxed
+    // plain invocation (BENCH_r10.json rc:124/parsed:null — VERDICT r10
+    // item 1). Scale evidence runs opt in explicitly:
+    //   SPARK_GRAFT_SCALE_FACTOR=10 sbt "runMain graft.Bench"
+    // Set but malformed or <= 1 → also SKIP: silently substituting a
+    // default would emit plausible-looking but wrong exponents, and a
     // <= 1 factor makes the log-ratio denominator meaningless (ADVICE r5).
     val scaleFactorOpt: Option[Double] = sys.env.get("SPARK_GRAFT_SCALE_FACTOR") match {
-      case None => Some(10.0)
+      case None => None
       case Some(raw) =>
         val parsed = scala.util.Try(raw.trim.toDouble).toOption.filter(_ > 1.0)
         if (parsed.isEmpty)
@@ -250,12 +260,11 @@ object Bench {
             "a number > 1 — scale block skipped")
         parsed
     }
-    // The default factor 10 presumes the sf0.1 base dir; a different base
-    // (e.g. sf0.001 smoke runs) skips the scale block unless the caller
-    // states the factor explicitly.
+    // Factor defined implies the caller stated it explicitly (no implicit
+    // default since round 11), so the only remaining precondition is that
+    // the scaled fixture actually exists.
     val scaleEnabled = scaleFactorOpt.isDefined &&
-      new java.io.File(s"$scaleDir/lineitem.parquet").exists() &&
-      (sfDir.contains("sf0.1") || sys.env.contains("SPARK_GRAFT_SCALE_FACTOR"))
+      new java.io.File(s"$scaleDir/lineitem.parquet").exists()
     // (compactScale, fullScale): the stdout line must stay SHORT — the
     // driver parses the last line out of a 2000-char stdout tail, and
     // round-5's line (full base/scaled maps inline) overflowed it and
@@ -311,9 +320,12 @@ object Bench {
         (s"""{"dir":"$scaleDir","factor":$factor,"exponents":$exps}""",
           s"""{"dir":"$scaleDir","factor":$factor,"base_sec":${obj(base)},"scaled_sec":${obj(big)},"exponents":$exps}""")
       }
-    // Load metadata: per-pass 1-min load averages plus the /proc/stat busy
-    // fraction across the whole run. ncpu anchors interpretation (load 8 on
-    // a 32-way box is idle headroom; on an 8-way box it's saturation).
+    // Load metadata: 1-min load-average samples plus the /proc/stat busy
+    // fraction across the whole run. avg1_passes granularity is MODE-
+    // dependent (see suiteStats): per suite pass when interleaved, per
+    // query block when grouped — interpret alongside the "mode" field.
+    // ncpu anchors interpretation (load 8 on a 32-way box is idle
+    // headroom; on an 8-way box it's saturation).
     val (busy1, total1) = cpuJiffies
     val statBusy =
       if (busy0 < 0 || busy1 < 0 || total1 <= total0) -1.0

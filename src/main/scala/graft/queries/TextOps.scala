@@ -90,8 +90,16 @@ object TextOps {
     * path and is memoized per (docs plan, ceiling). `ExactPairGuardSpec`
     * proves the adversarial single-block fixture trips it. */
   private[graft] def exactPairTok(s: SparkSession, docs: DataFrame): DataFrame = {
+    // Loud parse (ADVICE r10): a malformed ceiling ('1e6', '1_000_000')
+    // must name the config key and offending value, not surface as a bare
+    // NumberFormatException at query construction.
     val maxBlock = s.conf.getOption("spark.graft.exactPairs.maxBlockDocs")
-      .map(_.toLong).getOrElse(defaultMaxExactBlockDocs)
+      .map { raw =>
+        scala.util.Try(raw.trim.toLong).getOrElse(throw new IllegalArgumentException(
+          s"spark.graft.exactPairs.maxBlockDocs='$raw' is not a long " +
+            "(plain digits only, e.g. 1000000); set <= 0 to disable the " +
+            "exact-pair block-size guard deliberately"))
+      }.getOrElse(defaultMaxExactBlockDocs)
     if (maxBlock > 0L) {
       val key = (docs.queryExecution.analyzed.semanticHash(),
         docs.inputFiles.toSeq.hashCode, maxBlock)

@@ -44,16 +44,21 @@ object StreamingOps {
   // run its own identical max() aggregation — three corpus scans per
   // verify sweep for one scalar. Cached per source dir alongside the
   // chunk fixture all three already share.
-  private val cutoffCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+  // Keyed on (dir, events inputFiles hash) like exactPairGuardCache
+  // (ADVICE r10): a fixture regenerated in-JVM at the same path with a
+  // different max(ts) must recompute the cutoff, not reuse a stale one.
+  private val cutoffCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Long]
 
   /** max(unix_micros(ts)) over `events` minus 36 min (30-min watermark +
     * 5-min interval + 1-min strictness margin) — the post-drain
     * comparison window shared by the three outer stream-stream joins. */
-  private def outerJoinCutoff(s: SparkSession, dir: String): Long =
-    cutoffCache.getOrElseUpdate(dir,
-      Tables.t(s, dir, "events")
-        .agg(max(unix_micros(col("ts"))).as("m"))
+  private def outerJoinCutoff(s: SparkSession, dir: String): Long = {
+    val events = Tables.t(s, dir, "events")
+    cutoffCache.getOrElseUpdate((dir, events.inputFiles.toSeq.hashCode),
+      events.agg(max(unix_micros(col("ts"))).as("m"))
         .head().getLong(0) - 36L * 60L * 1000000L)
+  }
 
   /** Write `events` as nChunks timestamp-ordered parquet files into a
     * cached temp dir; optionally re-append the first `dupCount` events at
@@ -76,18 +81,40 @@ object StreamingOps {
     val ev = Tables.t(s, dir, "events")
     val n = ev.count()
     val perChunk = math.max(1, math.ceil(n.toDouble / nChunks).toLong)
-    // row_number via a single ordered partition keeps chunk assignment
-    // deterministic; replay volume is a test fixture, not a scale path.
-    val indexed = ev.orderBy("ts", "event_id").coalesce(1)
-      .withColumn("rn", monotonically_increasing_id())
+    // Distributed global rank (VERDICT r10 item 4): the old
+    // orderBy.coalesce(1) pulled the whole events table through ONE task,
+    // which needed a 48 GiB driver at sf10 — for fixture prep. Instead:
+    // range-partition + sort within partitions (Spark's own total-sort
+    // shape, every partition a bounded slice), then zipWithIndex, whose
+    // cumulative per-partition offsets reproduce the exact global
+    // (ts, event_id) rank regardless of where the sampled range
+    // boundaries fall — event_id is unique, so the order is total and
+    // the chunk assignment stays deterministic across runs.
+    val sortParts = math.max(s.sparkContext.defaultParallelism,
+      (n / 2000000L).toInt + 1)
+    val sorted = ev
+      .repartitionByRange(sortParts, col("ts"), col("event_id"))
+      .sortWithinPartitions("ts", "event_id")
+    val indexedRdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    val indexedSchema = sorted.schema.add(StructField("rn", LongType, false))
+    // Stage the ranked table to scratch parquet ONCE: the per-chunk
+    // writes below then read a filtered slice each, instead of re-running
+    // the sort+zip pipeline 6-7 times (the old code recomputed it per
+    // chunk through the indexed lineage).
+    val rankStage = graft.core.TempDirs.create("graft-ranked")
+    s.createDataFrame(indexedRdd, indexedSchema)
+      .write.mode("overwrite").parquet(rankStage)
+    val indexed = s.read.parquet(rankStage)
     (0 until nChunks).foreach { i =>
       val chunk = indexed
         .filter(col("rn") >= i * perChunk && col("rn") < (i + 1) * perChunk)
-        .drop("rn")
+        .sort("rn").drop("rn")
       writeChunk(chunk, streamDir, s"chunk_$i", i)
     }
     if (dupCount > 0) {
-      val dups = indexed.filter(col("rn") < dupCount).drop("rn")
+      val dups = indexed.filter(col("rn") < dupCount).sort("rn").drop("rn")
       writeChunk(dups, streamDir, s"chunk_dup", nChunks)
     }
     streamDir

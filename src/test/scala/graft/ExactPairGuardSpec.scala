@@ -73,6 +73,20 @@ class ExactPairGuardSpec extends SparkSpec {
     }
   }
 
+  test("malformed ceiling fails loudly, naming the config key and value") {
+    // ADVICE r10: a bare NumberFormatException at query construction is
+    // not actionable; the repo's loud-failure convention for malformed
+    // knobs names the key, the offending value, and the remedy.
+    withCeiling(Some("1e6")) {
+      val e = intercept[IllegalArgumentException] {
+        TextOps.exactPairTok(spark, singleBlock(2)).count()
+      }
+      val msg = Option(e.getMessage).getOrElse("")
+      assert(msg.contains("maxBlockDocs"), s"error must name the config: $msg")
+      assert(msg.contains("1e6"), s"error must quote the offending value: $msg")
+    }
+  }
+
   test("ceiling <= 0 disables the guard (deliberate opt-out)") {
     withCeiling(Some("0")) {
       assert(TextOps.exactPairTok(spark, singleBlock(50)).count() === 200L)

@@ -61,15 +61,43 @@ if [[ "${SKIP_SCAN:-0}" != "1" ]]; then
   SPARK_GRAFT_SF_DIR="$SF_TEST" sbt -batch "runMain graft.tools.ReuseProbe --all" \
     > /tmp/gate_scans.log 2>&1 \
     || { tail -30 /tmp/gate_scans.log; echo "GATE FAIL: ReuseProbe crashed"; exit 1; }
-  python3 tools/scan_check.py /tmp/gate_scans.log
+  # Registry cross-check (ADVICE r10): a budgeted query that ReuseProbe
+  # silently skipped while still in the registry fails, not NOTEs.
+  python3 tools/scan_check.py /tmp/gate_scans.log SCAN_BUDGET.txt \
+    /tmp/gate_verify/oracle_sql.json
 else
   echo "== gate 2b/3: scan budget skipped (SKIP_SCAN=1) =="
 fi
 
 if [[ "${SKIP_BENCH:-0}" != "1" ]]; then
-  echo "== gate 3/3: bench ($SF_BENCH) =="
-  SPARK_GRAFT_SF_DIR="$SF_BENCH" sbt -batch "runMain graft.Bench" > /tmp/gate_bench.log 2>&1 \
-    || { tail -30 /tmp/gate_bench.log; echo "GATE FAIL: Bench crashed"; exit 1; }
+  echo "== gate 3/3: bench ($SF_BENCH), driver-shaped rehearsal =="
+  # DRIVER-SHAPED (VERDICT r10 items 1+3): same env surface as the
+  # driver's round invocation (SF_DIR only — the scale block is opt-in
+  # since round 11; export SPARK_GRAFT_SCALE_FACTOR=10 before gate.sh for
+  # a scale-evidence run), a hard time box matching the driver's known
+  # rc-124 budget, and a tail-parse assertion over the LAST 2000 chars of
+  # merged output — r10's tail_parse_proof was produced under gate env,
+  # which is exactly how the timeout regression shipped.
+  # Scale-evidence runs (factor exported) get a wider box: the 79-query
+  # two-dir sweep is ~35 min by design and is never what the driver runs.
+  if [[ -n "${SPARK_GRAFT_SCALE_FACTOR:-}" ]]; then
+    GATE_BENCH_TIMEOUT="${GATE_BENCH_TIMEOUT:-5400}"
+  else
+    GATE_BENCH_TIMEOUT="${GATE_BENCH_TIMEOUT:-1500}"
+  fi
+  if ! timeout "$GATE_BENCH_TIMEOUT" env SPARK_GRAFT_SF_DIR="$SF_BENCH" \
+      sbt -batch "runMain graft.Bench" > /tmp/gate_bench.log 2>&1; then
+    rc=$?
+    tail -30 /tmp/gate_bench.log
+    if [[ $rc -eq 124 ]]; then
+      echo "GATE FAIL: Bench exceeded the ${GATE_BENCH_TIMEOUT}s driver time box (rc=124)"
+    else
+      echo "GATE FAIL: Bench crashed (rc=$rc)"
+    fi
+    exit 1
+  fi
+  # Tail-parse: the driver reads the last line of a 2000-char stdout tail.
+  python3 tools/tail_parse.py /tmp/gate_bench.log
   # Bench mirrors its one-line JSON contract to /tmp/graft_bench.json.
   python3 tools/gate_diff.py bench /tmp/graft_bench.json
 else

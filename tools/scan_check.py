@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Corpus-scan budget check (VERDICT r9 item 4).
 
-  scan_check.py <reuseprobe_output> [budget_file]
+  scan_check.py <reuseprobe_output> [budget_file] [registry_json]
 
 Parses `sbt "runMain graft.tools.ReuseProbe --all"` output (executed
 final adaptive plans, ground truth for "how many times does this query
@@ -12,6 +12,16 @@ the committed per-query budget in SCAN_BUDGET.txt. The r9 audit found a
 - measured > budget          -> FAIL (a plan change re-introduced replay)
 - query missing from budget  -> FAIL (new queries must declare a budget)
 - measured < budget          -> NOTE (tighten the committed budget)
+- budgeted but not probed    -> FAIL when still in the registry (a probe
+                                that silently skips a query would wave its
+                                replay regressions through — ADVICE r10);
+                                NOTE only when absent from the registry
+                                (query legitimately removed) or when no
+                                registry_json was given
+
+registry_json is Verify's oracle_sql.json (the gate already produces it);
+streaming queries (q_stream*, q38-q42) are exempt from the FAIL because
+ReuseProbe --all excludes them by design.
 
 Budget file format: one `<query> <max_corpus_scans>` per line, `#`
 comments allowed. Scratch reads (Materialize barriers) are deliberately
@@ -53,6 +63,10 @@ def main():
     budget_path = sys.argv[2] if len(sys.argv) > 2 \
         else os.path.join(REPO, "SCAN_BUDGET.txt")
     budget = parse_budget(budget_path)
+    registry = None
+    if len(sys.argv) > 3:
+        import json
+        registry = set(json.load(open(sys.argv[3])))
     if not probe:
         print(f"scan_check FAIL: no ReuseProbe rows parsed from {sys.argv[1]}")
         return 1
@@ -76,9 +90,18 @@ def main():
             failures.append(f"{q}: {scans} corpus scans > budget {cap}")
         elif scans < cap:
             notes.append(f"{q}: {scans} < budget {cap} (tighten)")
+    def probe_exempt(q):
+        # Mirror of ReuseProbe --all's streaming exclusion.
+        return q.startswith("q_stream") or \
+            any(q.startswith(p) for p in ("q38", "q39", "q40", "q41", "q42"))
     stale = sorted(set(budget) - set(probe))
     for q in stale:
-        notes.append(f"{q}: in budget but not probed (removed query? drop it)")
+        if registry is not None and q in registry and not probe_exempt(q):
+            failures.append(f"{q}: in budget AND in the registry but absent "
+                            "from the probe output — ReuseProbe skipped it; "
+                            "its replay regressions are unaudited")
+        else:
+            notes.append(f"{q}: in budget but not probed (removed query? drop it)")
     for n in notes:
         print(f"scan_check NOTE: {n}")
     if failures:
