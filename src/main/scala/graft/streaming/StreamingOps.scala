@@ -151,14 +151,15 @@ object StreamingOps {
   }
 
   // ---- Q38: tumbling 1h window + watermark (batch twin: q35) ----
+  private[graft] def q38Stream(s: SparkSession, dir: String): DataFrame =
+    replay(s, prepareChunks(s, dir))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        Tables.money(sum(Tables.dec(col("value")))).as("sum_value"))
+
   def q38(s: SparkSession, dir: String): DataFrame = {
-    val out = drain(
-      replay(s, prepareChunks(s, dir))
-        .withWatermark("ts", "1 hour")
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("cnt"),
-          Tables.money(sum(Tables.dec(col("value")))).as("sum_value")),
-      "q38_sink", OutputMode.Complete())
+    val out = drain(q38Stream(s, dir), "q38_sink", OutputMode.Complete())
     out.select(Tables.tsStr(col("window.start")).as("hour_start"),
         col("event_type"), col("cnt"), col("sum_value"))
       .orderBy("hour_start", "event_type")
@@ -191,12 +192,13 @@ object StreamingOps {
   }
 
   // ---- Q41: streaming dedup within watermark (late duplicate replay) ----
+  private[graft] def q41Stream(s: SparkSession, dir: String): DataFrame =
+    replay(s, prepareChunks(s, dir, dupCount = 100))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   def q41(s: SparkSession, dir: String): DataFrame = {
-    val out = drain(
-      replay(s, prepareChunks(s, dir, dupCount = 100))
-        .withWatermark("ts", "2 hours")
-        .dropDuplicatesWithinWatermark("event_id"),
-      "q41_sink", OutputMode.Append())
+    val out = drain(q41Stream(s, dir), "q41_sink", OutputMode.Append())
     out.agg(count(lit(1)).as("n_unique"),
       countDistinct(col("event_id")).as("n_distinct_check"))
   }
@@ -630,18 +632,21 @@ object StreamingOps {
   // ---- Stream-stream interval join: same-user event pairs ≤ 5 min apart.
   // Watermarks on both sides + the time-range condition bound the join
   // state; pairs are drained raw (append) and ordered in batch.
-  def qStreamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def innerJoinPairsStream(s: SparkSession, dir: String): DataFrame = {
     val chunks = prepareChunks(s, dir)
     val l = replay(s, chunks).withWatermark("ts", "2 hours")
       .select(col("event_id").as("lid"), col("user_id").as("luser"), col("ts").as("lts"))
     val r = replay(s, chunks).withWatermark("ts", "2 hours")
       .select(col("event_id").as("rid"), col("user_id").as("ruser"), col("ts").as("rts"))
-    val pairs = l.join(r,
+    l.join(r,
       col("luser") === col("ruser") &&
       col("rts") >= col("lts") &&
       col("rts") <= col("lts") + expr("INTERVAL 5 MINUTES") &&
       col("lid") < col("rid"))
-    drain(pairs, "q_ssj2_sink", OutputMode.Append())
+  }
+
+  def qStreamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    drain(innerJoinPairsStream(s, dir), "q_ssj2_sink", OutputMode.Append())
       .select(col("lid"), col("rid"), col("luser").as("user_id"))
       .orderBy("lid", "rid")
   }
@@ -686,22 +691,25 @@ object StreamingOps {
     * (and its null-extension final) once the watermark passes `rts`;
     * the comparison window is rts ≤ max_ts − 36 min (30-min watermark +
     * 5-min interval + margin), mirrored exactly by the oracle. */
-  def qStreamStreamRight(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def rightJoinPairsStream(s: SparkSession, dir: String): DataFrame = {
     val chunks = prepareChunks(s, dir)
-    val cutoff = outerJoinCutoff(s, dir)
     val l = replay(s, chunks).withWatermark("ts", "30 minutes")
       .select(col("event_id").as("lid"), col("user_id").as("luser"),
         col("ts").as("lts"))
     val r = replay(s, chunks).withWatermark("ts", "30 minutes")
       .select(col("event_id").as("rid"), col("user_id").as("ruser"),
         col("ts").as("rts"))
-    val pairs = l.join(r,
+    l.join(r,
       col("luser") === col("ruser") &&
       col("rts") >= col("lts") &&
       col("rts") <= col("lts") + expr("INTERVAL 5 MINUTES") &&
       col("lid") < col("rid"),
       "rightOuter")
-    drain(pairs, "q_ssj_right_sink", OutputMode.Append())
+  }
+
+  def qStreamStreamRight(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = outerJoinCutoff(s, dir)
+    drain(rightJoinPairsStream(s, dir), "q_ssj_right_sink", OutputMode.Append())
       .filter(unix_micros(col("rts")) <= cutoff)
       .select(col("lid"), col("rid"), col("ruser").as("user_id"))
       .orderBy(col("rid"), col("lid").asc_nulls_first)
@@ -758,6 +766,26 @@ object StreamingOps {
     "q_stream_tws_map" -> (qStreamTwsMap _),
     "q_stream_interval_merge" -> (qStreamIntervalMerge _),
     "q_stream_twa" -> (qStreamTwa _))
+
+  /** Pre-sink streaming frames for throughput measurement
+    * (tools.StreamScale): the SAME pipeline construction as the registry
+    * queries (shared helpers, so they cannot drift), but WITHOUT the
+    * memory-sink drain. The memory sink accumulates every output row on
+    * the driver heap — at sf10 (10 M events) that OOMs the default 8 g
+    * heap and measures harness allocation, not the state machine.
+    * StreamScale drains these through the noop sink instead; correctness
+    * paths keep the memory sink (the oracle compare needs the rows).
+    * Each entry returns (stream, required output mode). */
+  val measurementStreams
+      : Map[String, (SparkSession, String) => (DataFrame, OutputMode)] = Map(
+    "q38_stream_tumbling" ->
+      ((s, d) => (q38Stream(s, d), OutputMode.Complete())),
+    "q41_stream_dedup" ->
+      ((s, d) => (q41Stream(s, d), OutputMode.Append())),
+    "q_stream_stream_join" ->
+      ((s, d) => (innerJoinPairsStream(s, d), OutputMode.Append())),
+    "q_stream_join_right" ->
+      ((s, d) => (rightJoinPairsStream(s, d), OutputMode.Append())))
 
   /** DuckDB twins: the streaming results must equal these batch queries. */
   val oracle: Map[String, String] = Map(

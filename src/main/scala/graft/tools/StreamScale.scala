@@ -40,19 +40,33 @@ object StreamScale {
     spark.sparkContext.setLogLevel("WARN")
     graft.core.LogQuiet.boundedWindowWarnings()
 
+    // Noop-sink drain (round 11): the registry queries drain to a MEMORY
+    // sink so the oracle can hash the rows — but the memory sink holds
+    // every output row on the driver heap, which at sf10 (10 M events,
+    // 10 M-row dedup/join outputs) OOMs the default 8 g heap and charges
+    // driver-side row accumulation to the state machine being measured.
+    // measurementStreams exposes the identical pre-sink pipelines; the
+    // noop sink executes them fully with zero row retention. (Numbers
+    // from rounds <= 10 included memory-sink cost — both dirs here are
+    // measured under the same sink, so the decade exponents stay
+    // internally consistent; see BENCH_NOTES.)
+    def runOnce(name: String, dir: String): Double = {
+      val (stream, mode) = graft.streaming.StreamingOps
+        .measurementStreams(name)(spark, dir)
+      val t0 = System.nanoTime()
+      val q = stream.writeStream.format("noop").outputMode(mode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      (System.nanoTime() - t0) / 1e9
+    }
     Seq(base, scaled).filter(d => new java.io.File(d).exists).foreach { dir =>
       val n = graft.core.Tables.t(spark, dir, "events").count()
       graft.streaming.StreamingOps.prepareChunks(spark, dir) // warm fixture
       Queries.foreach { name =>
-        val fn = graft.streaming.StreamingOps.queries(name)
-        fn(spark, dir).count() // warm pass: plan compile + codegen
-        val secs = (0 until 2).map { _ =>
-          val t0 = System.nanoTime()
-          fn(spark, dir).count()
-          (System.nanoTime() - t0) / 1e9
-        }
+        runOnce(name, dir) // warm pass: plan compile + codegen
+        val secs = (0 until 2).map(_ => runOnce(name, dir))
         val best = secs.min
-        println(f"""{"query":"$name","dir":"$dir","events":$n,"runs":[${secs.map(s => f"$s%.3f").mkString(",")}],"min_sec":$best%.3f,"events_per_sec":${(n / best).toLong}}""")
+        println(f"""{"query":"$name","dir":"$dir","events":$n,"sink":"noop","runs":[${secs.map(s => f"$s%.3f").mkString(",")}],"min_sec":$best%.3f,"events_per_sec":${(n / best).toLong}}""")
       }
     }
     graft.core.TempDirs.cleanupAll()
