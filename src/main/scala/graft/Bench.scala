@@ -123,6 +123,57 @@ object Bench {
     val loadPasses = scala.collection.mutable.ArrayBuffer[Double]()
     val (busy0, total0) = cpuJiffies
 
+    // Host-speed probe (round 11): a FIXED single-thread workload timed on
+    // this run, so every bench record carries a machine-speed number that
+    // survives the round boundary. The r11 gate hit a suite-wide +25-50%
+    // inflation on an idle guest — loadavg 1-2/32, stat_busy 0.07, steal
+    // 0.07% — i.e. host-level slowdown invisible to every in-guest load
+    // metric gate_diff could corroborate drift with. A fixed-work probe
+    // ratio between two rounds' records measures exactly that. xorshift64
+    // + sum: deterministic, allocation-free, JIT-warmed by the first
+    // (discarded) rep; min-of-3 defends against a scheduler blip.
+    def hostProbeSec(): Double = {
+      def rep(): Double = {
+        val t0 = System.nanoTime()
+        var x = 0x9e3779b97f4a7c15L; var acc = 0L; var i = 0
+        while (i < 200000000) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17; acc += x; i += 1
+        }
+        if (acc == 42L) println("") // defeat dead-code elimination
+        (System.nanoTime() - t0) / 1e9
+      }
+      rep() // JIT warmup, discarded
+      Seq.fill(3)(rep()).min
+    }
+    val probeSec = hostProbeSec()
+
+    // Disk-write probe (round 11, same investigation): the r11 suite
+    // inflation turned out to track the DEVICE WRITE throughput of the
+    // VM's disk, measured fluctuating 12 -> 460 MB/s across minutes on an
+    // otherwise idle guest (bench_evidence/r11_drift_io.txt) — Spark
+    // shuffle/temp writes ride that device, a tight CPU loop doesn't,
+    // which is why probe_sec alone stayed flat while the suite moved.
+    // 64 MB written + fsync'd to the same filesystem Spark's local dirs
+    // use; sampled before and after the suite so a mid-run throttle
+    // episode shows up in at least one sample.
+    def ioProbeMbS(): Double = {
+      var f: java.io.File = null
+      try {
+        f = java.io.File.createTempFile("graft-io-probe", ".bin")
+        val block = new Array[Byte](1 << 20)
+        new java.util.Random(42).nextBytes(block)
+        val t0 = System.nanoTime()
+        val out = new java.io.FileOutputStream(f)
+        try {
+          var i = 0; while (i < 64) { out.write(block); i += 1 }
+          out.getFD.sync()
+        } finally out.close()
+        64.0 / ((System.nanoTime() - t0) / 1e9)
+      } catch { case _: Throwable => -1.0 }
+      finally if (f != null) f.delete()
+    }
+    val ioPre = ioProbeMbS()
+
     def runAt(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, dir)
@@ -330,9 +381,10 @@ object Bench {
     val statBusy =
       if (busy0 < 0 || busy1 < 0 || total1 <= total0) -1.0
       else (busy1 - busy0).toDouble / (total1 - total0)
+    val ioPost = ioProbeMbS()
     val loadJson = {
       val passes = loadPasses.map(fmt).mkString("[", ",", "]")
-      s"""{"avg1_passes":$passes,"stat_busy":${fmt(statBusy)},"ncpu":${Runtime.getRuntime.availableProcessors()}}"""
+      s"""{"avg1_passes":$passes,"stat_busy":${fmt(statBusy)},"ncpu":${Runtime.getRuntime.availableProcessors()},"probe_sec":${fmt(probeSec)},"io_mb_s":[${fmt(ioPre)},${fmt(ioPost)}]}"""
     }
     // VERDICT r9 item 1 (BENCH_r09.json parsed:null): the compact scale
     // block alone now carries 74 exponent entries (~1.9 kB), so ANY inline

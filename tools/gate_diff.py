@@ -177,17 +177,27 @@ def bench(bench_json):
         busy = ld.get("stat_busy")
         if busy is not None and busy < 0:
             busy = None
-        return avg1, busy, ld.get("ncpu")
-    cur_avg1, cur_busy, cur_ncpu = load_summary(cur)
-    prev_avg1, prev_busy, _ = load_summary(prev)
-    def fmt_load(avg1, busy, ncpu):
-        if avg1 is None and busy is None:
+        probe = ld.get("probe_sec")
+        if probe is not None and probe <= 0:
+            probe = None
+        # io_mb_s is [pre-suite, post-suite] device-write throughput; keep
+        # the MAX as "bandwidth the device could deliver that run" (a
+        # single throttled sample shouldn't make a healthy run look slow).
+        ios = [x for x in (ld.get("io_mb_s") or []) if x and x > 0]
+        io = max(ios) if ios else None
+        return avg1, busy, ld.get("ncpu"), probe, io
+    cur_avg1, cur_busy, cur_ncpu, cur_probe, cur_io = load_summary(cur)
+    prev_avg1, prev_busy, _, prev_probe, prev_io = load_summary(prev)
+    def fmt_load(avg1, busy, ncpu, probe, io):
+        if avg1 is None and busy is None and probe is None:
             return "n/a"
         return (f"load1={avg1 if avg1 is not None else '?'}"
                 f" busy={busy if busy is not None else '?'}"
-                + (f" ncpu={ncpu}" if ncpu else ""))
-    print(f"gate_diff bench load: cur [{fmt_load(cur_avg1, cur_busy, cur_ncpu)}] "
-          f"prev [{fmt_load(prev_avg1, prev_busy, None)}]")
+                + (f" ncpu={ncpu}" if ncpu else "")
+                + (f" probe={probe}s" if probe is not None else "")
+                + (f" io={io:.0f}MB/s" if io is not None else ""))
+    print(f"gate_diff bench load: cur [{fmt_load(cur_avg1, cur_busy, cur_ncpu, cur_probe, cur_io)}] "
+          f"prev [{fmt_load(prev_avg1, prev_busy, None, prev_probe, prev_io)}]")
     if env > 1.02:
         # ADVICE r9: the median ratio is computed from the gated run itself,
         # so a code change that uniformly slows the suite up to ENV_CAP would
@@ -197,13 +207,32 @@ def bench(bench_json):
         # carrying load metadata with the current machine measurably more
         # loaded than the previous one (loadavg +30% or busy-fraction +0.10).
         opt_in = os.environ.get("GATE_BENCH_ENV_OK") == "1"
-        load_corroborated = (
+        # Probe corroboration (r11): fixed-work single-thread probe_sec is
+        # the only in-guest metric that sees HOST-level slowdown (the r11
+        # drift showed +25-50% suite inflation with loadavg 1-2/32,
+        # busy 0.07, steal 0.07% — every load metric idle). A >10% slower
+        # probe on identical work is the machine, not the code.
+        probe_corroborated = (
+            cur_probe is not None and prev_probe is not None
+            and cur_probe > prev_probe * 1.10)
+        # Device-write throughput (r11): the actual mechanism behind the
+        # r11 suite inflation — Spark shuffle/temp writes ride the VM
+        # disk, whose measured write speed fluctuates 12-460 MB/s
+        # (bench_evidence/r11_drift_io.txt). A >=30% slower device than
+        # the compared round is the environment, not the code.
+        io_corroborated = (
+            cur_io is not None and prev_io is not None
+            and cur_io < prev_io * 0.70)
+        load_corroborated = probe_corroborated or io_corroborated or (
             (cur_avg1 is not None and prev_avg1 is not None
              and prev_avg1 >= 0 and cur_avg1 > prev_avg1 * 1.3 + 0.5)
             or (cur_busy is not None and prev_busy is not None
                 and prev_busy >= 0 and cur_busy > prev_busy + 0.10))
         if opt_in or load_corroborated:
-            why = "GATE_BENCH_ENV_OK=1" if opt_in else "load metadata shows drift"
+            why = ("GATE_BENCH_ENV_OK=1" if opt_in
+                   else f"probe {prev_probe}s -> {cur_probe}s" if probe_corroborated
+                   else f"disk {prev_io:.0f} -> {cur_io:.0f} MB/s" if io_corroborated
+                   else "load metadata shows drift")
             print(f"gate_diff bench NOTE: suite median ratio {env:.2f}x vs "
                   f"{os.path.basename(prev_path)} — normalizing per-query "
                   f"tolerance for environment drift ({why}, cap {ENV_CAP}x)")
