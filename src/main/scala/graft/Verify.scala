@@ -52,6 +52,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Full registry listing (round 11): oracle_sql.json is only the
+    // SQL-expressible SUBSET of the registry by contract, so tools that
+    // need "every registered query" (scan_check's budgeted-but-unprobed
+    // cross-check) must not use it as the registry — a future oracle-less
+    // query would silently fall outside their guarantee.
+    Files.writeString(Paths.get(s"$outDir/registry.json"),
+      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     graft.core.TempDirs.cleanupAll()
     spark.stop()
   }

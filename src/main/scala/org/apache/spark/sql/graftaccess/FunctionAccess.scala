@@ -19,6 +19,12 @@ object FunctionAccess {
     // WARN per call, and callers invoke this per query construction — the
     // round-10 driver bench tail was hundreds of those lines (VERDICT r10
     // item 2). Skip when the name is already bound in this session.
+    // CONTRACT: first registration wins for the session — the existence
+    // check tests the NAME, not the builder, so a caller expecting to
+    // replace an existing binding (a revised builder, or a collision
+    // with a builtin) will silently keep the old one. All graft
+    // registrations use the "graft_" prefix precisely so the only thing
+    // a name can collide with is an earlier registration of itself.
     if (!registry.functionExists(ident))
       registry.registerFunction(
         ident,

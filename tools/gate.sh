@@ -63,8 +63,10 @@ if [[ "${SKIP_SCAN:-0}" != "1" ]]; then
     || { tail -30 /tmp/gate_scans.log; echo "GATE FAIL: ReuseProbe crashed"; exit 1; }
   # Registry cross-check (ADVICE r10): a budgeted query that ReuseProbe
   # silently skipped while still in the registry fails, not NOTEs.
+  # registry.json (Verify's full SparkEntry.queries listing), NOT
+  # oracle_sql.json — the latter is only the SQL-expressible subset.
   python3 tools/scan_check.py /tmp/gate_scans.log SCAN_BUDGET.txt \
-    /tmp/gate_verify/oracle_sql.json
+    /tmp/gate_verify/registry.json
 else
   echo "== gate 2b/3: scan budget skipped (SKIP_SCAN=1) =="
 fi
@@ -85,9 +87,13 @@ if [[ "${SKIP_BENCH:-0}" != "1" ]]; then
   else
     GATE_BENCH_TIMEOUT="${GATE_BENCH_TIMEOUT:-1500}"
   fi
-  if ! timeout "$GATE_BENCH_TIMEOUT" env SPARK_GRAFT_SF_DIR="$SF_BENCH" \
-      sbt -batch "runMain graft.Bench" > /tmp/gate_bench.log 2>&1; then
-    rc=$?
+  # rc captured via `|| rc=$?`, NOT `if ! ...; then rc=$?` — the negated
+  # pipeline leaves $? as 0 inside the then-branch, which would report
+  # every timeout as "crashed (rc=0)" and hide the rc-124 diagnosis.
+  rc=0
+  timeout "$GATE_BENCH_TIMEOUT" env SPARK_GRAFT_SF_DIR="$SF_BENCH" \
+      sbt -batch "runMain graft.Bench" > /tmp/gate_bench.log 2>&1 || rc=$?
+  if [[ $rc -ne 0 ]]; then
     tail -30 /tmp/gate_bench.log
     if [[ $rc -eq 124 ]]; then
       echo "GATE FAIL: Bench exceeded the ${GATE_BENCH_TIMEOUT}s driver time box (rc=124)"

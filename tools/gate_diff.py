@@ -180,22 +180,26 @@ def bench(bench_json):
         probe = ld.get("probe_sec")
         if probe is not None and probe <= 0:
             probe = None
-        # io_mb_s is [pre-suite, post-suite] device-write throughput; keep
-        # the MAX as "bandwidth the device could deliver that run" (a
-        # single throttled sample shouldn't make a healthy run look slow).
+        # io_mb_s is [pre-suite, post-suite] device-write throughput. Keep
+        # BOTH ends: the MIN is "we saw the device this slow around this
+        # run" (Bench samples twice precisely so a mid-run throttle shows
+        # up in at least one sample), the MAX is "bandwidth the device
+        # could deliver that run". Corroboration below compares cur-min
+        # against prev-max — collapsing to max alone would discard the
+        # single throttled sample and defeat the two-sample design.
         ios = [x for x in (ld.get("io_mb_s") or []) if x and x > 0]
-        io = max(ios) if ios else None
+        io = (min(ios), max(ios)) if ios else None
         return avg1, busy, ld.get("ncpu"), probe, io
     cur_avg1, cur_busy, cur_ncpu, cur_probe, cur_io = load_summary(cur)
     prev_avg1, prev_busy, _, prev_probe, prev_io = load_summary(prev)
     def fmt_load(avg1, busy, ncpu, probe, io):
-        if avg1 is None and busy is None and probe is None:
+        if avg1 is None and busy is None and probe is None and io is None:
             return "n/a"
         return (f"load1={avg1 if avg1 is not None else '?'}"
                 f" busy={busy if busy is not None else '?'}"
                 + (f" ncpu={ncpu}" if ncpu else "")
                 + (f" probe={probe}s" if probe is not None else "")
-                + (f" io={io:.0f}MB/s" if io is not None else ""))
+                + (f" io={io[0]:.0f}-{io[1]:.0f}MB/s" if io is not None else ""))
     print(f"gate_diff bench load: cur [{fmt_load(cur_avg1, cur_busy, cur_ncpu, cur_probe, cur_io)}] "
           f"prev [{fmt_load(prev_avg1, prev_busy, None, prev_probe, prev_io)}]")
     if env > 1.02:
@@ -218,11 +222,16 @@ def bench(bench_json):
         # Device-write throughput (r11): the actual mechanism behind the
         # r11 suite inflation — Spark shuffle/temp writes ride the VM
         # disk, whose measured write speed fluctuates 12-460 MB/s
-        # (bench_evidence/r11_drift_io.txt). A >=30% slower device than
-        # the compared round is the environment, not the code.
+        # (bench_evidence/r11_drift_io.txt). Compare the CURRENT run's
+        # slowest sample against the PREVIOUS run's best: if the device
+        # was >=30% slower at any point around the gated run than the
+        # compared round could reach, the environment, not the code,
+        # shifted. (Only consulted at all when the suite median actually
+        # inflated, so a throttled pre-sample next to a healthy suite
+        # cannot relax anything.)
         io_corroborated = (
             cur_io is not None and prev_io is not None
-            and cur_io < prev_io * 0.70)
+            and cur_io[0] < prev_io[1] * 0.70)
         load_corroborated = probe_corroborated or io_corroborated or (
             (cur_avg1 is not None and prev_avg1 is not None
              and prev_avg1 >= 0 and cur_avg1 > prev_avg1 * 1.3 + 0.5)
@@ -231,7 +240,7 @@ def bench(bench_json):
         if opt_in or load_corroborated:
             why = ("GATE_BENCH_ENV_OK=1" if opt_in
                    else f"probe {prev_probe}s -> {cur_probe}s" if probe_corroborated
-                   else f"disk {prev_io:.0f} -> {cur_io:.0f} MB/s" if io_corroborated
+                   else f"disk {prev_io[1]:.0f} -> {cur_io[0]:.0f} MB/s" if io_corroborated
                    else "load metadata shows drift")
             print(f"gate_diff bench NOTE: suite median ratio {env:.2f}x vs "
                   f"{os.path.basename(prev_path)} — normalizing per-query "

@@ -19,9 +19,13 @@ the committed per-query budget in SCAN_BUDGET.txt. The r9 audit found a
                                 (query legitimately removed) or when no
                                 registry_json was given
 
-registry_json is Verify's oracle_sql.json (the gate already produces it);
-streaming queries (q_stream*, q38-q42) are exempt from the FAIL because
-ReuseProbe --all excludes them by design.
+registry_json is Verify's registry.json — the FULL SparkEntry.queries
+name list (the gate already produces it). Do NOT pass oracle_sql.json:
+that is only the SQL-expressible subset of the registry, and an
+oracle-less query would escape this check through it. (A JSON object
+also works — its keys are used.) Streaming queries (q_stream*,
+q38-q42) are exempt from the FAIL because ReuseProbe --all excludes
+them by design.
 
 Budget file format: one `<query> <max_corpus_scans>` per line, `#`
 comments allowed. Scratch reads (Materialize barriers) are deliberately

@@ -46,7 +46,10 @@ def main():
     if not isinstance(queries, dict) or not queries:
         print("tail_parse FAIL: headline record has no 'queries' map")
         return 1
-    bad = {k: v for k, v in queries.items()
+    # Sentinel scan covers the meta section too — a failed meta query
+    # (e.g. q_tuner_loop) renders as -1 in the same headline record.
+    meta = rec.get("meta") or {}
+    bad = {k: v for m in (queries, meta) for k, v in m.items()
            if not isinstance(v, (int, float)) or v < 0}
     if bad:
         print(f"tail_parse FAIL: failed-query sentinels in the headline "
