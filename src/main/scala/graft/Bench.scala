@@ -147,6 +147,31 @@ object Bench {
     }
     val probeSec = hostProbeSec()
 
+    // Memory-stream probe (round 11, follow-up): the r11c gate run saw a
+    // SECOND uniform-inflation mode — suite +28% with the disk probe
+    // healthy (417-462 MB/s) and the xorshift probe flat. The xorshift
+    // loop is register-only, blind to the memory-bandwidth / LLC
+    // contention a host neighbor can impose, which Spark's scan+shuffle
+    // working sets feel directly. A 128 MB sequential long-sum (beyond
+    // any LLC) is the cheapest in-guest bandwidth gauge; reported as
+    // GB/s, min-of-5 after a JIT/touch warmup rep.
+    def memProbeGbS(): Double = {
+      val n = 16 * 1024 * 1024 // 16 M longs = 128 MB
+      val a = new Array[Long](n)
+      var i = 0
+      while (i < n) { a(i) = i.toLong; i += 1 }
+      def rep(): Double = {
+        val t0 = System.nanoTime(); var s = 0L; var j = 0
+        while (j < n) { s += a(j); j += 1 }
+        if (s == 42L) println("") // defeat dead-code elimination
+        (System.nanoTime() - t0) / 1e9
+      }
+      rep() // warmup, discarded
+      val sec = Seq.fill(5)(rep()).min
+      (n * 8.0 / (1L << 30)) / sec
+    }
+    val memGbS = memProbeGbS()
+
     // Disk-write probe (round 11, same investigation): the r11 suite
     // inflation turned out to track the DEVICE WRITE throughput of the
     // VM's disk, measured fluctuating 12 -> 460 MB/s across minutes on an
@@ -384,7 +409,7 @@ object Bench {
     val ioPost = ioProbeMbS()
     val loadJson = {
       val passes = loadPasses.map(fmt).mkString("[", ",", "]")
-      s"""{"avg1_passes":$passes,"stat_busy":${fmt(statBusy)},"ncpu":${Runtime.getRuntime.availableProcessors()},"probe_sec":${fmt(probeSec)},"io_mb_s":[${fmt(ioPre)},${fmt(ioPost)}]}"""
+      s"""{"avg1_passes":$passes,"stat_busy":${fmt(statBusy)},"ncpu":${Runtime.getRuntime.availableProcessors()},"probe_sec":${fmt(probeSec)},"mem_gb_s":${fmt(memGbS)},"io_mb_s":[${fmt(ioPre)},${fmt(ioPost)}]}"""
     }
     // VERDICT r9 item 1 (BENCH_r09.json parsed:null): the compact scale
     // block alone now carries 74 exponent entries (~1.9 kB), so ANY inline

@@ -189,19 +189,23 @@ def bench(bench_json):
         # single throttled sample and defeat the two-sample design.
         ios = [x for x in (ld.get("io_mb_s") or []) if x and x > 0]
         io = (min(ios), max(ios)) if ios else None
-        return avg1, busy, ld.get("ncpu"), probe, io
-    cur_avg1, cur_busy, cur_ncpu, cur_probe, cur_io = load_summary(cur)
-    prev_avg1, prev_busy, _, prev_probe, prev_io = load_summary(prev)
-    def fmt_load(avg1, busy, ncpu, probe, io):
-        if avg1 is None and busy is None and probe is None and io is None:
+        mem = ld.get("mem_gb_s")
+        if mem is not None and mem <= 0:
+            mem = None
+        return avg1, busy, ld.get("ncpu"), probe, io, mem
+    cur_avg1, cur_busy, cur_ncpu, cur_probe, cur_io, cur_mem = load_summary(cur)
+    prev_avg1, prev_busy, _, prev_probe, prev_io, prev_mem = load_summary(prev)
+    def fmt_load(avg1, busy, ncpu, probe, io, mem):
+        if all(v is None for v in (avg1, busy, probe, io, mem)):
             return "n/a"
         return (f"load1={avg1 if avg1 is not None else '?'}"
                 f" busy={busy if busy is not None else '?'}"
                 + (f" ncpu={ncpu}" if ncpu else "")
                 + (f" probe={probe}s" if probe is not None else "")
+                + (f" mem={mem:.1f}GB/s" if mem is not None else "")
                 + (f" io={io[0]:.0f}-{io[1]:.0f}MB/s" if io is not None else ""))
-    print(f"gate_diff bench load: cur [{fmt_load(cur_avg1, cur_busy, cur_ncpu, cur_probe, cur_io)}] "
-          f"prev [{fmt_load(prev_avg1, prev_busy, None, prev_probe, prev_io)}]")
+    print(f"gate_diff bench load: cur [{fmt_load(cur_avg1, cur_busy, cur_ncpu, cur_probe, cur_io, cur_mem)}] "
+          f"prev [{fmt_load(prev_avg1, prev_busy, None, prev_probe, prev_io, prev_mem)}]")
     if env > 1.02:
         # ADVICE r9: the median ratio is computed from the gated run itself,
         # so a code change that uniformly slows the suite up to ENV_CAP would
@@ -232,7 +236,15 @@ def bench(bench_json):
         io_corroborated = (
             cur_io is not None and prev_io is not None
             and cur_io[0] < prev_io[1] * 0.70)
-        load_corroborated = probe_corroborated or io_corroborated or (
+        # Memory-stream bandwidth (r11 follow-up): the register-only CPU
+        # probe misses host memory/LLC contention, which Spark's scan and
+        # shuffle working sets feel suite-wide. >=15% less streamed
+        # bandwidth than the compared round corroborates environment.
+        mem_corroborated = (
+            cur_mem is not None and prev_mem is not None
+            and cur_mem < prev_mem * 0.85)
+        load_corroborated = probe_corroborated or io_corroborated \
+            or mem_corroborated or (
             (cur_avg1 is not None and prev_avg1 is not None
              and prev_avg1 >= 0 and cur_avg1 > prev_avg1 * 1.3 + 0.5)
             or (cur_busy is not None and prev_busy is not None
@@ -241,6 +253,7 @@ def bench(bench_json):
             why = ("GATE_BENCH_ENV_OK=1" if opt_in
                    else f"probe {prev_probe}s -> {cur_probe}s" if probe_corroborated
                    else f"disk {prev_io[1]:.0f} -> {cur_io[0]:.0f} MB/s" if io_corroborated
+                   else f"membw {prev_mem:.1f} -> {cur_mem:.1f} GB/s" if mem_corroborated
                    else "load metadata shows drift")
             print(f"gate_diff bench NOTE: suite median ratio {env:.2f}x vs "
                   f"{os.path.basename(prev_path)} — normalizing per-query "
