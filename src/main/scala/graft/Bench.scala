@@ -178,13 +178,25 @@ object Bench {
     // otherwise idle guest (bench_evidence/r11_drift_io.txt) — Spark
     // shuffle/temp writes ride that device, a tight CPU loop doesn't,
     // which is why probe_sec alone stayed flat while the suite moved.
-    // 64 MB written + fsync'd to the same filesystem Spark's local dirs
-    // use; sampled before and after the suite so a mid-run throttle
-    // episode shows up in at least one sample.
+    // 64 MB written + fsync'd to the filesystem Spark's local dirs
+    // actually use — spark.local.dir / SPARK_LOCAL_DIRS when configured,
+    // java.io.tmpdir otherwise (ADVICE r11: probing /tmp while shuffle
+    // rides another device — or /tmp being tmpfs, where the probe reads
+    // memory speed — would silently decouple io_mb_s from the device the
+    // gate's drift corroboration reasons about). The probed path rides in
+    // the bench record so that coupling is auditable per round. Sampled
+    // before and after the suite so a mid-run throttle episode shows up
+    // in at least one sample.
+    val ioProbePath: String = sys.env.get("SPARK_LOCAL_DIRS")
+      .orElse(spark.conf.getOption("spark.local.dir"))
+      .flatMap(_.split(",").map(_.trim).find(_.nonEmpty))
+      .getOrElse(System.getProperty("java.io.tmpdir"))
     def ioProbeMbS(): Double = {
       var f: java.io.File = null
       try {
-        f = java.io.File.createTempFile("graft-io-probe", ".bin")
+        val dir = new java.io.File(ioProbePath)
+        if (!dir.isDirectory) dir.mkdirs()
+        f = java.io.File.createTempFile("graft-io-probe", ".bin", dir)
         val block = new Array[Byte](1 << 20)
         new java.util.Random(42).nextBytes(block)
         val t0 = System.nanoTime()
@@ -252,11 +264,14 @@ object Bench {
         if (MODE == "grouped")
           // Grouped reps sample load ONCE PER QUERY BLOCK (one sample per
           // query name), so BOTH modes feed the gate's drift corroboration
-          // — but the avg1_passes array is shaped differently per mode:
-          // interleaved = one sample per suite pass (REPS entries),
-          // grouped = one sample per query block (names.length entries).
-          // Consumers must read the adjacent "mode" field before comparing
-          // arrays cross-mode (gate_diff takes the median, unaffected).
+          // — but the array is shaped differently per mode, so it is
+          // emitted under a MODE-SPECIFIC key (VERDICT r11 item 4):
+          // interleaved = "avg1_passes", one sample per suite pass (REPS
+          // entries); grouped = "avg1_blocks", one sample per query block
+          // (names.length entries). Same statistic either way — "1-min
+          // loadavg sampled during the run" — and gate_diff reads either
+          // key and takes the median; the split names just stop two
+          // shapes from sharing one field.
           names.map { n =>
             val reps = Seq.fill(REPS)(run(n))
             loadPasses += loadAvg1
@@ -397,11 +412,12 @@ object Bench {
           s"""{"dir":"$scaleDir","factor":$factor,"base_sec":${obj(base)},"scaled_sec":${obj(big)},"exponents":$exps}""")
       }
     // Load metadata: 1-min load-average samples plus the /proc/stat busy
-    // fraction across the whole run. avg1_passes granularity is MODE-
-    // dependent (see suiteStats): per suite pass when interleaved, per
-    // query block when grouped — interpret alongside the "mode" field.
-    // ncpu anchors interpretation (load 8 on a 32-way box is idle
-    // headroom; on an 8-way box it's saturation).
+    // fraction across the whole run. The load-sample key is MODE-specific
+    // (see suiteStats): "avg1_passes" per suite pass when interleaved,
+    // "avg1_blocks" per query block when grouped. ncpu anchors
+    // interpretation (load 8 on a 32-way box is idle headroom; on an
+    // 8-way box it's saturation). io_path names the filesystem the disk
+    // probe actually wrote, so gate_diff's io corroboration is auditable.
     val (busy1, total1) = cpuJiffies
     val statBusy =
       if (busy0 < 0 || busy1 < 0 || total1 <= total0) -1.0
@@ -409,7 +425,8 @@ object Bench {
     val ioPost = ioProbeMbS()
     val loadJson = {
       val passes = loadPasses.map(fmt).mkString("[", ",", "]")
-      s"""{"avg1_passes":$passes,"stat_busy":${fmt(statBusy)},"ncpu":${Runtime.getRuntime.availableProcessors()},"probe_sec":${fmt(probeSec)},"mem_gb_s":${fmt(memGbS)},"io_mb_s":[${fmt(ioPre)},${fmt(ioPost)}]}"""
+      val avg1Key = if (MODE == "grouped") "avg1_blocks" else "avg1_passes"
+      s"""{"$avg1Key":$passes,"stat_busy":${fmt(statBusy)},"ncpu":${Runtime.getRuntime.availableProcessors()},"probe_sec":${fmt(probeSec)},"mem_gb_s":${fmt(memGbS)},"io_mb_s":[${fmt(ioPre)},${fmt(ioPost)}],"io_path":"$ioProbePath"}"""
     }
     // VERDICT r9 item 1 (BENCH_r09.json parsed:null): the compact scale
     // block alone now carries 74 exponent entries (~1.9 kB), so ANY inline

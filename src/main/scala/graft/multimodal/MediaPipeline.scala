@@ -101,17 +101,12 @@ object MediaPipeline {
     * Revalidated with Files.exists because a TempDirs sweep (Verify/Bench
     * cleanup, another suite's cleanupAll) can delete the cached dir. */
   private val payloadCache =
-    scala.collection.concurrent.TrieMap[(String, Int), String]()
+    new graft.core.BoundedMemo[(String, Int), String]()
 
   def payloadDir(s: SparkSession, dir: String, limit: Int = 100): String =
-    payloadCache.synchronized {
-      payloadCache.get((dir, limit))
-        .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
-        .getOrElse {
-          val out = writePayloadFiles(s, dir, limit)
-          payloadCache((dir, limit)) = out
-          out
-        }
+    payloadCache.getOrRebuild((dir, limit))(
+      p => java.nio.file.Files.exists(java.nio.file.Paths.get(p))) {
+      writePayloadFiles(s, dir, limit)
     }
 
   /** The real binary scan path: Spark's binaryFile source over an EXISTING

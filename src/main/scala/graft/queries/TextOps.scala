@@ -72,8 +72,11 @@ object TextOps {
   // honest across in-JVM fixture regeneration: a rewritten parquet dir
   // gets fresh part-file names, so the same-path-new-data case re-checks
   // instead of riding a stale validation (r10 self-review finding).
+  // BoundedMemo (VERDICT r11 item 6): LRU-capped so a many-dir sweep
+  // can't grow the validation memo monotonically; eviction only means the
+  // 2-column guard pre-scan re-runs on the next construction.
   private val exactPairGuardCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, Int, Long), Boolean]
+    new graft.core.BoundedMemo[(Int, Int, Long), Boolean]()
 
   /** Tokenized (doc_id, lang, source, tok) feed for the exact pair tier
     * (q31 + the curation riders), with the block-size contract enforced:
@@ -103,7 +106,10 @@ object TextOps {
     if (maxBlock > 0L) {
       val key = (docs.queryExecution.analyzed.semanticHash(),
         docs.inputFiles.toSeq.hashCode, maxBlock)
-      if (!exactPairGuardCache.contains(key)) {
+      // A guard that throws caches nothing (BoundedMemo contract), so a
+      // failed validation re-checks on the next construction — same
+      // behavior as the pre-r12 contains/put pair.
+      exactPairGuardCache.getOrElseUpdate(key) {
         val over = docs.groupBy("lang", "source").agg(count(lit(1)).as("block_docs"))
           .filter(col("block_docs") > maxBlock)
           .orderBy(desc("block_docs")).limit(1).collect()
@@ -116,7 +122,7 @@ object TextOps {
               "MinHashDedup.candidatePairs) as the candidate feed, or " +
               "raise/disable the ceiling deliberately.")
         }
-        exactPairGuardCache(key) = true
+        true
       }
     }
     docs

@@ -36,7 +36,10 @@ object StreamingOps {
   // One chunk dir per (source dir, dupCount) per JVM: six streaming
   // queries share one replay fixture instead of re-sorting and rewriting
   // events six times (and leaking six temp dirs) per Verify run.
-  private val chunkCache = scala.collection.concurrent.TrieMap.empty[(String, Int), String]
+  // BoundedMemo (VERDICT r11 item 6): LRU-capped so a long-lived session
+  // sweeping many fixture dirs can't grow the memo monotonically; an
+  // evicted entry just rebuilds its chunk dir on the next visit.
+  private val chunkCache = new graft.core.BoundedMemo[(String, Int), String]()
 
   // Outer-join comparison cutoff, hoisted (VERDICT r9 item 3): the left/
   // right/full outer stream joins each need max(ts) over the batch events
@@ -47,33 +50,29 @@ object StreamingOps {
   // Keyed on (dir, events inputFiles hash) like exactPairGuardCache
   // (ADVICE r10): a fixture regenerated in-JVM at the same path with a
   // different max(ts) must recompute the cutoff, not reuse a stale one.
-  private val cutoffCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), Long]
+  private val cutoffCache = new graft.core.BoundedMemo[(String, Int), Long]()
 
   /** max(unix_micros(ts)) over `events` minus 36 min (30-min watermark +
     * 5-min interval + 1-min strictness margin) — the post-drain
     * comparison window shared by the three outer stream-stream joins. */
   private def outerJoinCutoff(s: SparkSession, dir: String): Long = {
     val events = Tables.t(s, dir, "events")
-    cutoffCache.getOrElseUpdate((dir, events.inputFiles.toSeq.hashCode),
+    cutoffCache.getOrElseUpdate((dir, events.inputFiles.toSeq.hashCode)) {
       events.agg(max(unix_micros(col("ts"))).as("m"))
-        .head().getLong(0) - 36L * 60L * 1000000L)
+        .head().getLong(0) - 36L * 60L * 1000000L
+    }
   }
 
   /** Write `events` as nChunks timestamp-ordered parquet files into a
     * cached temp dir; optionally re-append the first `dupCount` events at
     * the end (late duplicates for the dedup query). Returns the dir. */
   def prepareChunks(s: SparkSession, dir: String, nChunks: Int = 6,
-      dupCount: Int = 0): String = chunkCache.synchronized {
+      dupCount: Int = 0): String =
     // Revalidate: a TempDirs.cleanupAll() in the same JVM may have swept
     // the cached dir; rebuild instead of handing out a dangling path.
-    val key = (dir, dupCount)
-    chunkCache.get(key).filter(p => Files.exists(Paths.get(p))).getOrElse {
-      val p = buildChunks(s, dir, nChunks, dupCount)
-      chunkCache(key) = p
-      p
+    chunkCache.getOrRebuild((dir, dupCount))(p => Files.exists(Paths.get(p))) {
+      buildChunks(s, dir, nChunks, dupCount)
     }
-  }
 
   private def buildChunks(s: SparkSession, dir: String, nChunks: Int,
       dupCount: Int): String = {
@@ -530,16 +529,13 @@ object StreamingOps {
   // Sink dir cached per source dir like chunkCache: repeated invocations
   // in one JVM reuse the first drain instead of leaking a fresh copy of
   // the dataset into /tmp each time.
-  private val febSinkCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val febSinkCache = new graft.core.BoundedMemo[String, String]()
 
   def qForeachBatch(s: SparkSession, dir: String): DataFrame = {
-    val sinkDir = febSinkCache.synchronized {
-      febSinkCache.get(dir).filter(p => Files.exists(Paths.get(p))).getOrElse {
-        val p = buildForeachBatchSink(s, dir)
-        febSinkCache(dir) = p
-        p
+    val sinkDir =
+      febSinkCache.getOrRebuild(dir)(p => Files.exists(Paths.get(p))) {
+        buildForeachBatchSink(s, dir)
       }
-    }
     s.read.parquet(sinkDir)
       .groupBy("event_type").agg(count(lit(1)).as("cnt"))
       .orderBy("event_type")

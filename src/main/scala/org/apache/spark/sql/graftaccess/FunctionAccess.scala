@@ -24,7 +24,15 @@ object FunctionAccess {
     // replace an existing binding (a revised builder, or a collision
     // with a builtin) will silently keep the old one. All graft
     // registrations use the "graft_" prefix precisely so the only thing
-    // a name can collide with is an earlier registration of itself.
+    // a name can collide with is an earlier registration of itself —
+    // and that prefix is ENFORCED here (ADVICE r11): the registry also
+    // holds every Spark builtin, so an unprefixed name would make the
+    // existence check a silent no-op against the builtin binding.
+    require(name.startsWith("graft_"),
+      s"FunctionAccess.register: name '$name' must start with 'graft_' — " +
+        "the idempotency check tests functionExists against the session " +
+        "registry (builtins included), so an unprefixed name would be " +
+        "silently dropped in favor of the existing binding")
     if (!registry.functionExists(ident))
       registry.registerFunction(
         ident,

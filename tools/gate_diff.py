@@ -170,7 +170,13 @@ def bench(bench_json):
     # comparison is mechanical, not narrative.
     def load_summary(doc):
         ld = doc.get("load") or {}
-        passes = [x for x in (ld.get("avg1_passes") or []) if x >= 0]
+        # Bench r12+: grouped mode emits its per-query-block samples under
+        # avg1_blocks (one sample per query block) instead of overloading
+        # avg1_passes (one sample per suite pass) — two shapes, two names
+        # (ADVICE r11 / VERDICT r11 item 4). The median is the same
+        # statistic either way: "median 1-min loadavg during the run".
+        passes = [x for x in (ld.get("avg1_passes") or
+                              ld.get("avg1_blocks") or []) if x >= 0]
         avg1 = sorted(passes)[len(passes) // 2] if passes else None
         # Bench emits -1 sentinels when /proc is unreadable; map them to
         # None so they hit the n/a path instead of printing as measurements.
@@ -184,9 +190,8 @@ def bench(bench_json):
         # BOTH ends: the MIN is "we saw the device this slow around this
         # run" (Bench samples twice precisely so a mid-run throttle shows
         # up in at least one sample), the MAX is "bandwidth the device
-        # could deliver that run". Corroboration below compares cur-min
-        # against prev-max — collapsing to max alone would discard the
-        # single throttled sample and defeat the two-sample design.
+        # could deliver that run". Corroboration below compares MIN
+        # against MIN (like-with-like) plus an absolute throttle floor.
         ios = [x for x in (ld.get("io_mb_s") or []) if x and x > 0]
         io = (min(ios), max(ios)) if ios else None
         mem = ld.get("mem_gb_s")
@@ -226,16 +231,25 @@ def bench(bench_json):
         # Device-write throughput (r11): the actual mechanism behind the
         # r11 suite inflation — Spark shuffle/temp writes ride the VM
         # disk, whose measured write speed fluctuates 12-460 MB/s
-        # (bench_evidence/r11_drift_io.txt). Compare the CURRENT run's
-        # slowest sample against the PREVIOUS run's best: if the device
-        # was >=30% slower at any point around the gated run than the
-        # compared round could reach, the environment, not the code,
-        # shifted. (Only consulted at all when the suite median actually
-        # inflated, so a throttled pre-sample next to a healthy suite
-        # cannot relax anything.)
+        # (bench_evidence/r11_drift_io.txt). ADVICE r11 (medium): a bare
+        # relative comparison fires near-automatically because the metric
+        # itself swings >30% between healthy idle samples — and requiring a
+        # SECOND signal would blind the gate to the one mechanism r11
+        # actually measured (disk throttle with the CPU probe flat). So io
+        # alone corroborates only when the current run's slowest sample is
+        # inside an ABSOLUTE throttle band the previous round never
+        # touched: the r11 ladder shows suite inflation at 12 and 35 MB/s
+        # and healthy suites at 179-485 MB/s, so the floor sits at 100
+        # with margin on both sides. Min-vs-min (like-with-like) rides
+        # along so a degraded-vs-degraded pair can't normalize twice.
+        # (Only consulted at all when the suite median actually inflated,
+        # so a throttled pre-sample next to a healthy suite cannot relax
+        # anything.)
+        IO_FLOOR = float(os.environ.get("GATE_BENCH_IO_FLOOR", "100"))
         io_corroborated = (
             cur_io is not None and prev_io is not None
-            and cur_io[0] < prev_io[1] * 0.70)
+            and cur_io[0] < IO_FLOOR <= prev_io[0]
+            and cur_io[0] < prev_io[0] * 0.70)
         # Memory-stream bandwidth (r11 follow-up): the register-only CPU
         # probe misses host memory/LLC contention, which Spark's scan and
         # shuffle working sets feel suite-wide. >=15% less streamed
@@ -252,7 +266,7 @@ def bench(bench_json):
         if opt_in or load_corroborated:
             why = ("GATE_BENCH_ENV_OK=1" if opt_in
                    else f"probe {prev_probe}s -> {cur_probe}s" if probe_corroborated
-                   else f"disk {prev_io[1]:.0f} -> {cur_io[0]:.0f} MB/s" if io_corroborated
+                   else f"disk {prev_io[0]:.0f} -> {cur_io[0]:.0f} MB/s (floor {IO_FLOOR:.0f})" if io_corroborated
                    else f"membw {prev_mem:.1f} -> {cur_mem:.1f} GB/s" if mem_corroborated
                    else "load metadata shows drift")
             print(f"gate_diff bench NOTE: suite median ratio {env:.2f}x vs "

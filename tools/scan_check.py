@@ -70,7 +70,16 @@ def main():
     registry = None
     if len(sys.argv) > 3:
         import json
-        registry = set(json.load(open(sys.argv[3])))
+        # Fail closed AND on-format (ADVICE r11): a missing/malformed
+        # registry.json (e.g. a gate run against a build predating Verify's
+        # registry.json emission) must follow the tool's own 'scan_check
+        # FAIL: ...' diagnostic contract, not die with a raw traceback.
+        try:
+            registry = set(json.load(open(sys.argv[3])))
+        except (OSError, ValueError) as e:
+            print(f"scan_check FAIL: registry_json unreadable "
+                  f"({sys.argv[3]}): {e}")
+            return 1
     if not probe:
         print(f"scan_check FAIL: no ReuseProbe rows parsed from {sys.argv[1]}")
         return 1
