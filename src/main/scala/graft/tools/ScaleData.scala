@@ -59,7 +59,16 @@ object ScaleData {
     *   rotations have no such fix (only 64 distinct rotations exist), so
     *   chained outputs document the embedding caveat in BENCH_NOTES.md
     *   and embedding-family queries are excluded from chained-dir
-    *   measurements. */
+    *   measurements.
+    *
+    *   Byte-inflation caveat (round 12): each salting level LENGTHENS
+    *   tokens (~2.7 chars/token per level — measured 7.29 chars/token at
+    *   sf1 vs 9.99 at chained sf10, corpus bytes ×13.71 per ×10 docs),
+    *   so byte-bound operators (per-character explodes, string-heavy
+    *   projections) read RAW time-exponents up to ~log10(13.7) = 1.14
+    *   when their per-byte truth is 1.0. Normalize with the per-dir
+    *   chars/tokens counts from graft.tools.VocabProbe before calling a
+    *   chained-decade reading super-linear (BENCH_NOTES round 12). */
   def expand(s: SparkSession, src: String, dst: String, factor: Int,
       tag: String = ""): Unit = {
     def rd(name: String): DataFrame = s.read.parquet(s"$src/$name.parquet")
