@@ -18,6 +18,14 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage: runMain graft.tools.StreamScale [baseDir scaledDir]
   * Prints one JSON line per (query, dir) with min-of-two wall seconds.
+  *
+  * SPARK_GRAFT_STREAM_SUITE (csv of query names) scopes the suite and
+  * SPARK_GRAFT_STREAM_RUNS overrides the timed-run count (default 2) —
+  * the re-adjudication knobs for a stream_diff FAIL on one query: this
+  * tier's wall times carry checkpoint/shuffle IO noise the epoch itself
+  * shows as a 1.7× same-binary spread (r11 q_stream_join_right@sf10
+  * runs: [58.989, 34.588]), so a single borderline reading is retested
+  * min-of-N in isolation before being believed (BENCH_NOTES round 12).
   */
 object StreamScale {
   private val Queries = Seq(
@@ -59,12 +67,27 @@ object StreamScale {
       q.awaitTermination()
       (System.nanoTime() - t0) / 1e9
     }
+    // Suite scope + run count: unknown names are dropped loudly (the
+    // Bench SPARK_GRAFT_SCALE_SUITE discipline), malformed run counts
+    // fall back to the default instead of crashing the measurement.
+    val suite = sys.env.get("SPARK_GRAFT_STREAM_SUITE") match {
+      case None => Queries
+      case Some(csv) =>
+        val asked = csv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val (known, unknown) = asked.partition(Queries.contains)
+        if (unknown.nonEmpty)
+          System.err.println(s"[streamscale] unknown query names skipped: " +
+            unknown.mkString(","))
+        known
+    }
+    val nRuns = math.max(1, scala.util.Try(
+      sys.env("SPARK_GRAFT_STREAM_RUNS").trim.toInt).getOrElse(2))
     Seq(base, scaled).filter(d => new java.io.File(d).exists).foreach { dir =>
       val n = graft.core.Tables.t(spark, dir, "events").count()
       graft.streaming.StreamingOps.prepareChunks(spark, dir) // warm fixture
-      Queries.foreach { name =>
+      suite.foreach { name =>
         runOnce(name, dir) // warm pass: plan compile + codegen
-        val secs = (0 until 2).map(_ => runOnce(name, dir))
+        val secs = (0 until nRuns).map(_ => runOnce(name, dir))
         val best = secs.min
         println(f"""{"query":"$name","dir":"$dir","events":$n,"sink":"noop","runs":[${secs.map(s => f"$s%.3f").mkString(",")}],"min_sec":$best%.3f,"events_per_sec":${(n / best).toLong}}""")
       }
