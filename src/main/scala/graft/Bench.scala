@@ -369,16 +369,8 @@ object Bench {
         // block — e.g. the sf1→sf10 decade excludes the embedding-family
         // queries whose sf10 fixture transform is documented as lossy
         // (BENCH_NOTES.md). Unknown names are dropped loudly, not run.
-        val suite = sys.env.get("SPARK_GRAFT_SCALE_SUITE") match {
-          case None => scaleSuite
-          case Some(csv) =>
-            val asked = csv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-            val (known, unknown) = asked.partition(SparkEntry.queries.contains)
-            if (unknown.nonEmpty)
-              System.err.println(s"[bench] SPARK_GRAFT_SCALE_SUITE names not in " +
-                s"the registry, skipped: ${unknown.mkString(",")}")
-            known
-        }
+        val suite = graft.core.EnvSuite.scope("SPARK_GRAFT_SCALE_SUITE",
+          scaleSuite, SparkEntry.queries.contains, "bench")
         val extras = suite.filterNot(headline.contains)
         extras.foreach(runAt(_, sfDir)) // warm the non-headline plans
         // Min of two timed passes per dir: the round-5 driver run showed
@@ -426,7 +418,11 @@ object Bench {
     val loadJson = {
       val passes = loadPasses.map(fmt).mkString("[", ",", "]")
       val avg1Key = if (MODE == "grouped") "avg1_blocks" else "avg1_passes"
-      s"""{"$avg1Key":$passes,"stat_busy":${fmt(statBusy)},"ncpu":${Runtime.getRuntime.availableProcessors()},"probe_sec":${fmt(probeSec)},"mem_gb_s":${fmt(memGbS)},"io_mb_s":[${fmt(ioPre)},${fmt(ioPost)}],"io_path":"$ioProbePath"}"""
+      // io_path is the one free-form string in the record (env-supplied
+      // local-dir) — escape it, or a path containing '"' or '\' corrupts
+      // the single JSON line the whole bench contract hangs on.
+      val ioPathJson = ioProbePath.replace("\\", "\\\\").replace("\"", "\\\"")
+      s"""{"$avg1Key":$passes,"stat_busy":${fmt(statBusy)},"ncpu":${Runtime.getRuntime.availableProcessors()},"probe_sec":${fmt(probeSec)},"mem_gb_s":${fmt(memGbS)},"io_mb_s":[${fmt(ioPre)},${fmt(ioPost)}],"io_path":"$ioPathJson"}"""
     }
     // VERDICT r9 item 1 (BENCH_r09.json parsed:null): the compact scale
     // block alone now carries 74 exponent entries (~1.9 kB), so ANY inline

@@ -68,18 +68,10 @@ object StreamScale {
       (System.nanoTime() - t0) / 1e9
     }
     // Suite scope + run count: unknown names are dropped loudly (the
-    // Bench SPARK_GRAFT_SCALE_SUITE discipline), malformed run counts
-    // fall back to the default instead of crashing the measurement.
-    val suite = sys.env.get("SPARK_GRAFT_STREAM_SUITE") match {
-      case None => Queries
-      case Some(csv) =>
-        val asked = csv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        val (known, unknown) = asked.partition(Queries.contains)
-        if (unknown.nonEmpty)
-          System.err.println(s"[streamscale] unknown query names skipped: " +
-            unknown.mkString(","))
-        known
-    }
+    // shared EnvSuite contract), malformed run counts fall back to the
+    // default instead of crashing the measurement.
+    val suite = graft.core.EnvSuite.scope("SPARK_GRAFT_STREAM_SUITE",
+      Queries, Queries.contains, "streamscale")
     val nRuns = math.max(1, scala.util.Try(
       sys.env("SPARK_GRAFT_STREAM_RUNS").trim.toInt).getOrElse(2))
     Seq(base, scaled).filter(d => new java.io.File(d).exists).foreach { dir =>

@@ -245,10 +245,18 @@ def bench(bench_json):
         # (Only consulted at all when the suite median actually inflated,
         # so a throttled pre-sample next to a healthy suite cannot relax
         # anything.)
+        # The healthy-side witness on the PREVIOUS round is its MAX
+        # sample, not its min (round-12 review): Bench samples io twice
+        # exactly because one end can catch a transient throttle next to
+        # a healthy suite, so prev io=[35, 310] is a round whose device
+        # could deliver 310 MB/s — requiring prev MIN >= floor would let
+        # that one stray sample permanently disable disk corroboration
+        # against the epoch. Degraded-vs-degraded stays blocked: a round
+        # whose MAX never left the throttle band has no healthy witness.
         IO_FLOOR = float(os.environ.get("GATE_BENCH_IO_FLOOR", "100"))
         io_corroborated = (
             cur_io is not None and prev_io is not None
-            and cur_io[0] < IO_FLOOR <= prev_io[0]
+            and cur_io[0] < IO_FLOOR <= prev_io[1]
             and cur_io[0] < prev_io[0] * 0.70)
         # Memory-stream bandwidth (r11 follow-up): the register-only CPU
         # probe misses host memory/LLC contention, which Spark's scan and

@@ -39,9 +39,19 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LINE = re.compile(r"^(q\S+)\s+corpus=\s*(\d+)\s+scratch=\s*(\d+)")
 
 
+def read_lines(path, what):
+    # On-format failure (round-12 review, same contract class as the
+    # registry.json handler below): a missing/unreadable input emits the
+    # tool's own 'scan_check FAIL: ...' line, not a raw traceback.
+    try:
+        return open(path).read().splitlines()
+    except OSError as e:
+        sys.exit(f"scan_check FAIL: {what} unreadable ({path}): {e}")
+
+
 def parse_probe(path):
     seen = {}
-    for ln in open(path):
+    for ln in read_lines(path, "probe_log"):
         m = LINE.match(ln.strip())
         if m:
             seen[m.group(1)] = int(m.group(2))
@@ -50,12 +60,16 @@ def parse_probe(path):
 
 def parse_budget(path):
     budget = {}
-    for ln in open(path):
+    for ln in read_lines(path, "budget_file"):
         ln = ln.split("#", 1)[0].strip()
         if not ln:
             continue
-        name, cap = ln.split()
-        budget[name] = int(cap)
+        try:
+            name, cap = ln.split()
+            budget[name] = int(cap)
+        except ValueError as e:
+            sys.exit(f"scan_check FAIL: budget_file line malformed "
+                     f"({path}): {ln!r} ({e})")
     return budget
 
 
@@ -74,9 +88,12 @@ def main():
         # registry.json (e.g. a gate run against a build predating Verify's
         # registry.json emission) must follow the tool's own 'scan_check
         # FAIL: ...' diagnostic contract, not die with a raw traceback.
+        # TypeError included (round-12 review): a registry file holding a
+        # JSON scalar (null from a truncated emission, a bare number)
+        # parses fine and then blows up in set() — same contract applies.
         try:
             registry = set(json.load(open(sys.argv[3])))
-        except (OSError, ValueError) as e:
+        except (OSError, ValueError, TypeError) as e:
             print(f"scan_check FAIL: registry_json unreadable "
                   f"({sys.argv[3]}): {e}")
             return 1

@@ -37,19 +37,35 @@ KNEE_FRACTION = float(os.environ.get("STREAM_DIFF_KNEE", "0.5"))
 
 
 def read_records(path):
+    # On-format failures (round-12 review, same contract class as
+    # scan_check): a mistyped path, a moved epoch file, or one truncated
+    # jsonl line must emit the 'stream_diff FAIL: ...' line the rest of
+    # the gate tooling greps for, not a raw traceback.
     recs = {}
-    for ln in open(path):
+    try:
+        lines = open(path).read().splitlines()
+    except OSError as e:
+        sys.exit(f"stream_diff FAIL: {path} unreadable: {e}")
+    for ln in lines:
         ln = ln.strip()
         if not ln or ln.startswith("#"):
             continue
-        d = json.loads(ln)
-        recs[(d["query"], os.path.basename(d["dir"].rstrip("/")))] = d
+        try:
+            d = json.loads(ln)
+            recs[(d["query"], os.path.basename(d["dir"].rstrip("/")))] = d
+        except (ValueError, KeyError, TypeError, AttributeError) as e:
+            sys.exit(f"stream_diff FAIL: malformed record line in {path} "
+                     f"({e}): {ln[:120]}")
     return recs
 
 
 def epoch_path():
     pointer = os.path.join(REPO, "bench_evidence", "STREAM_EPOCH.txt")
-    for ln in open(pointer):
+    try:
+        lines = open(pointer).read().splitlines()
+    except OSError as e:
+        sys.exit(f"stream_diff FAIL: epoch pointer {pointer} unreadable: {e}")
+    for ln in lines:
         if ln.startswith("epoch:"):
             return os.path.join(REPO, ln.split(":", 1)[1].strip())
     sys.exit(f"stream_diff FAIL: no 'epoch:' line in {pointer}")
@@ -71,6 +87,15 @@ def main():
         if n is None:
             failures.append(f"{q}@{d}: in epoch but missing from new run")
             continue
+        # Zero guard (round-12 review): an empty events table yields
+        # events_per_sec=0 — a measurement defect, not a throughput; FAIL
+        # it on-format instead of dividing by it.
+        if e["events_per_sec"] <= 0 or n["events_per_sec"] <= 0:
+            failures.append(f"{q}@{d}: non-positive events_per_sec "
+                            f"(new {n['events_per_sec']}, epoch "
+                            f"{e['events_per_sec']}) — empty events table "
+                            "or broken measurement")
+            continue
         ratio = n["events_per_sec"] / e["events_per_sec"]
         if ratio < 1.0 / TOLERANCE:
             failures.append(f"{q}@{d}: {n['events_per_sec']:,} ev/s vs epoch "
@@ -89,6 +114,8 @@ def main():
     for q, rows in sorted(by_query.items()):
         rows = sorted(rows, key=lambda r: r["events"])
         for small, big in zip(rows, rows[1:]):
+            if small["events_per_sec"] <= 0:
+                continue  # already FAILed on-format above
             frac = big["events_per_sec"] / small["events_per_sec"]
             if frac < KNEE_FRACTION:
                 failures.append(
