@@ -312,6 +312,17 @@ object Bench {
     def fmt(d: Double): String =
       if (d < 0) "-1"
       else String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
+    // JSON string escape for every env-supplied path in the record
+    // (sfDir, scaleDir, io_path — round-12 review): a quote or backslash
+    // in any of them corrupts the single stdout line the driver parses,
+    // and an embedded newline splits the one-line contract even with
+    // quotes escaped, so control chars become \u escapes.
+    def jsonStr(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     def medObj(rs: Seq[(String, (Double, Double))]): String =
       rs.map { case (k, (med, _)) => "\"" + k + "\":" + fmt(med) }
         .mkString("{", ",", "}")
@@ -400,8 +411,8 @@ object Bench {
             else math.log(big(n) / base(n)) / math.log(factor)
           "\"" + n + "\":" + (math.round(e * 100) / 100.0)
         }.mkString("{", ",", "}")
-        (s"""{"dir":"$scaleDir","factor":$factor,"exponents":$exps}""",
-          s"""{"dir":"$scaleDir","factor":$factor,"base_sec":${obj(base)},"scaled_sec":${obj(big)},"exponents":$exps}""")
+        (s"""{"dir":"${jsonStr(scaleDir)}","factor":$factor,"exponents":$exps}""",
+          s"""{"dir":"${jsonStr(scaleDir)}","factor":$factor,"base_sec":${obj(base)},"scaled_sec":${obj(big)},"exponents":$exps}""")
       }
     // Load metadata: 1-min load-average samples plus the /proc/stat busy
     // fraction across the whole run. The load-sample key is MODE-specific
@@ -418,10 +429,7 @@ object Bench {
     val loadJson = {
       val passes = loadPasses.map(fmt).mkString("[", ",", "]")
       val avg1Key = if (MODE == "grouped") "avg1_blocks" else "avg1_passes"
-      // io_path is the one free-form string in the record (env-supplied
-      // local-dir) — escape it, or a path containing '"' or '\' corrupts
-      // the single JSON line the whole bench contract hangs on.
-      val ioPathJson = ioProbePath.replace("\\", "\\\\").replace("\"", "\\\"")
+      val ioPathJson = jsonStr(ioProbePath)
       s"""{"$avg1Key":$passes,"stat_busy":${fmt(statBusy)},"ncpu":${Runtime.getRuntime.availableProcessors()},"probe_sec":${fmt(probeSec)},"mem_gb_s":${fmt(memGbS)},"io_mb_s":[${fmt(ioPre)},${fmt(ioPost)}],"io_path":"$ioPathJson"}"""
     }
     // VERDICT r9 item 1 (BENCH_r09.json parsed:null): the compact scale
@@ -435,11 +443,11 @@ object Bench {
       if (!scaleEnabled) "{}"
       else s"""{"detail":"prior stdout line + /tmp/graft_bench.json"}"""
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"meta":$metaQs,"meta_min":$metaQsMin,"reps":$REPS,"mode":"$MODE","sf":"$sfDir","load":$loadJson,"scale":$scaleStub}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"meta":$metaQs,"meta_min":$metaQsMin,"reps":$REPS,"mode":"$MODE","sf":"${jsonStr(sfDir)}","load":$loadJson,"scale":$scaleStub}"""
     val scaleLine =
       if (scaleEnabled) Some(s"""{"metric":"scale","scale":$scaleJson}""") else None
     val jsonFull =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"meta":$metaQs,"meta_min":$metaQsMin,"reps":$REPS,"mode":"$MODE","sf":"$sfDir","load":$loadJson,"scale":$scaleJsonFull}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"meta":$metaQs,"meta_min":$metaQsMin,"reps":$REPS,"mode":"$MODE","sf":"${jsonStr(sfDir)}","load":$loadJson,"scale":$scaleJsonFull}"""
     // Contract hardening (round-1 driver recorded parsed:null): stop Spark
     // FIRST so no late log line can land after the JSON, mirror the JSON to
     // a well-known file, then emit it as the final bare stdout line. Log

@@ -10,14 +10,21 @@ package graft.core
 object EnvSuite {
   def scope(envVar: String, default: Seq[String], isKnown: String => Boolean,
       tag: String): Seq[String] =
-    sys.env.get(envVar) match {
+    scopeCsv(sys.env.get(envVar), default, isKnown, s"[$tag] $envVar")
+
+  /** Pure core (spec-testable without env mutation): `csvOpt` = None
+    * means "no scoping requested" → the full default suite; Some(csv)
+    * keeps the asked-for names in their csv order. */
+  private[graft] def scopeCsv(csvOpt: Option[String], default: Seq[String],
+      isKnown: String => Boolean, label: String): Seq[String] =
+    csvOpt match {
       case None => default
       case Some(csv) =>
         val asked = csv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         val (known, unknown) = asked.partition(isKnown)
         if (unknown.nonEmpty)
           System.err.println(
-            s"[$tag] $envVar names not recognized, skipped: " +
+            s"$label names not recognized, skipped: " +
               unknown.mkString(","))
         known
     }

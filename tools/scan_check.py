@@ -39,6 +39,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LINE = re.compile(r"^(q\S+)\s+corpus=\s*(\d+)\s+scratch=\s*(\d+)")
 
 
+def fail(msg):
+    # One stream for the greppable contract: every 'scan_check FAIL:'
+    # line goes to stdout like the budget-overrun failures in main() —
+    # sys.exit(str) would print to stderr and split the contract
+    # (round-12 review).
+    print(f"scan_check FAIL: {msg}")
+    sys.exit(1)
+
+
 def read_lines(path, what):
     # On-format failure (round-12 review, same contract class as the
     # registry.json handler below): a missing/unreadable input emits the
@@ -46,7 +55,7 @@ def read_lines(path, what):
     try:
         return open(path).read().splitlines()
     except OSError as e:
-        sys.exit(f"scan_check FAIL: {what} unreadable ({path}): {e}")
+        fail(f"{what} unreadable ({path}): {e}")
 
 
 def parse_probe(path):
@@ -68,8 +77,7 @@ def parse_budget(path):
             name, cap = ln.split()
             budget[name] = int(cap)
         except ValueError as e:
-            sys.exit(f"scan_check FAIL: budget_file line malformed "
-                     f"({path}): {ln!r} ({e})")
+            fail(f"budget_file line malformed ({path}): {ln!r} ({e})")
     return budget
 
 

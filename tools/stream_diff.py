@@ -36,39 +36,57 @@ TOLERANCE = float(os.environ.get("STREAM_DIFF_TOLERANCE", "1.3"))
 KNEE_FRACTION = float(os.environ.get("STREAM_DIFF_KNEE", "0.5"))
 
 
+def fail(msg):
+    # Every failure exits through here so the greppable 'stream_diff
+    # FAIL:' contract lands on ONE stream (stdout, like the budget/
+    # throughput failures) — sys.exit(str) would print to stderr and
+    # split the contract across streams (round-12 review).
+    print(f"stream_diff FAIL: {msg}")
+    sys.exit(1)
+
+
+def read_lines(path, what):
+    try:
+        return open(path).read().splitlines()
+    except OSError as e:
+        fail(f"{what} unreadable ({path}): {e}")
+
+
 def read_records(path):
     # On-format failures (round-12 review, same contract class as
-    # scan_check): a mistyped path, a moved epoch file, or one truncated
-    # jsonl line must emit the 'stream_diff FAIL: ...' line the rest of
-    # the gate tooling greps for, not a raw traceback.
+    # scan_check): a mistyped path, a moved epoch file, a truncated jsonl
+    # line, or a record missing/zeroing a required field must emit the
+    # 'stream_diff FAIL: ...' line the rest of the gate tooling greps
+    # for, not a raw traceback — and must never pass silently. Field
+    # validation lives HERE so it covers new-only (query, dir) pairs the
+    # epoch comparison loop would never visit: events_per_sec <= 0 is an
+    # empty events table or broken measurement, not a throughput.
     recs = {}
-    try:
-        lines = open(path).read().splitlines()
-    except OSError as e:
-        sys.exit(f"stream_diff FAIL: {path} unreadable: {e}")
-    for ln in lines:
+    for ln in read_lines(path, "records file"):
         ln = ln.strip()
         if not ln or ln.startswith("#"):
             continue
         try:
             d = json.loads(ln)
-            recs[(d["query"], os.path.basename(d["dir"].rstrip("/")))] = d
+            key = (d["query"], os.path.basename(d["dir"].rstrip("/")))
+            if not (isinstance(d["events"], (int, float))
+                    and isinstance(d["events_per_sec"], (int, float))):
+                raise TypeError("events/events_per_sec not numeric")
+            if d["events_per_sec"] <= 0:
+                raise ValueError("non-positive events_per_sec — empty "
+                                 "events table or broken measurement")
+            recs[key] = d
         except (ValueError, KeyError, TypeError, AttributeError) as e:
-            sys.exit(f"stream_diff FAIL: malformed record line in {path} "
-                     f"({e}): {ln[:120]}")
+            fail(f"malformed record line in {path} ({e}): {ln[:120]}")
     return recs
 
 
 def epoch_path():
     pointer = os.path.join(REPO, "bench_evidence", "STREAM_EPOCH.txt")
-    try:
-        lines = open(pointer).read().splitlines()
-    except OSError as e:
-        sys.exit(f"stream_diff FAIL: epoch pointer {pointer} unreadable: {e}")
-    for ln in lines:
+    for ln in read_lines(pointer, "epoch pointer"):
         if ln.startswith("epoch:"):
             return os.path.join(REPO, ln.split(":", 1)[1].strip())
-    sys.exit(f"stream_diff FAIL: no 'epoch:' line in {pointer}")
+    fail(f"no 'epoch:' line in {pointer}")
 
 
 def main():
@@ -76,25 +94,21 @@ def main():
         print(__doc__)
         return 2
     new = read_records(sys.argv[1])
-    epoch = read_records(sys.argv[2] if len(sys.argv) > 2 else epoch_path())
+    epochf = sys.argv[2] if len(sys.argv) > 2 else epoch_path()
+    epoch = read_records(epochf)
     if not new:
-        print(f"stream_diff FAIL: no records parsed from {sys.argv[1]}")
-        return 1
+        fail(f"no records parsed from {sys.argv[1]}")
+    # An empty epoch must fail too (round-12 review): zero comparison
+    # pairs would print OK with nothing compared — a regression passing
+    # because the baseline file was truncated to comments.
+    if not epoch:
+        fail(f"no records parsed from epoch file {epochf}")
     failures, notes = [], []
     for key, e in sorted(epoch.items()):
         n = new.get(key)
         q, d = key
         if n is None:
             failures.append(f"{q}@{d}: in epoch but missing from new run")
-            continue
-        # Zero guard (round-12 review): an empty events table yields
-        # events_per_sec=0 — a measurement defect, not a throughput; FAIL
-        # it on-format instead of dividing by it.
-        if e["events_per_sec"] <= 0 or n["events_per_sec"] <= 0:
-            failures.append(f"{q}@{d}: non-positive events_per_sec "
-                            f"(new {n['events_per_sec']}, epoch "
-                            f"{e['events_per_sec']}) — empty events table "
-                            "or broken measurement")
             continue
         ratio = n["events_per_sec"] / e["events_per_sec"]
         if ratio < 1.0 / TOLERANCE:
@@ -114,8 +128,7 @@ def main():
     for q, rows in sorted(by_query.items()):
         rows = sorted(rows, key=lambda r: r["events"])
         for small, big in zip(rows, rows[1:]):
-            if small["events_per_sec"] <= 0:
-                continue  # already FAILed on-format above
+            # events_per_sec > 0 guaranteed by read_records validation.
             frac = big["events_per_sec"] / small["events_per_sec"]
             if frac < KNEE_FRACTION:
                 failures.append(
