@@ -30,11 +30,18 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // Remove any stale output from a previous run so the compare step
         // reports a hard failure instead of silently passing on old data.
-        val stale = new java.io.File(s"$outDir/$name")
-        if (stale.exists) {
-          stale.listFiles().foreach(_.delete())
-          stale.delete()
+        // Recursive (round-12 review): a failed write can leave a nested
+        // _temporary tree that a flat listFiles().delete() skips, and
+        // listFiles() is null on a plain file — either would leave stale
+        // output (or abort the remaining queries) exactly when the dump
+        // is already in a failure path.
+        def rmRec(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rmRec)
+          f.delete()
         }
+        val stale = new java.io.File(s"$outDir/$name")
+        if (stale.exists) rmRec(stale)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

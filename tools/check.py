@@ -42,6 +42,15 @@ def main():
             continue
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # A scoping name with no oracle entry must hard-fail (round-12
+    # review): a typo'd query name — or a non-SQL-expressible query that
+    # has no oracle — would otherwise report '0 passed, 0 failed' with
+    # exit 0, a green result for a check that never ran.
+    unknown = only - set(oracle)
+    if unknown:
+        print(f"FAIL: no oracle_sql.json entry for: {sorted(unknown)} "
+              "(typo, or a rows-only query with no DuckDB oracle)")
+        sys.exit(1)
     failed, passed, skipped, skews = [], [], [], []
     for name in sorted(oracle):
         if only and name not in only:
@@ -72,7 +81,14 @@ def main():
             got_schema = con.execute(
                 "SELECT * FROM read_parquet([" + ",".join(f"'{f}'" for f in files)
                 + "]) LIMIT 0").arrow().schema
-            exp_schema = con.execute(oracle[name] + " LIMIT 0").arrow().schema
+            # Subquery-wrap, don't suffix (round-12 review): 13 oracles
+            # end in their own LIMIT n, so `<oracle> LIMIT 0` was a parse
+            # error the old bare except swallowed — the skew probe had
+            # silently never run for those queries. The wrap is
+            # parse-safe for ORDER BY/LIMIT and WITH-CTE shapes alike.
+            exp_schema = con.execute(
+                f"SELECT * FROM ({oracle[name]}) AS _probe LIMIT 0"
+            ).arrow().schema
             gt = {f.name: str(f.type) for f in got_schema}
             et = {f.name: str(f.type) for f in exp_schema}
             for c in sorted(gt):
@@ -80,8 +96,14 @@ def main():
                     print(f"WARN {name}: arrow type skew on '{c}': "
                           f"spark={gt[c]} duck={et[c]}")
                     skews.append((name, c, gt[c], et[c]))
-        except Exception:
-            pass
+        except Exception as e:
+            # Fail closed (round-12 review): a probe that cannot run
+            # (pyarrow absent, oracle SQL that breaks under ' LIMIT 0'
+            # suffixing) is a skew check that did NOT happen — the exact
+            # divergence class the driver's Arrow-level hash fails on
+            # would pass silently here if this were swallowed.
+            print(f"WARN {name}: arrow skew probe unavailable ({e})")
+            skews.append((name, "<probe-error>", str(e), ""))
         gidx = [got_cols.index(c) for c in sorted(got_cols)]
         eidx = [exp_cols.index(c) for c in sorted(exp_cols)]
         g = sorted(tuple(canon(r[i]) for i in gidx) for r in got)

@@ -15,8 +15,11 @@ import hashlib, os, sys
 
 def fp(d):
     h = hashlib.md5()
+    # Determinism comes from the outer sorted() over the EXHAUSTED walk —
+    # an in-loop dirs.sort() would be dead code here (the generator is
+    # already consumed) and must not be mistaken for the ordering
+    # mechanism (round-12 review).
     for root, dirs, files in sorted(os.walk(d)):
-        dirs.sort()
         for f in sorted(files):
             if not f.endswith(".parquet"):
                 continue

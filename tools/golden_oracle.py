@@ -30,11 +30,21 @@ def lit(v):
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, float):
+        # NaN/inf first (round-12 review): repr gives bare 'nan'/'inf'
+        # tokens, which DuckDB binds as column references ("Referenced
+        # column nan not found") — the special values need the quoted
+        # cast form.
+        if v != v:
+            return "'NaN'::DOUBLE"
+        if v == float("inf"):
+            return "'Infinity'::DOUBLE"
+        if v == float("-inf"):
+            return "'-Infinity'::DOUBLE"
         # 'e0' forces DuckDB to parse as DOUBLE (correctly-rounded
         # string->double). A plain decimal literal becomes DECIMAL, and
         # DECIMAL->FLOAT can land 1 ulp off the Spark float32 value.
         r = repr(v)
-        return r if ("e" in r or "n" in r) else r + "e0"
+        return r if "e" in r else r + "e0"
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
     return str(v)
@@ -58,6 +68,14 @@ def main():
                          f"(column {f.name}) — extend ARROW_TO_DUCK")
             types.append(t)
         rows = con.execute(f"SELECT * FROM {src}").fetchall()
+        # Zero rows would emit `FROM (VALUES )` — invalid SQL discovered
+        # only at gate time (round-12 review). An empty deterministic
+        # result is almost certainly a broken dump; fail here with the
+        # fix path instead of printing a broken oracle.
+        if not rows:
+            sys.exit(f"{q}: dump has 0 rows — refusing to emit an empty "
+                     "VALUES table (use a `SELECT ... WHERE 1=0` oracle "
+                     "by hand if the query's correct output is empty)")
         # Deterministic row order in the emitted SQL (the compare sorts
         # anyway; this keeps regeneration diffs reviewable).
         rows = sorted(rows, key=lambda r: tuple(str(x) for x in r))

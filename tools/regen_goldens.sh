@@ -18,14 +18,27 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 SF="${1:-/root/testdata/sf0.01}"
-GOLDEN_QUERIES=(q_bpe_encode q_multimodal_features q_ann_ivf q_ann_lsh
-                q_ann_pq q_ann_ivfpq q43_minhash_lsh)
+# One source of truth (round-12 review): derive the golden-query list
+# from GoldenOracles.scala itself — a hardcoded copy here silently
+# skipped any future golden at regen time, leaving it stale until the
+# gate hash-FAILed with no hint the regen was incomplete.
+mapfile -t GOLDEN_QUERIES < <(
+  grep -oE '^\s*"[^"]+" -> """' src/main/scala/graft/queries/GoldenOracles.scala \
+    | sed -E 's/^\s*"([^"]+)".*/\1/')
+if [[ ${#GOLDEN_QUERIES[@]} -eq 0 ]]; then
+  echo "regen_goldens FAIL: no golden keys parsed from GoldenOracles.scala" >&2
+  exit 1
+fi
+echo "golden queries (from GoldenOracles.scala): ${GOLDEN_QUERIES[*]}"
 
 rm -rf /tmp/golden_a /tmp/golden_b
 SPARK_GRAFT_CPUS=4  sbt -batch "runMain graft.Verify $SF /tmp/golden_a ${GOLDEN_QUERIES[*]}" > /tmp/golden_a.log 2>&1
 SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Verify $SF /tmp/golden_b ${GOLDEN_QUERIES[*]}" > /tmp/golden_b.log 2>&1
 
-python3 - "$SF" "${GOLDEN_QUERIES[@]}" <<'EOF'
+# argv[1:] is the query list — the A/B dirs are the fixed /tmp paths the
+# dump step above just wrote (round-12 review: $SF was passed but unused,
+# reading as if the compare were parameterized by scale dir).
+python3 - "${GOLDEN_QUERIES[@]}" <<'EOF'
 import duckdb, glob, sys
 con = duckdb.connect()
 def canon(d, q):
@@ -36,7 +49,7 @@ def canon(d, q):
     rel = con.execute(f"SELECT * FROM {src}")
     cols = sorted(range(len(rel.description)), key=lambda i: rel.description[i][0])
     return sorted(tuple(str(r[i]) for i in cols) for r in rel.fetchall())
-for q in sys.argv[2:]:
+for q in sys.argv[1:]:
     a, b = canon("/tmp/golden_a", q), canon("/tmp/golden_b", q)
     if a != b:
         sys.exit(f"A/B FAIL: {q} differs between local[4] and local[32] — "
