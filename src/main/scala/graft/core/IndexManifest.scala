@@ -47,9 +47,15 @@ object IndexManifest {
       .mkString("{", ",", "}")
     val (p, fs) = fsPath(s, indexDir)
     val out = fs.create(p, true)
-    val w = new java.io.PrintWriter(new java.io.OutputStreamWriter(
-      out, java.nio.charset.StandardCharsets.UTF_8))
-    try w.println(json) finally w.close()
+    // Plain writer, not PrintWriter (round-12 review): PrintWriter
+    // swallows IOExceptions into an unchecked error flag, so a failed
+    // close-time flush (HDFS/S3 lease or quota error) would report a
+    // successful build with a missing/truncated manifest — breaking the
+    // "manifest presence certifies a complete build" invariant. Write
+    // and close must propagate.
+    val w = new java.io.OutputStreamWriter(
+      out, java.nio.charset.StandardCharsets.UTF_8)
+    try { w.write(json); w.write('\n') } finally w.close()
   }
 
   /** Delete the manifest if present. Builders call this FIRST, before
@@ -61,7 +67,15 @@ object IndexManifest {
     * manifest's presence certify a complete build in every case. */
   def invalidate(s: SparkSession, indexDir: String): Unit = {
     val (p, fs) = fsPath(s, indexDir)
-    if (fs.exists(p)) fs.delete(p, false)
+    // Hadoop delete reports failure by returning FALSE (permissions,
+    // leases), not only by throwing — an ignored false would leave the
+    // OLD manifest certifying whatever mix of tables the rebuild dies
+    // between, the exact wreck delete-first exists to prevent (round-12
+    // review). Re-check exists to tolerate a concurrent delete.
+    if (fs.exists(p) && !fs.delete(p, false) && fs.exists(p))
+      throw new java.io.IOException(
+        s"IndexManifest.invalidate: could not delete $p — refusing to " +
+          "start a rebuild under a stale manifest")
   }
 
   /** Read the manifest; empty map if absent (callers decide how to fail).

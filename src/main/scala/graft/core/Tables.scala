@@ -26,6 +26,16 @@ object Tables {
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
+      // DELIBERATELY left set for the session (round-12 review looked at
+      // restoring it): the conf is consulted again task-side when the
+      // scan executes (the Parquet reader's schema conversion reads a
+      // hadoopConf snapshot taken at physical planning, not at load), so
+      // a load-then-restore would break the deferred events read.
+      // Session-wide effect: any OTHER table with a TIMESTAMP(NANOS)
+      // column read after this call comes back as LongType — no current
+      // fixture table has one (only events ever shipped nanos), and
+      // normEventTs branches on the read dtype so every events layout
+      // still normalizes identically regardless of load order.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       normEventTs(spark.read.parquet(s"$dir/$name.parquet"))
     } else spark.read.parquet(s"$dir/$name.parquet")

@@ -55,10 +55,22 @@ object TempDirs {
     registered.clear()
   }
 
+  // Round-12 review hardening: the walk Stream must be closed (javadoc
+  // contract), and a traversal failure on ONE dir (AccessDenied subdir,
+  // entry vanishing mid-walk — surfaces as UncheckedIOException from the
+  // iterator) must not escape: in cleanupAll's loop it would abort the
+  // sweep before registered.clear(), leaking every later-registered dir,
+  // and in the shutdown hook it would silently kill the hook thread.
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverseIterator
-        .foreach(f => try Files.deleteIfExists(f) catch { case _: java.io.IOException => () })
+    try {
+      if (Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        val walk = Files.walk(p)
+        val all = try walk.iterator().asScala.toSeq finally walk.close()
+        all.reverseIterator.foreach(f =>
+          try Files.deleteIfExists(f) catch { case _: java.io.IOException => () })
+      }
+    } catch {
+      case _: java.io.IOException | _: java.io.UncheckedIOException => ()
     }
 }

@@ -36,10 +36,19 @@ object ReuseProbe {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", false).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    println(f"${"query"}%-24s scans reusedEx reusedSub")
+    println(f"${"query"}%-24s corpus scratch reusedStages reusedNodes")
     names.foreach { n =>
       val df = graft.SparkEntry.queries(n)(spark, dir)
-      df.write.mode("overwrite").format("noop").save()
+      // Execute df's OWN QueryExecution (round-12 review): a
+      // df.write...save() builds and runs a SEPARATE QueryExecution for
+      // the write command, leaving df.queryExecution un-executed — its
+      // AdaptiveSparkPlanExec then reports the INITIAL plan (no query
+      // stages, no reuse markers), so reusedStages read 0 structurally
+      // and scan counts came from the pre-AQE tree. toRdd is the same
+      // instance's executedPlan.execute(); count() drives it to
+      // completion distributed-side with zero driver-side row
+      // materialization, and AQE finalizes in doExecute.
+      df.queryExecution.toRdd.count()
       // The executed tree string includes finalized AQE subtrees plus
       // reuse markers; count node labels on it.
       val plan = df.queryExecution.executedPlan

@@ -90,6 +90,12 @@ if [[ "${SKIP_BENCH:-0}" != "1" ]]; then
   # rc captured via `|| rc=$?`, NOT `if ! ...; then rc=$?` — the negated
   # pipeline leaves $? as 0 inside the then-branch, which would report
   # every timeout as "crashed (rc=0)" and hide the rc-124 diagnosis.
+  # Clear the stale mirror first (round-12 review): Bench warns-but-
+  # succeeds when the mirror write fails, and gate_diff has no staleness
+  # guard — a leftover /tmp/graft_bench.json from a previous run would
+  # green-light THIS run against numbers it never produced (the same
+  # stale-output class the /tmp/gate_verify rm above exists for).
+  rm -f /tmp/graft_bench.json
   rc=0
   timeout "$GATE_BENCH_TIMEOUT" env SPARK_GRAFT_SF_DIR="$SF_BENCH" \
       sbt -batch "runMain graft.Bench" > /tmp/gate_bench.log 2>&1 || rc=$?
@@ -104,7 +110,13 @@ if [[ "${SKIP_BENCH:-0}" != "1" ]]; then
   fi
   # Tail-parse: the driver reads the last line of a 2000-char stdout tail.
   python3 tools/tail_parse.py /tmp/gate_bench.log
-  # Bench mirrors its one-line JSON contract to /tmp/graft_bench.json.
+  # Bench mirrors its one-line JSON contract to /tmp/graft_bench.json;
+  # its absence after a rc-0 run means the mirror write failed (Bench
+  # only warns) — fail rather than diffing nothing.
+  if [[ ! -f /tmp/graft_bench.json ]]; then
+    echo "GATE FAIL: Bench finished but wrote no /tmp/graft_bench.json mirror"
+    exit 1
+  fi
   python3 tools/gate_diff.py bench /tmp/graft_bench.json
 else
   echo "== gate 3/3: bench skipped (SKIP_BENCH=1) =="

@@ -39,8 +39,13 @@ def main():
         print(f"  {last[:200]}")
         return 1
     if not isinstance(rec, dict) or rec.get("metric") != "total":
+        # .get only exists on dicts — a bare JSON scalar/array here would
+        # otherwise turn the diagnostic itself into an AttributeError
+        # traceback (round-12 review).
+        what = (f"metric={rec.get('metric')!r}" if isinstance(rec, dict)
+                else f"a JSON {type(rec).__name__}, not an object")
         print(f"tail_parse FAIL: last tail line parses but is not the "
-              f"headline record (metric={rec.get('metric')!r})")
+              f"headline record ({what})")
         return 1
     queries = rec.get("queries")
     if not isinstance(queries, dict) or not queries:
