@@ -405,14 +405,40 @@ object Bench {
         val big = minOfTwo(scaleDir)
         def obj(m: Map[String, Double]) = suite
           .map(n => "\"" + n + "\":" + fmt(m(n))).mkString("{", ",", "}")
-        val exps = suite.map { n =>
+        def expObj(denom: Double) = suite.map { n =>
           val e =
-            if (base(n) <= 0 || big(n) <= 0) -1.0
-            else math.log(big(n) / base(n)) / math.log(factor)
+            if (base(n) <= 0 || big(n) <= 0 || denom <= 1.0) -1.0
+            else math.log(big(n) / base(n)) / math.log(denom)
           "\"" + n + "\":" + (math.round(e * 100) / 100.0)
         }.mkString("{", ",", "}")
-        (s"""{"dir":"${jsonStr(scaleDir)}","factor":$factor,"exponents":$exps}""",
-          s"""{"dir":"${jsonStr(scaleDir)}","factor":$factor,"base_sec":${obj(base)},"scaled_sec":${obj(big)},"exponents":$exps}""")
+        val exps = expObj(factor)
+        // Byte-honest exponents (VERDICT r12 item 3): ScaleData's token
+        // salting LENGTHENS tokens each expansion level, so the documents
+        // corpus grows MORE than ×factor in bytes (×13.71 measured for
+        // the chained sf1→sf10 decade) and a byte-bound query's RAW time
+        // exponent overreads by up to log10(13.7)≈1.14 against a per-byte
+        // truth of 1.0. The committed record itself now carries the
+        // per-dir corpus char counts and a second exponent map normalized
+        // by the MEASURED byte growth — the honest reading for
+        // byte-bound queries (token explodes, per-char scans); row-bound
+        // queries keep the raw map as theirs. Normalization was a manual
+        // VocabProbe step in round 12; a future reader of this record no
+        // longer has to know to do it.
+        def corpusChars(dir: String): Double = scala.util.Try {
+          spark.read.parquet(s"$dir/documents.parquet")
+            .agg(org.apache.spark.sql.functions.sum(
+              org.apache.spark.sql.functions.length(
+                org.apache.spark.sql.functions.col("text"))))
+            .head().getLong(0).toDouble
+        }.getOrElse(-1.0)
+        val charsBase = corpusChars(sfDir)
+        val charsBig = corpusChars(scaleDir)
+        val bytesFactor =
+          if (charsBase > 0 && charsBig > 0) charsBig / charsBase else -1.0
+        val expsBytes = expObj(bytesFactor)
+        val bytesJson = s""""bytes_factor":${fmt(bytesFactor)},"exponents_bytes":$expsBytes"""
+        (s"""{"dir":"${jsonStr(scaleDir)}","factor":$factor,"exponents":$exps,$bytesJson}""",
+          s"""{"dir":"${jsonStr(scaleDir)}","factor":$factor,"corpus_chars":{"base":${fmt(charsBase)},"scaled":${fmt(charsBig)}},"base_sec":${obj(base)},"scaled_sec":${obj(big)},"exponents":$exps,$bytesJson}""")
       }
     // Load metadata: 1-min load-average samples plus the /proc/stat busy
     // fraction across the whole run. The load-sample key is MODE-specific

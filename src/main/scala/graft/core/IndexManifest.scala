@@ -55,7 +55,23 @@ object IndexManifest {
     // and close must propagate.
     val w = new java.io.OutputStreamWriter(
       out, java.nio.charset.StandardCharsets.UTF_8)
-    try { w.write(json); w.write('\n') } finally w.close()
+    // try-with-resources semantics, not try/finally (ADVICE r12): when
+    // write throws, the finally-close on the same broken stream usually
+    // throws too and would MASK the original write failure — the root
+    // cause this writer exists to surface. Success path: close inside
+    // the try so a close-time flush failure still propagates. Failure
+    // path: best-effort close, suppressed onto the primary.
+    try {
+      w.write(json); w.write('\n')
+      w.close()
+    } catch {
+      case primary: Throwable =>
+        try w.close() catch {
+          case closeErr: Throwable if closeErr ne primary =>
+            primary.addSuppressed(closeErr)
+        }
+        throw primary
+    }
   }
 
   /** Delete the manifest if present. Builders call this FIRST, before

@@ -1,7 +1,11 @@
 package graft.tools
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.{FileSourceScanExec, ReusedSubqueryExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.datasources.v2.{BatchScanExec, FileScan}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 
 /** Runtime exchange-reuse audit: static EXPLAIN (PLANS.md) shows the
   * UN-finalized adaptive plan, where a frame consumed by two branches
@@ -13,8 +17,108 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
   * NOT reused — their shared subtrees ended in broadcast joins or
   * differing partial aggs, which AQE cannot dedupe — and were rewritten;
   * the distinct/agg-shared shapes below reuse fine.)
+  *
+  * Round 13 (VERDICT r12 item 5): the audit walks the executed plan
+  * OBJECTS, not their string rendering. The previous regex-over-
+  * `plan.toString` was brittle against plan-format changes — and the
+  * switch immediately exposed two defects in its counts (177/179 rows
+  * identical, the 2 subquery-bearing plans corrected —
+  * bench_evidence/r13_scan_audit_treewalk.txt): (1) a nested adaptive
+  * subquery prints BOTH its "== Final Plan ==" and "== Initial Plan =="
+  * sections, so the regex double-counted that subquery's FileScan
+  * (q29_subqueries corpus 4→3, q_dpp_prune scratch 3→2); (2) its
+  * duplicate-stage-id reuse detection compared ids across nested
+  * adaptive plans, which each number stages from 0 — a cross-plan id
+  * collision is not reuse (see auditPlan). The walk is pinned by
+  * ReuseProbeSpec against one known-reused and one known-not-reused
+  * shape.
   */
 object ReuseProbe {
+
+  /** One query's executed-plan audit. corpus/scratch = FileScan counts
+    * split by whether the scan's root path is under /testdata/ (scratch
+    * reads of a materialized intermediate are the cheap byproduct of a
+    * barrier, not redundant corpus work). reusedStages = AQE stage
+    * references beyond the first per stage id; reusedNodes =
+    * ReusedExchange + ReusedSubquery markers. */
+  final case class Audit(corpus: Int, scratch: Int, reusedStages: Int,
+      reusedNodes: Int)
+
+  /** Every node of the EXECUTED tree, in print order: recurses through
+    * `AdaptiveSparkPlanExec.executedPlan`, `QueryStageExec.plan` (stages
+    * are LeafExecNodes, so a plain `.collect` stops at them) and each
+    * node's expression subqueries (`QueryPlan.subqueries` — the same
+    * plans the tree string prints as innerChildren). A stage shared by
+    * two parents is visited once per REFERENCE — exactly how
+    * `generateTreeString` prints it — so scan counts keep the replay
+    * semantics the committed budgets were calibrated against.
+    * ReusedExchange/ReusedSubquery are reuse MARKERS (leaf pointers at
+    * another node's output): counted, never descended into. */
+  private def nodes(p: SparkPlan): Seq[SparkPlan] = {
+    val below = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec => nodes(q.plan)
+      case other => other.children.flatMap(nodes)
+    }
+    (p +: below) ++ p.subqueries.flatMap(nodes)
+  }
+
+  /** Object-walk audit of an executed plan (call after the plan has
+    * actually run — on an un-executed AdaptiveSparkPlanExec this would
+    * see the initial plan, the exact blindness fixed in round 12). */
+  def auditPlan(plan: SparkPlan): Audit = {
+    val all = nodes(plan)
+    // v1 FileSourceScanExec covers every format this engine reads
+    // (parquet/orc/csv/json/text/binaryFile are all on Spark's default
+    // v1 list); the BatchScanExec arm keeps the audit honest if a source
+    // ever migrates to DSv2 — non-file v2 scans are not file replays.
+    val scanPaths: Seq[String] = all.flatMap {
+      case f: FileSourceScanExec =>
+        Some(f.relation.location.rootPaths.mkString(","))
+      case b: BatchScanExec => b.scan match {
+        case f: FileScan => Some(f.fileIndex.rootPaths.mkString(","))
+        case _ => None
+      }
+      case _ => None
+    }
+    val corpus = scanPaths.count(_.contains("/testdata/"))
+    // Stage reuse = the same stage OBJECT referenced from two tree
+    // positions. Identity, NOT id numbers: a nested adaptive subquery is
+    // its own AdaptiveSparkPlan with stage ids numbered from 0, so
+    // comparing ids across plans manufactures false "reuse" whenever the
+    // subquery's ShuffleQueryStage 0 meets the outer plan's
+    // BroadcastQueryStage 0 (the r12 string audit's reusedStages=1 on
+    // q29_subqueries was exactly this collision). AQE's actual reuse
+    // path wraps a ReusedExchangeExec in a fresh stage, so the real
+    // runtime-reuse signal is reusedNodes; this counter stays as the
+    // defensive net for a literally-shared stage object.
+    val stageRefs = all.collect { case q: QueryStageExec => q }
+    val distinctStages = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    stageRefs.foreach(distinctStages.add)
+    Audit(
+      corpus = corpus,
+      scratch = scanPaths.length - corpus,
+      reusedStages = stageRefs.length - distinctStages.size,
+      reusedNodes = all.count {
+        case _: ReusedExchangeExec | _: ReusedSubqueryExec => true
+        case _ => false
+      })
+  }
+
+  /** Execute df's OWN QueryExecution and audit the finalized plan.
+    * (Round-12 review: a df.write...save() builds and runs a SEPARATE
+    * QueryExecution for the write command, leaving df.queryExecution
+    * un-executed — its AdaptiveSparkPlanExec then reports the INITIAL
+    * plan, so reuse read 0 structurally and scan counts came from the
+    * pre-AQE tree. toRdd is the same instance's executedPlan.execute();
+    * count() drives it to completion distributed-side with zero
+    * driver-side row materialization, and AQE finalizes in doExecute.) */
+  def audit(df: DataFrame): Audit = {
+    df.queryExecution.toRdd.count()
+    auditPlan(df.queryExecution.executedPlan)
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     // --all: sweep the whole batch registry (streaming queries excluded —
@@ -38,39 +142,9 @@ object ReuseProbe {
     spark.sparkContext.setLogLevel("ERROR")
     println(f"${"query"}%-24s corpus scratch reusedStages reusedNodes")
     names.foreach { n =>
-      val df = graft.SparkEntry.queries(n)(spark, dir)
-      // Execute df's OWN QueryExecution (round-12 review): a
-      // df.write...save() builds and runs a SEPARATE QueryExecution for
-      // the write command, leaving df.queryExecution un-executed — its
-      // AdaptiveSparkPlanExec then reports the INITIAL plan (no query
-      // stages, no reuse markers), so reusedStages read 0 structurally
-      // and scan counts came from the pre-AQE tree. toRdd is the same
-      // instance's executedPlan.execute(); count() drives it to
-      // completion distributed-side with zero driver-side row
-      // materialization, and AQE finalizes in doExecute.
-      df.queryExecution.toRdd.count()
-      // The executed tree string includes finalized AQE subtrees plus
-      // reuse markers; count node labels on it.
-      val plan = df.queryExecution.executedPlan
-      val txt = plan.toString
-      val finalTxt = plan.collectFirst {
-        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
-      }.getOrElse(txt)
-      def c(s: String, k: String) = k.r.findAllIn(s).length
-      // AQE reuse = the SAME query stage id appearing under more than one
-      // parent: count total stage references vs distinct stage ids.
-      val stageIds = "(?:Shuffle|Broadcast)QueryStage (\\d+)".r
-        .findAllMatchIn(finalTxt).map(_.group(1)).toSeq
-      val reused = stageIds.length - stageIds.distinct.length
-      // What matters is CORPUS scans (testdata paths) — scratch-parquet
-      // reads of a materialized intermediate are the cheap byproduct of
-      // the barrier, not redundant work.
-      val scans = "InMemoryFileIndex\\(\\d+ paths\\)\\[([^\\]]*)".r
-        .findAllMatchIn(finalTxt).map(_.group(1)).toSeq
-      val corpus = scans.count(_.contains("/testdata/"))
-      val scratch = scans.length - corpus
-      println(f"$n%-24s corpus=$corpus%2d scratch=$scratch%2d " +
-        f"reusedStages=$reused%2d ${c(finalTxt, "ReusedExchange|ReusedSubquery")}%2d")
+      val a = audit(graft.SparkEntry.queries(n)(spark, dir))
+      println(f"$n%-24s corpus=${a.corpus}%2d scratch=${a.scratch}%2d " +
+        f"reusedStages=${a.reusedStages}%2d reusedNodes=${a.reusedNodes}%2d")
     }
     spark.stop()
   }

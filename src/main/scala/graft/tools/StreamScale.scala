@@ -26,8 +26,40 @@ import org.apache.spark.sql.SparkSession
   * shows as a 1.7× same-binary spread (r11 q_stream_join_right@sf10
   * runs: [58.989, 34.588]), so a single borderline reading is retested
   * min-of-N in isolation before being believed (BENCH_NOTES round 12).
+  *
+  * Round 13 (VERDICT r12 item 2): the run brackets itself with the same
+  * 64 MB fsync'd write probe Bench uses, emitted as `#`-comment JSON
+  * lines stream_diff skips — so a recorded epoch file carries its own
+  * IO-health evidence (the r11 epoch baked in one sample from a
+  * throttled window, which forced a manual adjudication in round 12).
+  * Capture with `grep -E '^#|\"query\"'` to keep the probe lines.
   */
 object StreamScale {
+
+  /** Same methodology as Bench's ioProbeMbS: 64 × 1 MB writes + fsync,
+    * MB/s. Healthy band on this VM per the r11 drift audit: ≥ 179. */
+  private def ioProbeMbS(): Double = {
+    var f: java.io.File = null
+    try {
+      val dir = new java.io.File(
+        sys.env.getOrElse("SPARK_LOCAL_DIRS", "/tmp"))
+      if (!dir.isDirectory) dir.mkdirs()
+      f = java.io.File.createTempFile("graft-io-probe", ".bin", dir)
+      val block = new Array[Byte](1 << 20)
+      new java.util.Random(42).nextBytes(block)
+      val t0 = System.nanoTime()
+      val out = new java.io.FileOutputStream(f)
+      try {
+        var i = 0; while (i < 64) { out.write(block); i += 1 }
+        out.getFD.sync()
+      } finally out.close()
+      64.0 / ((System.nanoTime() - t0) / 1e9)
+    } catch { case _: Throwable => -1.0 }
+    finally if (f != null) f.delete()
+  }
+
+  private def printIoProbe(when: String): Unit =
+    println(f"""# {"io_probe_mb_s":${ioProbeMbS()}%.1f,"when":"$when"}""")
   private val Queries = Seq(
     "q38_stream_tumbling", "q41_stream_dedup", "q_stream_stream_join",
     // Right-outer interval join: same state store as the inner join
@@ -74,6 +106,7 @@ object StreamScale {
       Queries, Queries.contains, "streamscale")
     val nRuns = math.max(1, scala.util.Try(
       sys.env("SPARK_GRAFT_STREAM_RUNS").trim.toInt).getOrElse(2))
+    printIoProbe("pre")
     Seq(base, scaled).filter(d => new java.io.File(d).exists).foreach { dir =>
       val n = graft.core.Tables.t(spark, dir, "events").count()
       graft.streaming.StreamingOps.prepareChunks(spark, dir) // warm fixture
@@ -84,6 +117,7 @@ object StreamScale {
         println(f"""{"query":"$name","dir":"$dir","events":$n,"sink":"noop","runs":[${secs.map(s => f"$s%.3f").mkString(",")}],"min_sec":$best%.3f,"events_per_sec":${(n / best).toLong}}""")
       }
     }
+    printIoProbe("post")
     graft.core.TempDirs.cleanupAll()
     spark.stop()
   }

@@ -33,6 +33,18 @@ def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # Capability probe once up front (ADVICE r12): if the Arrow path is
+    # unavailable (pyarrow absent / broken), the per-query skew probe
+    # below would fail-closed ~200 times — one repeated WARN per query —
+    # instead of one clear diagnostic. The skew check is load-bearing
+    # (the driver hashes via Arrow), so a missing capability is a hard
+    # FAIL, stated once.
+    try:
+        con.execute("SELECT 1 AS one").arrow()
+    except Exception as e:
+        print(f"check FAIL: arrow capability unavailable "
+              f"(pyarrow missing/broken?): {e}")
+        sys.exit(1)
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):
@@ -41,7 +53,16 @@ def main():
         elif not os.path.exists(p):
             continue
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # On-format failure (ADVICE r12, same contract as scan_check/
+    # stream_diff): a missing outDir or oracle_sql.json must emit the
+    # tool's own 'check FAIL: ...' line, not a raw traceback. Fail-closed
+    # either way — this only fixes the diagnostics.
+    try:
+        oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    except (OSError, ValueError) as e:
+        print(f"check FAIL: oracle_sql.json unreadable "
+              f"({out_dir}/oracle_sql.json): {e}")
+        sys.exit(1)
     # A scoping name with no oracle entry must hard-fail (round-12
     # review): a typo'd query name — or a non-SQL-expressible query that
     # has no oracle — would otherwise report '0 passed, 0 failed' with
@@ -59,10 +80,17 @@ def main():
         if not files:
             failed.append((name, "no spark output"))
             continue
-        got_rel = con.execute(
-            "SELECT * FROM read_parquet([" + ",".join(f"'{f}'" for f in files) + "])")
-        got_cols = [d[0] for d in got_rel.description]
-        got = got_rel.fetchall()
+        # Per-query fail-closed with the tool's own diagnostic (ADVICE
+        # r12): a truncated/corrupt spark-output parquet is that query's
+        # failure, not a traceback for the whole run.
+        try:
+            got_rel = con.execute(
+                "SELECT * FROM read_parquet([" + ",".join(f"'{f}'" for f in files) + "])")
+            got_cols = [d[0] for d in got_rel.description]
+            got = got_rel.fetchall()
+        except Exception as e:
+            failed.append((name, f"spark output unreadable: {e}"))
+            continue
         try:
             exp_rel = con.execute(oracle[name])
             exp_cols = [d[0] for d in exp_rel.description]
@@ -97,11 +125,13 @@ def main():
                           f"spark={gt[c]} duck={et[c]}")
                     skews.append((name, c, gt[c], et[c]))
         except Exception as e:
-            # Fail closed (round-12 review): a probe that cannot run
-            # (pyarrow absent, oracle SQL that breaks under ' LIMIT 0'
-            # suffixing) is a skew check that did NOT happen — the exact
-            # divergence class the driver's Arrow-level hash fails on
-            # would pass silently here if this were swallowed.
+            # Fail closed (round-12 review): a probe that cannot run on
+            # THIS oracle (SQL that breaks under the subquery wrap, a
+            # per-file Arrow read error) is a skew check that did NOT
+            # happen — the exact divergence class the driver's
+            # Arrow-level hash fails on would pass silently if swallowed.
+            # Environment-level capability (pyarrow itself) is probed
+            # once up front, so this arm stays per-oracle (ADVICE r12).
             print(f"WARN {name}: arrow skew probe unavailable ({e})")
             skews.append((name, "<probe-error>", str(e), ""))
         gidx = [got_cols.index(c) for c in sorted(got_cols)]

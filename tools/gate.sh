@@ -71,6 +71,21 @@ else
   echo "== gate 2b/3: scan budget skipped (SKIP_SCAN=1) =="
 fi
 
+if [[ "${GATE_GOLDEN_DRILL:-0}" == "1" ]]; then
+  echo "== gate 2c/3: golden regeneration drill (GATE_GOLDEN_DRILL=1) =="
+  # Opt-in (VERDICT r12 item 6): regenerate the committed golden oracles
+  # at HEAD (A/B across cpu counts inside regen_goldens.sh) and
+  # byte-compare the emitted VALUES entries against GoldenOracles.scala,
+  # so golden drift is caught the round it happens. Opt-in because the
+  # drill is two extra Verify runs (~6 min) the inner loop doesn't need —
+  # the fixture-fingerprint check above already catches the driver-regen
+  # case unconditionally.
+  tools/regen_goldens.sh "$SF_TEST" > /tmp/gate_golden.log 2>&1 \
+    || { tail -30 /tmp/gate_golden.log; echo "GATE FAIL: regen_goldens.sh crashed"; exit 1; }
+  grep "A/B OK" /tmp/gate_golden.log
+  python3 tools/golden_drill.py /tmp/gate_golden.log
+fi
+
 if [[ "${SKIP_BENCH:-0}" != "1" ]]; then
   echo "== gate 3/3: bench ($SF_BENCH), driver-shaped rehearsal =="
   # DRIVER-SHAPED (VERDICT r10 items 1+3): same env surface as the
