@@ -58,8 +58,19 @@ object StreamScale {
     finally if (f != null) f.delete()
   }
 
-  private def printIoProbe(when: String): Unit =
-    println(f"""# {"io_probe_mb_s":${ioProbeMbS()}%.1f,"when":"$when"}""")
+  /** Three samples 5 s apart, ALL recorded: a single post-run sample
+    * reads the run's own page-cache writeback backlog, not the
+    * environment (measured: 93 MB/s immediately after a sf10 drain,
+    * 438+ within a minute). Contention only ever subtracts, so the MAX
+    * sample is the environment's capability — that is what the healthy-
+    * band check applies to; the spread documents the artifact. */
+  private def printIoProbe(when: String): Unit = {
+    val samples = (0 until 3).map { i =>
+      if (i > 0) Thread.sleep(5000)
+      ioProbeMbS()
+    }
+    println(s"""# {"io_probe_mb_s":[${samples.map(s => f"$s%.1f").mkString(",")}],"when":"$when"}""")
+  }
   private val Queries = Seq(
     "q38_stream_tumbling", "q41_stream_dedup", "q_stream_stream_join",
     // Right-outer interval join: same state store as the inner join
