@@ -63,12 +63,15 @@ object ScaleData {
     *
     *   Byte-inflation caveat (round 12): each salting level LENGTHENS
     *   tokens (~2.7 chars/token per level — measured 7.29 chars/token at
-    *   sf1 vs 9.99 at chained sf10, corpus bytes ×13.71 per ×10 docs),
-    *   so byte-bound operators (per-character explodes, string-heavy
-    *   projections) read RAW time-exponents up to ~log10(13.7) = 1.14
-    *   when their per-byte truth is 1.0. Normalize with the per-dir
-    *   chars/tokens counts from graft.tools.VocabProbe before calling a
-    *   chained-decade reading super-linear (BENCH_NOTES round 12). */
+    *   sf1 vs 9.99 at chained sf10, corpus bytes ×13.71 per ×10 docs;
+    *   ×13.28 already at the FIRST level, sf0.1→sf1), so byte-bound
+    *   operators (per-character explodes, string-heavy projections) read
+    *   RAW time-exponents up to ~log10(13.7) = 1.14 when their per-byte
+    *   truth is 1.0. Since round 13 the Bench scale block measures the
+    *   per-dir corpus chars itself and emits `bytes_factor` +
+    *   `exponents_bytes` next to the raw exponents (VERDICT r12 item 3)
+    *   — read those for token/byte-bound queries; graft.tools.VocabProbe
+    *   remains the deeper diagnostic (vocab loads, chars/token). */
   def expand(s: SparkSession, src: String, dst: String, factor: Int,
       tag: String = ""): Unit = {
     def rd(name: String): DataFrame = s.read.parquet(s"$src/$name.parquet")
