@@ -187,28 +187,11 @@ object Bench {
     // the bench record so that coupling is auditable per round. Sampled
     // before and after the suite so a mid-run throttle episode shows up
     // in at least one sample.
-    val ioProbePath: String = sys.env.get("SPARK_LOCAL_DIRS")
-      .orElse(spark.conf.getOption("spark.local.dir"))
-      .flatMap(_.split(",").map(_.trim).find(_.nonEmpty))
-      .getOrElse(System.getProperty("java.io.tmpdir"))
-    def ioProbeMbS(): Double = {
-      var f: java.io.File = null
-      try {
-        val dir = new java.io.File(ioProbePath)
-        if (!dir.isDirectory) dir.mkdirs()
-        f = java.io.File.createTempFile("graft-io-probe", ".bin", dir)
-        val block = new Array[Byte](1 << 20)
-        new java.util.Random(42).nextBytes(block)
-        val t0 = System.nanoTime()
-        val out = new java.io.FileOutputStream(f)
-        try {
-          var i = 0; while (i < 64) { out.write(block); i += 1 }
-          out.getFD.sync()
-        } finally out.close()
-        64.0 / ((System.nanoTime() - t0) / 1e9)
-      } catch { case _: Throwable => -1.0 }
-      finally if (f != null) f.delete()
-    }
+    // Shared implementation since round 13 (graft.core.IoProbe) — the
+    // StreamScale copy had drifted; one probe, two callers.
+    val ioProbePath: String =
+      graft.core.IoProbe.path(spark.conf.getOption("spark.local.dir"))
+    def ioProbeMbS(): Double = graft.core.IoProbe.mbPerSec(ioProbePath)
     val ioPre = ioProbeMbS()
 
     def runAt(name: String, dir: String): Double = {

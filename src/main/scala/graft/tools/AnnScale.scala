@@ -87,7 +87,12 @@ object AnnScale {
           .map(r => (r.getLong(0), r.getLong(1))).toSet
         val searchS = (System.nanoTime() - t1) / 1e9
         val recall = PlantedEmbeddings.recall(exact, approx)
-        println(f"""{"family":"$family","n":$n,"num_clusters":$numClusters,"coarse_k":$coarseK,"nprobe":$nprobe,"queries":$nq,"fit_sec":$fitS%.2f,"search_sec":$searchS%.3f,"recall":$recall%.4f}""")
+        // Locale-pinned decimals on the machine-parsed JSONL line
+        // (ADVICE r6 class, swept round 13): the f interpolator uses
+        // the default JVM locale; comma decimals would break the parse.
+        def jfmt(d: Double, digits: Int) = String.format(
+          java.util.Locale.ROOT, s"%.${digits}f", Double.box(d))
+        println(s"""{"family":"$family","n":$n,"num_clusters":$numClusters,"coarse_k":$coarseK,"nprobe":$nprobe,"queries":$nq,"fit_sec":${jfmt(fitS, 2)},"search_sec":${jfmt(searchS, 3)},"recall":${jfmt(recall, 4)}}""")
       }
       if (families.contains("ivfpq"))
         measure("ivfpq")(

@@ -36,40 +36,27 @@ import org.apache.spark.sql.SparkSession
   */
 object StreamScale {
 
-  /** Same methodology as Bench's ioProbeMbS: 64 × 1 MB writes + fsync,
-    * MB/s. Healthy band on this VM per the r11 drift audit: ≥ 179. */
-  private def ioProbeMbS(): Double = {
-    var f: java.io.File = null
-    try {
-      val dir = new java.io.File(
-        sys.env.getOrElse("SPARK_LOCAL_DIRS", "/tmp"))
-      if (!dir.isDirectory) dir.mkdirs()
-      f = java.io.File.createTempFile("graft-io-probe", ".bin", dir)
-      val block = new Array[Byte](1 << 20)
-      new java.util.Random(42).nextBytes(block)
-      val t0 = System.nanoTime()
-      val out = new java.io.FileOutputStream(f)
-      try {
-        var i = 0; while (i < 64) { out.write(block); i += 1 }
-        out.getFD.sync()
-      } finally out.close()
-      64.0 / ((System.nanoTime() - t0) / 1e9)
-    } catch { case _: Throwable => -1.0 }
-    finally if (f != null) f.delete()
-  }
+  /** Locale-pinned decimal rendering for every number on a parsed line
+    * (ADVICE r6, and a round-13 review catch HERE: the f interpolator
+    * uses the default JVM locale, so a comma-decimal locale would emit
+    * invalid JSON on the record lines and silently split each probe
+    * sample in two). */
+  private def fmt(d: Double, digits: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(d))
 
-  /** Three samples 5 s apart, ALL recorded: a single post-run sample
-    * reads the run's own page-cache writeback backlog, not the
-    * environment (measured: 93 MB/s immediately after a sf10 drain,
-    * 438+ within a minute). Contention only ever subtracts, so the MAX
-    * sample is the environment's capability — that is what the healthy-
-    * band check applies to; the spread documents the artifact. */
-  private def printIoProbe(when: String): Unit = {
+  /** Three graft.core.IoProbe samples 5 s apart, ALL recorded: a single
+    * post-run sample reads the run's own page-cache writeback backlog,
+    * not the environment (measured: 93 MB/s immediately after a sf10
+    * drain, 438+ within a minute). Contention only ever subtracts, so
+    * the MAX sample is the environment's capability — that is what the
+    * healthy-band check (≥ 179 MB/s, r11 drift audit) applies to; the
+    * spread documents the artifact. */
+  private def printIoProbe(when: String, path: String): Unit = {
     val samples = (0 until 3).map { i =>
       if (i > 0) Thread.sleep(5000)
-      ioProbeMbS()
+      graft.core.IoProbe.mbPerSec(path)
     }
-    println(s"""# {"io_probe_mb_s":[${samples.map(s => f"$s%.1f").mkString(",")}],"when":"$when"}""")
+    println(s"""# {"io_probe_mb_s":[${samples.map(fmt(_, 1)).mkString(",")}],"when":"$when","path":"$path"}""")
   }
   private val Queries = Seq(
     "q38_stream_tumbling", "q41_stream_dedup", "q_stream_stream_join",
@@ -117,7 +104,9 @@ object StreamScale {
       Queries, Queries.contains, "streamscale")
     val nRuns = math.max(1, scala.util.Try(
       sys.env("SPARK_GRAFT_STREAM_RUNS").trim.toInt).getOrElse(2))
-    printIoProbe("pre")
+    val probePath =
+      graft.core.IoProbe.path(spark.conf.getOption("spark.local.dir"))
+    printIoProbe("pre", probePath)
     Seq(base, scaled).filter(d => new java.io.File(d).exists).foreach { dir =>
       val n = graft.core.Tables.t(spark, dir, "events").count()
       graft.streaming.StreamingOps.prepareChunks(spark, dir) // warm fixture
@@ -125,10 +114,10 @@ object StreamScale {
         runOnce(name, dir) // warm pass: plan compile + codegen
         val secs = (0 until nRuns).map(_ => runOnce(name, dir))
         val best = secs.min
-        println(f"""{"query":"$name","dir":"$dir","events":$n,"sink":"noop","runs":[${secs.map(s => f"$s%.3f").mkString(",")}],"min_sec":$best%.3f,"events_per_sec":${(n / best).toLong}}""")
+        println(s"""{"query":"$name","dir":"$dir","events":$n,"sink":"noop","runs":[${secs.map(fmt(_, 3)).mkString(",")}],"min_sec":${fmt(best, 3)},"events_per_sec":${(n / best).toLong}}""")
       }
     }
-    printIoProbe("post")
+    printIoProbe("post", probePath)
     graft.core.TempDirs.cleanupAll()
     spark.stop()
   }

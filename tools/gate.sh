@@ -82,7 +82,11 @@ if [[ "${GATE_GOLDEN_DRILL:-0}" == "1" ]]; then
   # case unconditionally.
   tools/regen_goldens.sh "$SF_TEST" > /tmp/gate_golden.log 2>&1 \
     || { tail -30 /tmp/gate_golden.log; echo "GATE FAIL: regen_goldens.sh crashed"; exit 1; }
-  grep "A/B OK" /tmp/gate_golden.log
+  # || handler (round-13 review): a bare grep under set -e would kill
+  # the gate with no diagnostic if the A/B lines ever move/reword —
+  # every failure path in this script must emit its own GATE FAIL line.
+  grep "A/B OK" /tmp/gate_golden.log \
+    || { tail -20 /tmp/gate_golden.log; echo "GATE FAIL: no 'A/B OK' lines in regen output"; exit 1; }
   python3 tools/golden_drill.py /tmp/gate_golden.log
 fi
 

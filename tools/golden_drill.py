@@ -30,7 +30,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # One full entry as golden_oracle.py prints it and GoldenOracles.scala
 # commits it: four-space-indented `"name" -> """` through the closing
 # `"""`,` — non-greedy DOTALL keeps each match to one entry.
-ENTRY = re.compile(r'^    "(q[\w]*)" -> """\n.*?"""',
+# Name grammar is any \w+ to match regen_goldens.sh's own parse
+# (round-13 review: a q-prefixed grammar here would silently exclude a
+# future golden not named q* from the drift drill while the
+# zero-entries guard stays satisfied by the others).
+ENTRY = re.compile(r'^    "([\w]+)" -> """\n.*?"""',
                    re.MULTILINE | re.DOTALL)
 
 
