@@ -20,10 +20,12 @@ object IoProbe {
     * reasons about — callers record the probed path for auditability).
     *
     * @param localDirConf the session's spark.local.dir, when a session
-    *   is available to ask. */
-  def path(localDirConf: Option[String]): String =
-    sys.env.get("SPARK_LOCAL_DIRS")
-      .orElse(localDirConf)
+    *   is available to ask.
+    * @param env SPARK_LOCAL_DIRS — parameterized (defaulting to the real
+    *   env var) so the comma-list precedence rules are spec-testable. */
+  def path(localDirConf: Option[String],
+      env: Option[String] = sys.env.get("SPARK_LOCAL_DIRS")): String =
+    env.orElse(localDirConf)
       .flatMap(_.split(",").map(_.trim).find(_.nonEmpty))
       .getOrElse(System.getProperty("java.io.tmpdir"))
 
