@@ -32,7 +32,7 @@ final class BoundedMemo[K, V](maxEntries: Int = BoundedMemo.DefaultMax) {
     // resolve an outer member through Java inheritance (legacy-binding warn)
     new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
       override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
-        size() > cap
+        this.size() > cap
     }
   }
 
