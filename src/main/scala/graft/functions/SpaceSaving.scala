@@ -25,14 +25,26 @@ import graft.core.Tables.t
   * m·partitions cells — at 100 TB of web text that is the difference
   * between a vocabulary-sized exchange and a constant one.
   *
+  * Per-row cost contract (round 13): the buffer is the paper's
+  * stream-summary shape — a hash map token→cell plus a count-ordered
+  * bucket index — so a full-sketch miss (the 100 TB steady state, where
+  * the vocabulary dwarfs m and MOST arrivals evict) costs O(log m), not
+  * an O(m) min-scan. The first immutable-Map version paid that scan per
+  * miss and read a measured time exponent of 2.45 across the sf1→sf10
+  * decade (1.4 s → 403 s: sf1's 310-token vocabulary fits in m = 1024
+  * so eviction never fired; sf10's 3,100 does not, and ~2/3 of 27 M
+  * arrivals scanned all 1024 cells). Same algorithm, same per-row
+  * semantics, same deterministic (count, token) eviction order — only
+  * the min lookup moved from a scan to an index.
+  *
   * Exactness window: eviction only happens once a buffer holds m
   * distinct tokens, so while the corpus vocabulary fits in m every
   * count is exact and every err is 0 — `q_spacesaving_topk` is H-class
   * against the exact group-by oracle on the fixture vocabularies
   * (31 tokens at sf0.01, ~310 at sf1 under ScaleData's disjoint replica
-  * vocabularies; m = 1024 covers both and sf10). Past m the classic
-  * ε = 1/m guarantee takes over, proven in `SpaceSavingSpec` on a
-  * synthetic over-vocabulary stream.
+  * vocabularies; m = 1024 covers both). Past m the classic ε = 1/m
+  * guarantee takes over, proven in `SpaceSavingSpec` on a synthetic
+  * over-vocabulary stream.
   */
 object SpaceSaving {
 
@@ -41,49 +53,112 @@ object SpaceSaving {
   /** One sketch cell: count (overestimate) + max overestimation error. */
   final case class Cell(c: Long, e: Long)
 
-  final class Agg(m: Int)
-      extends Aggregator[String, Map[String, Cell], Seq[SSEntry]] {
+  /** Mutable stream-summary buffer: `cells` is the authoritative state
+    * (what serialization ships between partial and final aggregation);
+    * the count→tokens bucket index exists only to answer "minimum cell,
+    * lexicographically smallest token" in O(log m) and is rebuilt lazily
+    * after deserialization (@transient — both Kryo's FieldSerializer and
+    * Java serialization skip it). */
+  final class Summary(val m: Int) extends Serializable {
+    import java.{util => ju}
 
-    override def zero: Map[String, Cell] = Map.empty
+    val cells = new ju.HashMap[String, Cell]()
+    @transient private var bkts: ju.TreeMap[java.lang.Long, ju.TreeSet[String]] = _
 
-    override def reduce(b: Map[String, Cell], tok: String): Map[String, Cell] =
-      b.get(tok) match {
-        case Some(Cell(c, e)) => b.updated(tok, Cell(c + 1, e))
-        case None if b.size < m => b.updated(tok, Cell(1L, 0L))
-        case None =>
-          // Replace the minimum cell; the newcomer inherits its count as
-          // the overestimate (the SpaceSaving step). Lexicographic
-          // tie-break keeps eviction deterministic across runs.
-          val (mk, Cell(mc, _)) = b.minBy { case (k, Cell(c, _)) => (c, k) }
-          (b - mk).updated(tok, Cell(mc + 1, mc))
+    private def buckets: ju.TreeMap[java.lang.Long, ju.TreeSet[String]] = {
+      if (bkts == null) {
+        bkts = new ju.TreeMap()
+        cells.forEach((k, cell) => bucketAdd(cell.c, k))
       }
+      bkts
+    }
+    private def bucketAdd(c: Long, k: String): Unit = {
+      var s = bkts.get(c)
+      if (s == null) { s = new ju.TreeSet[String](); bkts.put(c, s) }
+      s.add(k)
+    }
+    private def bucketRemove(c: Long, k: String): Unit = {
+      val s = bkts.get(c)
+      s.remove(k)
+      if (s.isEmpty) bkts.remove(c)
+    }
 
-    override def merge(a: Map[String, Cell], b: Map[String, Cell]): Map[String, Cell] = {
+    /** One SpaceSaving arrival: hit → count+1; miss with room → new
+      * exact cell; miss when full → replace the (count, token)-minimal
+      * cell, newcomer inherits its count as the overestimate. */
+    def add(tok: String): Unit = {
+      val b = buckets // force the index before any structural change
+      val cur = cells.get(tok)
+      if (cur != null) {
+        cells.put(tok, Cell(cur.c + 1, cur.e))
+        bucketRemove(cur.c, tok)
+        bucketAdd(cur.c + 1, tok)
+      } else if (cells.size < m) {
+        cells.put(tok, Cell(1L, 0L))
+        bucketAdd(1L, tok)
+      } else {
+        val minEntry = b.firstEntry()
+        val mc = minEntry.getKey.longValue
+        val mk = minEntry.getValue.first()
+        cells.remove(mk)
+        bucketRemove(mc, mk)
+        cells.put(tok, Cell(mc + 1, mc))
+        bucketAdd(mc + 1, tok)
+      }
+    }
+
+    /** Upper bound on any absent token's true count: 0 while the sketch
+      * holds exact counts (never filled), else the minimum counter. */
+    def minCount: Long =
+      if (cells.size < m) 0L else buckets.firstKey.longValue
+
+    /** Immutable snapshot for specs and `finish`. */
+    def toMap: Map[String, Cell] = {
+      val builder = Map.newBuilder[String, Cell]
+      cells.forEach((k, cell) => builder += (k -> cell))
+      builder.result()
+    }
+  }
+
+  final class Agg(m: Int) extends Aggregator[String, Summary, Seq[SSEntry]] {
+
+    override def zero: Summary = new Summary(m)
+
+    override def reduce(b: Summary, tok: String): Summary = { b.add(tok); b }
+
+    override def merge(a: Summary, b: Summary): Summary = {
       // A sketch that never filled holds the exact counts of every token
       // it saw, so absentees get 0; a full sketch bounds an absentee's
       // true count by its minimum counter.
-      val minA = if (a.size < m) 0L else a.values.map(_.c).min
-      val minB = if (b.size < m) 0L else b.values.map(_.c).min
-      val merged = (a.keySet ++ b.keySet).iterator.map { k =>
-        (a.get(k), b.get(k)) match {
-          case (Some(Cell(c1, e1)), Some(Cell(c2, e2))) => k -> Cell(c1 + c2, e1 + e2)
-          case (Some(Cell(c1, e1)), None) => k -> Cell(c1 + minB, e1 + minB)
-          case (None, Some(Cell(c2, e2))) => k -> Cell(c2 + minA, e2 + minA)
-          case (None, None) => throw new IllegalStateException("unreachable")
-        }
-      }.toMap
-      if (merged.size <= m) merged
-      else merged.toSeq
-        .sortBy { case (k, Cell(c, _)) => (-c, k) }
-        .take(m).toMap
+      val minA = a.minCount
+      val minB = b.minCount
+      val out = new Summary(m)
+      a.cells.forEach { (k, ca) =>
+        val cb = b.cells.get(k)
+        if (cb != null) out.cells.put(k, Cell(ca.c + cb.c, ca.e + cb.e))
+        else out.cells.put(k, Cell(ca.c + minB, ca.e + minB))
+      }
+      b.cells.forEach { (k, cb) =>
+        if (!a.cells.containsKey(k)) out.cells.put(k, Cell(cb.c + minA, cb.e + minA))
+      }
+      if (out.cells.size > m) {
+        // Truncate to the top m by (count desc, token): at most 2m cells
+        // here, so the one-off sort is O(m log m) per merge, not per row.
+        val keep = out.toMap.toSeq
+          .sortBy { case (k, Cell(c, _)) => (-c, k) }
+          .take(m)
+        out.cells.clear()
+        keep.foreach { case (k, cell) => out.cells.put(k, cell) }
+      }
+      out
     }
 
-    override def finish(b: Map[String, Cell]): Seq[SSEntry] =
-      b.iterator.map { case (k, Cell(c, e)) => SSEntry(k, c, e) }.toSeq
+    override def finish(b: Summary): Seq[SSEntry] =
+      b.toMap.iterator.map { case (k, Cell(c, e)) => SSEntry(k, c, e) }.toSeq
         .sortBy(t => (-t.est, t.token))
 
-    override def bufferEncoder: Encoder[Map[String, Cell]] =
-      ExpressionEncoder[Map[String, Cell]]()
+    override def bufferEncoder: Encoder[Summary] =
+      org.apache.spark.sql.Encoders.kryo[Summary]
     override def outputEncoder: Encoder[Seq[SSEntry]] =
       ExpressionEncoder[Seq[SSEntry]]()
   }

@@ -19,7 +19,7 @@ class SpaceSavingSpec extends SparkSpec {
     // shape Spark's partial/final aggregation tree produces.
     val parts = stream.grouped(math.max(1, stream.size / splits)).toSeq
       .map(_.foldLeft(agg.zero)(agg.reduce))
-    parts.reduce(agg.merge)
+    parts.reduce(agg.merge).toMap
   }
 
   test("exact (zero err) while distinct tokens fit in capacity") {
@@ -88,6 +88,48 @@ class SpaceSavingSpec extends SparkSpec {
       .orderBy(col("lang"), desc("est"), col("tok"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
     assert(got == exact)
+  }
+
+  test("bucket-indexed buffer matches the reference O(m)-scan algorithm cell-for-cell") {
+    // The round-13 rewrite moved the min-eviction from an O(m) scan over
+    // an immutable Map to a count-bucket index (the measured e=2.45 →
+    // linear fix). Same algorithm, so the buffers must agree EXACTLY —
+    // including eviction order — with this literal transcription of the
+    // original reduce/merge, on a stream that evicts constantly.
+    def refReduce(b: Map[String, Cell], tok: String, m: Int): Map[String, Cell] =
+      b.get(tok) match {
+        case Some(Cell(c, e)) => b.updated(tok, Cell(c + 1, e))
+        case None if b.size < m => b.updated(tok, Cell(1L, 0L))
+        case None =>
+          val (mk, Cell(mc, _)) = b.minBy { case (k, Cell(c, _)) => (c, k) }
+          (b - mk).updated(tok, Cell(mc + 1, mc))
+      }
+    def refMerge(a: Map[String, Cell], b: Map[String, Cell], m: Int): Map[String, Cell] = {
+      val minA = if (a.size < m) 0L else a.values.map(_.c).min
+      val minB = if (b.size < m) 0L else b.values.map(_.c).min
+      val merged = (a.keySet ++ b.keySet).iterator.map { k =>
+        (a.get(k), b.get(k)) match {
+          case (Some(Cell(c1, e1)), Some(Cell(c2, e2))) => k -> Cell(c1 + c2, e1 + e2)
+          case (Some(Cell(c1, e1)), None) => k -> Cell(c1 + minB, e1 + minB)
+          case (None, Some(Cell(c2, e2))) => k -> Cell(c2 + minA, e2 + minA)
+          case _ => throw new IllegalStateException("unreachable")
+        }
+      }.toMap
+      if (merged.size <= m) merged
+      else merged.toSeq.sortBy { case (k, Cell(c, _)) => (-c, k) }.take(m).toMap
+    }
+    val m = 16
+    val rnd = new scala.util.Random(23)
+    // Zipf-ish stream over a 200-token vocabulary >> m: constant eviction.
+    val stream = Seq.fill(4000)(f"t${math.min(rnd.nextInt(200), rnd.nextInt(200))}%03d")
+    val agg = new Agg(m)
+    for (splits <- Seq(1, 2, 5)) {
+      val chunks = stream.grouped(math.max(1, stream.size / splits)).toSeq
+      val got = chunks.map(_.foldLeft(agg.zero)(agg.reduce)).reduce(agg.merge).toMap
+      val want = chunks.map(_.foldLeft(Map.empty[String, Cell])(refReduce(_, _, m)))
+        .reduce(refMerge(_, _, m))
+      assert(got == want, s"buffer diverged from reference at splits=$splits")
+    }
   }
 
   test("merge is split-invariant for the heavy tail") {
