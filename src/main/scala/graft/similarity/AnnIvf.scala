@@ -48,15 +48,24 @@ object AnnIvf {
     * centroids, score map-side, reduce with max_by (partial aggregation —
     * one surviving row per vec_id per mapper reaches the shuffle).
     * Tie-break = highest csim then lowest cid; the ordering struct
-    * compares fields left-to-right, so (csim, -cid) encodes exactly that. */
+    * compares fields left-to-right, so (csim, -cid) encodes exactly that.
+    *
+    * The scored intermediate is N·K rows, so it must carry ONLY
+    * (vec_id, cid, csim) — ~24 B/row — and the winner's vector joins
+    * back by key afterwards (one linear N-row equi-join). The first
+    * version kept the embedding array on every scored row, copying the
+    * corpus K times through codegen'd row writes (measured at sf10 with
+    * K = 775: 465 M rows × ~550 B ≈ 240 GB of pure array memcpy, read as
+    * the q_ann_ivf e = 1.90 decade knee; K ~ √N makes that term N^1.5
+    * with a corpus-sized constant). Scores and tie-breaks are unchanged,
+    * so the assignment — and every index built from it — is bit-identical. */
   def assign(emb: DataFrame, centroids: DataFrame): DataFrame = {
-    val scored = emb.join(broadcast(centroids))
-      .select(col("vec_id"), col("emb"), col("cid"),
+    val best = emb.join(broadcast(centroids))
+      .select(col("vec_id"), col("cid"),
         cosine(col("emb"), col("cemb")).as("csim"))
-    scored.groupBy(col("vec_id"))
-      .agg(max_by(struct(col("cid"), col("emb")),
-        struct(col("csim"), (-col("cid")).as("ord"))).as("best"))
-      .select(col("vec_id"), col("best.emb").as("emb"), col("best.cid").as("cid"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("csim"), (-col("cid")).as("ord"))).as("cid"))
+    emb.join(best, "vec_id").select(col("vec_id"), col("emb"), col("cid"))
   }
 
   /** Deterministic Lloyd refinement of the stride-sampled seeds — the

@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deterministic local scale-up of the driver testdata: replicate every
@@ -17,10 +17,13 @@ import org.apache.spark.sql.functions._
   *     near-dup pair graph becomes 10 disjoint copies of the original —
   *     pair counts scale ~10×; raw duplication would square them (every
   *     doc would gain 9 exact clones and the LSH buckets would fuse).
-  *   - embeddings: replica i cyclically rotates each vector by 7·i
-  *     positions — norms and the within-replica cosine structure are
-  *     preserved, replicas stay mutually near-orthogonal; raw copies
-  *     would plant N exact duplicates and distort ANN candidate volume.
+  *   - embeddings: replica i > 0 flips each dimension's sign by a
+  *     deterministic hash of (tag, replica, dimension) — norms and the
+  *     within-replica cosine structure are preserved bitwise (sign flips
+  *     square to one), replicas stay mutually near-orthogonal, and the
+  *     2^64 possible patterns plant no duplicates at any factor or
+  *     chaining depth; raw copies would plant N exact duplicates and
+  *     distort ANN candidate volume.
   *   - events: event_id/user_id offset (user offset = customer offset so
   *     the stream-static join keys stay aligned); ts kept verbatim as the
   *     raw nanos long (the sink schema stays loadable by Tables.t, and a
@@ -55,11 +58,13 @@ object ScaleData {
     *   with level-1 replica i = j and planting exact duplicate documents
     *   across the two levels (fused LSH buckets, inflated pair counts).
     *   A sf1→sf10 run passes e.g. "b" so level-2 salts read `t~b3`,
-    *   disjoint from every level-1 salt by construction. Embedding
-    *   rotations have no such fix (only 64 distinct rotations exist), so
-    *   chained outputs document the embedding caveat in BENCH_NOTES.md
-    *   and embedding-family queries are excluded from chained-dir
-    *   measurements.
+    *   disjoint from every level-1 salt by construction. The tag feeds
+    *   the embedding sign-flip hash the same way, so level-2 sign
+    *   patterns are independent of level-1's and chained embeddings stay
+    *   duplicate-free (the pre-round-13 cyclic rotation offered only 64
+    *   distinct transforms and excluded the embedding family from
+    *   chained-dir measurements; the sign-flip transform removed that
+    *   caveat).
     *
     *   Byte-inflation caveat (round 12): each salting level LENGTHENS
     *   tokens (~2.7 chars/token per level — measured 7.29 chars/token at
@@ -154,14 +159,29 @@ object ScaleData {
 
     val emb = rd("embeddings")
     val vk = keyStride(emb, "vec_id")
-    val dim = 64
-    val shift = (pmod(col("rep") * 7, lit(dim))).cast("int")
-    val rotated = when(col("rep") === 0, col("embedding")).otherwise(
-      concat(slice(col("embedding"), shift + 1, lit(dim) - shift),
-        slice(col("embedding"), lit(1), shift)))
+    // Replica i ≠ 0 flips each dimension's sign by a deterministic hash of
+    // (tag, replica, dimension). Sign flips are exact in IEEE float, and
+    // they square to one, so every within-replica dot product — and hence
+    // every norm and cosine — is preserved TERM FOR TERM (bitwise-equal
+    // accumulation), while cross-replica dot products are sign-modulated
+    // (near-orthogonal in expectation): replicas never fuse into the same
+    // near-dup neighborhoods. Unlike the previous 64-position cyclic
+    // rotation (which offered only 64 distinct transforms and planted
+    // exact duplicates past 64 replicas — the "embedding family excluded
+    // from chained dirs" caveat in BENCH_NOTES through round 13), the
+    // 2^64 possible sign patterns make collisions impossible in practice
+    // at any chaining depth; the tag feeds the hash so level-2 patterns
+    // are independent of level-1's (same mechanism as the token salt).
+    // ScaleDataSpec asserts both invariants: bitwise-preserved
+    // within-replica cosines, and zero duplicate vectors across a chained
+    // expansion.
+    val flipSign = (d: Column) =>
+      lit(1.0f) - lit(2.0f) * pmod(xxhash64(lit(tag), col("rep"), d), lit(2L)).cast("float")
+    val flipped = when(col("rep") === 0, col("embedding")).otherwise(
+      transform(col("embedding"), (x, d) => x * flipSign(d)))
     wr(reps(emb)
       .withColumn("vec_id", off("vec_id", vk))
-      .withColumn("embedding", rotated)
+      .withColumn("embedding", flipped)
       .drop("rep"), "embeddings")
   }
 }

@@ -108,7 +108,7 @@ class ScaleDataSpec extends SparkSpec {
     assert(crossRep == 0, s"$crossRep tokens shared across chained replicas")
   }
 
-  test("embedding rotation preserves norms and replica count") {
+  test("embedding sign-flip preserves norms and replica count") {
     val emb = spark.read.parquet(s"$outDir/embeddings.parquet")
     val norm = aggregate(col("embedding"), lit(0.0d), (a, x) => a + x * x)
     val base = spark.read.parquet(s"$sf/embeddings.parquet")
@@ -122,5 +122,47 @@ class ScaleDataSpec extends SparkSpec {
         .collect().map(_.getDouble(0))
       assert(repNorms.sameElements(baseNorms), s"replica $r norms diverged")
     }
+  }
+
+  test("within-replica cosine structure is preserved bitwise by the sign flip") {
+    // Sign flips square to one, so dot((s⊙a), (s⊙b)) accumulates the
+    // IDENTICAL float terms as dot(a, b) — cosines must match exactly,
+    // not approximately. Compare every replica's full (qid < 3) × corpus
+    // cosine table against replica 0's.
+    graft.GraftExtensions.ensureRegistered(spark)
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+    val vk = base.agg(max("vec_id")).head().getLong(0) + 1L
+    val emb = spark.read.parquet(s"$outDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    def cosTable(r: Int): Map[(Long, Long), Double] = {
+      val rep = emb.filter(col("vec_id") >= r * vk && col("vec_id") < (r + 1) * vk)
+        .withColumn("vec_id", col("vec_id") - lit(r * vk))
+      val q = rep.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+      rep.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          graft.functions.CosineSimilarity.cosine(col("qemb"), col("emb")).as("cs"))
+        .collect().map(row => (row.getLong(0), row.getLong(1)) -> row.getDouble(2))
+        .toMap
+    }
+    val want = cosTable(0)
+    (1 until Factor).foreach { r =>
+      assert(cosTable(r) == want, s"replica $r cosines diverged from base")
+    }
+  }
+
+  test("chained expansion plants no duplicate embedding vectors") {
+    // The caveat the sign flip removed: 64-position rotations collided
+    // past 64 replicas. Distinct vectors must scale exactly with the
+    // replica count across BOTH levels (injective per replica by
+    // construction, hash-disjoint across replicas and levels).
+    val d2 = graft.core.TempDirs.create("graft-scaledata-embchain")
+    ScaleData.expand(spark, outDir, d2, 2, "b")
+    val baseDistinct = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("embedding").distinct().count()
+    val chainedDistinct = spark.read.parquet(s"$d2/embeddings.parquet")
+      .select("embedding").distinct().count()
+    assert(chainedDistinct == 2 * Factor * baseDistinct,
+      s"expected ${2 * Factor * baseDistinct} distinct vectors, got $chainedDistinct")
   }
 }
