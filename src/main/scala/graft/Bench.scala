@@ -192,7 +192,33 @@ object Bench {
     val ioProbePath: String =
       graft.core.IoProbe.path(spark.conf.getOption("spark.local.dir"))
     def ioProbeMbS(): Double = graft.core.IoProbe.mbPerSec(ioProbePath)
-    val ioPre = ioProbeMbS()
+
+    // IO-probe-gated RECORDING (VERDICT r13 item 1): r13's committed
+    // bench was taken in a degraded-IO window (probe 176 MB/s vs the
+    // 294-466 healthy band) and carried a load tax the same round's
+    // healthy-IO evidence disproved — the harness gated its comparison
+    // on load but not its recording. Three mechanisms close that:
+    //   (a) pre-suite, while the probe reads below the healthy band,
+    //       wait 45 s and re-probe (up to 2 retries) before starting;
+    //   (b) if the probe bracketing the suite (last pre, or post) read
+    //       degraded anyway, run ONE extra timed pass — min-of-N only
+    //       needs one healthy-window sample per query (contention only
+    //       ever adds time);
+    //   (c) stamp load.healthy (+ the threshold used) in the record, so
+    //       "was this number taken under healthy IO" is a field, not an
+    //       arbitration narrative.
+    // Threshold: 250 MB/s ~ the floor of the r11-r13 healthy epoch band;
+    // a probe that cannot run (-1) neither loops nor certifies.
+    val ioHealthyMbS: Double = scala.util.Try(
+      sys.env("SPARK_GRAFT_IO_HEALTHY_MBS").trim.toDouble).getOrElse(250.0)
+    def ioDegraded(v: Double): Boolean = v >= 0 && v < ioHealthyMbS
+    val ioPreSamples = scala.collection.mutable.ArrayBuffer(ioProbeMbS())
+    while (ioDegraded(ioPreSamples.last) && ioPreSamples.length < 3) {
+      System.err.println(f"[bench] io probe ${ioPreSamples.last}%.0f MB/s " +
+        f"below the healthy band (${ioHealthyMbS}%.0f) — waiting 45 s")
+      Thread.sleep(45000)
+      ioPreSamples += ioProbeMbS()
+    }
 
     def runAt(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -211,7 +237,21 @@ object Bench {
     // are charged to warmup, not to whichever query happens to run first
     // (round-1 charged ~1.5 s of JIT to q01). See BENCH_NOTES.md. The
     // contract is ONE JSON line no matter what, so warmup is guarded too.
-    (headline ++ metaSuite).foreach(run)
+    // Evidence-run scoping (round 14): SPARK_GRAFT_BENCH_SUITE scopes the
+    // timed headline set the same way SPARK_GRAFT_SCALE_SUITE scopes the
+    // scale block. A third-decade run whose BASE dir is sf10 pays ~8 min
+    // per full headline pass for numbers the decade doesn't use; scoping
+    // to one cheap query keeps the one-line contract (and the mirror)
+    // intact without the tax. Driver round invocations never set it —
+    // the committed BENCH_r*.json always carries the full suite. The
+    // meta and AQE-off blocks run their defaults ∩ the scoped set.
+    val benchScoped = sys.env.contains("SPARK_GRAFT_BENCH_SUITE")
+    val headlineRun = graft.core.EnvSuite.scope("SPARK_GRAFT_BENCH_SUITE",
+      headline, SparkEntry.queries.contains, "bench")
+    val metaRun = if (benchScoped) metaSuite.filter(headlineRun.contains)
+      else metaSuite
+    val suiteRun = (headlineRun.filterNot(metaSuite.contains) ++ metaRun).distinct
+    suiteRun.foreach(run)
 
     // Median of 3 timed passes per query: sub-second machine-load noise
     // was indistinguishable from real regressions in single-pass rounds
@@ -242,7 +282,7 @@ object Bench {
       case Some("grouped") => "grouped"
       case _ => "interleaved"
     }
-    def suiteStats(names: Seq[String]): Seq[(String, (Double, Double))] = {
+    def suiteReps(names: Seq[String], passes: Int): Seq[(String, Seq[Double])] = {
       val perQuery: Map[String, Seq[Double]] =
         if (MODE == "grouped")
           // Grouped reps sample load ONCE PER QUERY BLOCK (one sample per
@@ -256,37 +296,87 @@ object Bench {
           // key and takes the median; the split names just stop two
           // shapes from sharing one field.
           names.map { n =>
-            val reps = Seq.fill(REPS)(run(n))
+            val reps = Seq.fill(passes)(run(n))
             loadPasses += loadAvg1
             n -> reps
           }.toMap
         else {
-          val passes = Seq.fill(REPS) {
+          val allPasses = Seq.fill(passes) {
             val p = names.map(n => n -> run(n)).toMap
             loadPasses += loadAvg1
             p
           }
-          names.map(n => n -> passes.map(_(n))).toMap
+          names.map(n => n -> allPasses.map(_(n))).toMap
         }
-      names.map { n =>
-        val ok = perQuery(n).filter(_ >= 0).sorted
+      names.map(n => n -> perQuery(n))
+    }
+    // (median, min) over the reps each query accumulated — including any
+    // degraded-IO retry pass appended below; min-of-N is the published
+    // basis precisely because a taxed pass can only ADD time.
+    def stats(reps: Seq[(String, Seq[Double])]): Seq[(String, (Double, Double))] =
+      reps.map { case (n, rs) =>
+        val ok = rs.filter(_ >= 0).sorted
         n -> (if (ok.isEmpty) (-1.0, -1.0) else (ok(ok.length / 2), ok.head))
       }
+    def addPass(base: Seq[(String, Seq[Double])],
+        extra: Seq[(String, Seq[Double])]): Seq[(String, Seq[Double])] = {
+      val em = extra.toMap
+      base.map { case (n, rs) => n -> (rs ++ em.getOrElse(n, Nil)) }
     }
     // Meta entries ride in the SAME passes as the headline queries (one
     // combined suite), so every per-query timing keeps the exact pass
     // composition of earlier rounds — the split below is reporting only.
-    val combined = suiteStats(headline ++ metaSuite)
-    val metaResults = combined.filter { case (n, _) => metaSuite.contains(n) }
-    val results = combined.filterNot { case (n, _) => metaSuite.contains(n) } ++ {
-      // AQE interaction record (BASELINE.md): two headline queries with
-      // adaptive execution off, to expose what runtime re-planning buys.
+    var combinedReps = suiteReps(suiteRun, REPS)
+    // AQE interaction record (BASELINE.md): headline queries with
+    // adaptive execution off, to expose what runtime re-planning buys.
+    // Widened in round 14 (VERDICT r13 item 5) from q01/q04 to the two
+    // skew-hardened shapes: q43's salted triangle-cell LSH join and
+    // q_stratified_sample's per-stratum quota — at 100 TB on a real
+    // cluster AQE's skew-split thresholds differ from local[32], so the
+    // manual salting must hold per-task bounds WITHOUT AQE's help.
+    val aqeOffNames = {
+      val defaults = Seq("q01_pricing_summary", "q04_multiway_join",
+        "q43_minhash_lsh", "q_stratified_sample")
+      if (benchScoped) defaults.filter(headlineRun.contains) else defaults
+    }
+    def aqeOffReps(passes: Int): Seq[(String, Seq[Double])] = {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
-      val off = suiteStats(Seq("q01_pricing_summary", "q04_multiway_join"))
-        .map { case (n, st) => s"${n}__aqe_off" -> st }
+      val off = suiteReps(aqeOffNames, passes)
+        .map { case (n, rs) => s"${n}__aqe_off" -> rs }
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       off
     }
+    // q_stratified_sample is not in the headline warmup set — charge its
+    // codegen/footer warmth to warmup like everyone else's (under the
+    // same AQE-off conf its timed reps run with).
+    if (aqeOffNames.contains("q_stratified_sample")) {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      run("q_stratified_sample")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    var offReps = aqeOffReps(REPS)
+
+    // (b) of the recording gate: if the probes bracketing the suite saw
+    // the device degraded, append one extra pass of BOTH suites in the
+    // same shapes, then re-probe. stats() below takes min over all reps.
+    val ioPostSamples = scala.collection.mutable.ArrayBuffer(ioProbeMbS())
+    val ioRetried = ioDegraded(ioPreSamples.last) || ioDegraded(ioPostSamples.last)
+    if (ioRetried) {
+      System.err.println("[bench] io probe degraded around the suite — " +
+        "running one extra timed pass (min-of-N absorbs the taxed passes)")
+      combinedReps = addPass(combinedReps, suiteReps(suiteRun, 1))
+      offReps = addPass(offReps, aqeOffReps(1))
+      ioPostSamples += ioProbeMbS()
+    }
+    // healthy = every probe that RAN in the window bracketing the timed
+    // passes (last pre-sample + all post-samples) met the band.
+    val ioBracket = (ioPreSamples.last +: ioPostSamples.toSeq).filter(_ >= 0)
+    val ioHealthy = ioBracket.nonEmpty && ioBracket.forall(_ >= ioHealthyMbS)
+
+    val combinedStats = stats(combinedReps)
+    val metaResults = combinedStats.filter { case (n, _) => metaSuite.contains(n) }
+    val results = combinedStats
+      .filterNot { case (n, _) => metaSuite.contains(n) } ++ stats(offReps)
     // 4-decimal rendering everywhere: full double digits bloat the one
     // stdout line the driver parses (see the 2000-char tail note below).
     // Locale.ROOT: the f interpolator uses the default JVM locale, and a
@@ -347,9 +437,14 @@ object Bench {
     }
     // Factor defined implies the caller stated it explicitly (no implicit
     // default since round 11), so the only remaining precondition is that
-    // the scaled fixture actually exists.
+    // the scaled fixture actually exists. PARTIAL fixtures are allowed
+    // (round 14): a decade whose scoped suite reads only `documents`
+    // (e.g. the sf10→sf100 token tail) ships documents alone — a query
+    // whose table is missing fails loudly into the -1 sentinel, never
+    // silently.
     val scaleEnabled = scaleFactorOpt.isDefined &&
-      new java.io.File(s"$scaleDir/lineitem.parquet").exists()
+      Seq("lineitem", "documents").exists(t =>
+        new java.io.File(s"$scaleDir/$t.parquet").exists())
     // (compactScale, fullScale): the stdout line must stay SHORT — the
     // driver parses the last line out of a 2000-char stdout tail, and
     // round-5's line (full base/scaled maps inline) overflowed it and
@@ -365,27 +460,42 @@ object Bench {
         // (BENCH_NOTES.md). Unknown names are dropped loudly, not run.
         val suite = graft.core.EnvSuite.scope("SPARK_GRAFT_SCALE_SUITE",
           scaleSuite, SparkEntry.queries.contains, "bench")
-        val extras = suite.filterNot(headline.contains)
+        val extras = suite.filterNot(suiteRun.contains)
         extras.foreach(runAt(_, sfDir)) // warm the non-headline plans
         // Min of two timed passes per dir: the round-5 driver run showed
         // single-pass timings inflated ~2× by transient machine load
         // (q01 at sf1: 20 s driver vs 9.8 s reproducible), flipping
         // sub-linear exponents super-linear. Contention only ever adds
         // time, so the min is the defensible steady-state estimate.
-        def minOfTwo(dir: String): Map[String, Double] = {
-          val passes = Seq.fill(2)(suite.map(n => n -> runAt(n, dir)).toMap)
-          suite.map { n =>
-            val ok = passes.map(_(n)).filter(_ >= 0)
-            n -> (if (ok.isEmpty) -1.0 else ok.min)
+        def minOfN(dir: String, n: Int): Map[String, Double] = {
+          val passes = Seq.fill(n)(suite.map(q => q -> runAt(q, dir)).toMap)
+          suite.map { q =>
+            val ok = passes.map(_(q)).filter(_ >= 0)
+            q -> (if (ok.isEmpty) -1.0 else ok.min)
           }.toMap
         }
-        val base = minOfTwo(sfDir)
-        // Warm pass at the scaled dir too: base timings ride the earlier
-        // headline warmup, so a cold first pass at scaleDir (footer
-        // caches, first shuffle at that size) would bias every exponent
-        // upward relative to the steady-state base numbers.
-        suite.foreach(runAt(_, scaleDir))
-        val big = minOfTwo(scaleDir)
+        val base = minOfN(sfDir, 2)
+        // SCALED-dir pass budget (round 14): a third decade's scaled side
+        // runs ~10 min/query — warm + min-of-2 would triple a multi-hour
+        // sweep for noise defense the probes already provide. The knobs
+        // only ever bias the SCALED (slow) side UPWARD — a skipped warm
+        // pass leaves footer caches cold, a single pass has no min to
+        // shrug off a load blip — so a sub-linear exponent measured under
+        // passes=1/warm=0 is an upper bound and the conclusion survives a
+        // fortiori; super-linear readings must be re-measured at the
+        // defaults before being believed. Base side keeps min-of-2
+        // unconditionally (it's cheap, and base-side inflation biases
+        // exponents DOWN — the non-conservative direction).
+        val scalePasses = math.max(1, scala.util.Try(
+          sys.env("SPARK_GRAFT_SCALE_PASSES").trim.toInt).getOrElse(2))
+        val scaleWarm = scala.util.Try(
+          sys.env("SPARK_GRAFT_SCALE_WARM").trim.toInt).getOrElse(1) != 0
+        // Warm pass at the scaled dir (default on): base timings ride the
+        // earlier headline warmup, so a cold first pass at scaleDir
+        // (footer caches, first shuffle at that size) would bias every
+        // exponent upward relative to the steady-state base numbers.
+        if (scaleWarm) suite.foreach(runAt(_, scaleDir))
+        val big = minOfN(scaleDir, scalePasses)
         def obj(m: Map[String, Double]) = suite
           .map(n => "\"" + n + "\":" + fmt(m(n))).mkString("{", ",", "}")
         def expObj(denom: Double) = suite.map { n =>
@@ -434,12 +544,14 @@ object Bench {
     val statBusy =
       if (busy0 < 0 || busy1 < 0 || total1 <= total0) -1.0
       else (busy1 - busy0).toDouble / (total1 - total0)
-    val ioPost = ioProbeMbS()
     val loadJson = {
       val passes = loadPasses.map(fmt).mkString("[", ",", "]")
       val avg1Key = if (MODE == "grouped") "avg1_blocks" else "avg1_passes"
       val ioPathJson = jsonStr(ioProbePath)
-      s"""{"$avg1Key":$passes,"stat_busy":${fmt(statBusy)},"ncpu":${Runtime.getRuntime.availableProcessors()},"probe_sec":${fmt(probeSec)},"mem_gb_s":${fmt(memGbS)},"io_mb_s":[${fmt(ioPre)},${fmt(ioPost)}],"io_path":"$ioPathJson"}"""
+      // io_mb_s carries EVERY sample (pre-wait retries + post + any
+      // retry-pass re-probe); gate_diff reasons over the list's min/max.
+      val ioAll = (ioPreSamples ++ ioPostSamples).map(fmt).mkString("[", ",", "]")
+      s"""{"$avg1Key":$passes,"stat_busy":${fmt(statBusy)},"ncpu":${Runtime.getRuntime.availableProcessors()},"probe_sec":${fmt(probeSec)},"mem_gb_s":${fmt(memGbS)},"io_mb_s":$ioAll,"io_path":"$ioPathJson","healthy":$ioHealthy,"healthy_thr_mb_s":${fmt(ioHealthyMbS)},"io_retried":$ioRetried}"""
     }
     // VERDICT r9 item 1 (BENCH_r09.json parsed:null): the compact scale
     // block alone now carries 74 exponent entries (~1.9 kB), so ANY inline

@@ -62,7 +62,12 @@ object SpaceSaving {
   final class Summary(val m: Int) extends Serializable {
     import java.{util => ju}
 
-    val cells = new ju.HashMap[String, Cell]()
+    // Private (ADVICE r13): merge used to write this map directly, which
+    // was safe only because of its call pattern (bkts never materialized
+    // before the writes). All mutation now goes through add/putRaw/
+    // replaceAll, which maintain — or explicitly invalidate — the bucket
+    // index, so the cells/index invariant is enforced by the class.
+    private val cells = new ju.HashMap[String, Cell]()
     @transient private var bkts: ju.TreeMap[java.lang.Long, ju.TreeSet[String]] = _
 
     private def buckets: ju.TreeMap[java.lang.Long, ju.TreeSet[String]] = {
@@ -112,6 +117,28 @@ object SpaceSaving {
     def minCount: Long =
       if (cells.size < m) 0L else buckets.firstKey.longValue
 
+    /** Read accessors for merge: null when absent (ju.HashMap semantics). */
+    def get(tok: String): Cell = cells.get(tok)
+    def size: Int = cells.size
+    def foreachCell(f: (String, Cell) => Unit): Unit =
+      cells.forEach((k, cell) => f(k, cell))
+
+    /** Raw cell write (merge's batch-build path): skips per-write bucket
+      * maintenance and instead INVALIDATES the index, which rebuilds
+      * lazily on the next buckets access — so minCount/add stay correct
+      * for any later caller regardless of write order. */
+    def putRaw(tok: String, cell: Cell): Unit = {
+      cells.put(tok, cell)
+      bkts = null
+    }
+
+    /** Replace the whole cell set (merge's top-m truncation). */
+    def replaceAll(entries: Seq[(String, Cell)]): Unit = {
+      cells.clear()
+      entries.foreach { case (k, cell) => cells.put(k, cell) }
+      bkts = null
+    }
+
     /** Immutable snapshot for specs and `finish`. */
     def toMap: Map[String, Cell] = {
       val builder = Map.newBuilder[String, Cell]
@@ -133,22 +160,21 @@ object SpaceSaving {
       val minA = a.minCount
       val minB = b.minCount
       val out = new Summary(m)
-      a.cells.forEach { (k, ca) =>
-        val cb = b.cells.get(k)
-        if (cb != null) out.cells.put(k, Cell(ca.c + cb.c, ca.e + cb.e))
-        else out.cells.put(k, Cell(ca.c + minB, ca.e + minB))
+      a.foreachCell { (k, ca) =>
+        val cb = b.get(k)
+        if (cb != null) out.putRaw(k, Cell(ca.c + cb.c, ca.e + cb.e))
+        else out.putRaw(k, Cell(ca.c + minB, ca.e + minB))
       }
-      b.cells.forEach { (k, cb) =>
-        if (!a.cells.containsKey(k)) out.cells.put(k, Cell(cb.c + minA, cb.e + minA))
+      b.foreachCell { (k, cb) =>
+        if (a.get(k) == null) out.putRaw(k, Cell(cb.c + minA, cb.e + minA))
       }
-      if (out.cells.size > m) {
+      if (out.size > m) {
         // Truncate to the top m by (count desc, token): at most 2m cells
         // here, so the one-off sort is O(m log m) per merge, not per row.
         val keep = out.toMap.toSeq
           .sortBy { case (k, Cell(c, _)) => (-c, k) }
           .take(m)
-        out.cells.clear()
-        keep.foreach { case (k, cell) => out.cells.put(k, cell) }
+        out.replaceAll(keep)
       }
       out
     }

@@ -2065,13 +2065,18 @@ object SimhashSql {
     * exactly on at least one band, so the band-equality equi-join
     * (blocked on (lang, source) like every other candidate generator
     * here) finds ALL such pairs — never a cross join. Hamming distance
-    * via bit_count(xor) on the exact candidates only. */
+    * via bit_count(xor) on the exact candidates only. The 6-row band
+    * expansion is a LATERAL VIEW explode, not a CROSS JOIN against a
+    * 6-row frame: identical rows, but a Generate node instead of a join
+    * the planner must pick a strategy for (round 14 — under
+    * autoBroadcastJoinThreshold=-1 the old spelling degenerated to a
+    * CartesianProduct, tripping plan_check's no-cartesian invariant). */
   val pairsFromFp: String = """
     WITH bands AS (
-      SELECT doc_id, simhash, lang, source, bs.b,
-             (simhash div CAST(pow(256, bs.b) AS BIGINT)) % 256 AS bv
+      SELECT doc_id, simhash, lang, source, b,
+             (simhash div CAST(pow(256, b) AS BIGINT)) % 256 AS bv
       FROM simhash_fp
-      CROSS JOIN (SELECT explode(sequence(0, 5)) AS b) bs),
+      LATERAL VIEW explode(sequence(0, 5)) bs AS b),
     cand AS (
       SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2,
              x.simhash AS f1, y.simhash AS f2

@@ -58,7 +58,16 @@ object AnnIvf {
     * K = 775: 465 M rows × ~550 B ≈ 240 GB of pure array memcpy, read as
     * the q_ann_ivf e = 1.90 decade knee; K ~ √N makes that term N^1.5
     * with a corpus-sized constant). Scores and tie-breaks are unchanged,
-    * so the assignment — and every index built from it — is bit-identical. */
+    * so the assignment — and every index built from it — is bit-identical.
+    *
+    * Preconditions (ADVICE r13): `vec_id` must be UNIQUE in `emb` — the
+    * join-back fans out duplicates where the old max_by emitted one row
+    * per vec_id (holds for every current caller: embeddings.parquet keys
+    * vec_id, and fitCentroids passes the same frame through unchanged).
+    * `emb` is also referenced twice (scored side + join-back), so a
+    * derived/expensive `emb` is evaluated twice per assign — cheap for
+    * the parquet-backed callers; persist it first if a future caller
+    * feeds a computed frame through iterated fitCentroids. */
   def assign(emb: DataFrame, centroids: DataFrame): DataFrame = {
     val best = emb.join(broadcast(centroids))
       .select(col("vec_id"), col("cid"),

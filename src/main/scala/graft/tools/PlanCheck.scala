@@ -1,0 +1,128 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+  BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec,
+  SortMergeJoinExec}
+
+/** Plan-SHAPE regression gate (VERDICT r13 item 6): PLANS.md is
+  * regenerated every gate run but only eyeballed — a removed
+  * `broadcast()` hint or a join that degenerates to a cartesian product
+  * would ship as a diff nobody reads. This main EXECUTES the headline
+  * queries (same object-walk ground truth as ReuseProbe — the final
+  * adaptive plan, not the initial one) and asserts machine-checkable
+  * invariants on each; any violation exits nonzero with a `plan_check
+  * FAIL:` line.
+  *
+  * Size-based broadcasts are DISABLED in this session
+  * (autoBroadcastJoinThreshold = -1, both planner and AQE): at gate scale
+  * (sf0.01) every table fits under the default 10 MB threshold, so AQE
+  * would "helpfully" broadcast whatever the code forgot to — and a
+  * deleted `broadcast()` hint would pass at sf0.01 while regressing to a
+  * shuffle join on the 100 TB cluster this engine is designed for. With
+  * thresholds off, a BroadcastHashJoin in the executed plan can come
+  * ONLY from an explicit hint: the check verifies intent, not
+  * small-fixture luck. (The mutation drill in
+  * bench_evidence/r14_plan_mutation.txt proves a planted hint removal
+  * FAILs this gate.)
+  *
+  *   runMain graft.tools.PlanCheck            # SPARK_GRAFT_SF_DIR or sf0.01
+  */
+object PlanCheck {
+
+  /** Executed-plan shape counts, via ReuseProbe's node walk. */
+  final case class Shape(bhj: Int, shuffleJoins: Int, cartesian: Int,
+      bnlj: Int, corpusScans: Int, pushedCorpusScans: Int) {
+    override def toString: String =
+      s"bhj=$bhj shuffleJoins=$shuffleJoins cartesian=$cartesian " +
+        s"bnlj=$bnlj corpusScans=$corpusScans pushed=$pushedCorpusScans"
+  }
+
+  def shape(plan: SparkPlan): Shape = {
+    val all = ReuseProbe.nodes(plan)
+    val corpus = all.collect {
+      case f: FileSourceScanExec
+          if f.relation.location.rootPaths.mkString(",").contains("/testdata/") => f
+    }
+    Shape(
+      bhj = all.count(_.isInstanceOf[BroadcastHashJoinExec]),
+      shuffleJoins = all.count(n => n.isInstanceOf[SortMergeJoinExec] ||
+        n.isInstanceOf[ShuffledHashJoinExec]),
+      cartesian = all.count(_.isInstanceOf[CartesianProductExec]),
+      bnlj = all.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      corpusScans = corpus.length,
+      pushedCorpusScans = corpus.count(
+        _.metadata.get("PushedFilters").exists(s => s != "[]" && s.nonEmpty)))
+  }
+
+  /** name -> invariant (None = pass, Some(violation)). Calibrated against
+    * the committed plans these queries are SUPPOSED to have (VERDICT r13's
+    * plan audit), not whatever they happened to produce. */
+  val checks: Seq[(String, Shape => Option[String])] = Seq(
+    // q01: the date-range filter must reach the parquet scan. A scan
+    // reading all row groups for a filtered aggregate is the first thing
+    // that breaks at 100 TB.
+    "q01_pricing_summary" -> { s =>
+      if (s.pushedCorpusScans >= 1) None
+      else Some(s"no corpus scan with pushed filters ($s)")
+    },
+    // q04: all three dims explicitly broadcast, exactly one shuffle join
+    // (lineitem⋈orders), nothing degenerate.
+    "q04_multiway_join" -> { s =>
+      if (s.bhj == 3 && s.shuffleJoins == 1 && s.cartesian + s.bnlj == 0) None
+      else Some(s"want bhj=3 shuffleJoins=1 no-cartesian/bnlj, got ($s)")
+    },
+    // q43: the LSH pipeline must never fall back to an all-pairs shape —
+    // every join is an equi-join on band/bucket/doc keys by construction.
+    "q43_minhash_lsh" -> { s =>
+      if (s.cartesian + s.bnlj == 0) None
+      else Some(s"cartesian/BNLJ in the LSH plan ($s)")
+    },
+    // q_simhash_pairs: the banded Hamming join is pigeonhole-complete
+    // AND an equi-join — a BNLJ here means the banding got lost.
+    "q_simhash_pairs" -> { s =>
+      if (s.cartesian + s.bnlj == 0) None
+      else Some(s"cartesian/BNLJ in the simhash band join ($s)")
+    },
+    // q31: the oracle-tier pair join reads the corpus exactly twice in
+    // THIS session (both blocked self-join sides; under default
+    // thresholds one side broadcasts and ReuseProbe counts 3 — the
+    // SCAN_BUDGET number — because AQE cannot reuse a broadcast exchange
+    // against a shuffle one, while the all-shuffle plan here reuses it).
+    // More is a replay regression; fewer means a self-join side got
+    // optimized away and the recall oracle no longer measures anything.
+    "q31_jaccard_pairs" -> { s =>
+      if (s.corpusScans == 2 && s.cartesian + s.bnlj == 0) None
+      else Some(s"want corpusScans=2 no-cartesian/bnlj, got ($s)")
+    })
+
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .appName("graft-plan-check").master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      .config("spark.ui.enabled", false).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var failed = 0
+    checks.foreach { case (name, inv) =>
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      df.queryExecution.toRdd.count() // finalize the adaptive plan
+      val s = shape(df.queryExecution.executedPlan)
+      inv(s) match {
+        case None => println(s"plan_check OK: $name ($s)")
+        case Some(err) => println(s"plan_check FAIL: $name — $err"); failed += 1
+      }
+    }
+    spark.stop()
+    if (failed > 0) {
+      println(s"plan_check FAIL: $failed of ${checks.length} invariants violated")
+      sys.exit(1)
+    }
+    println(s"plan_check OK: ${checks.length}/${checks.length} headline plan shapes hold")
+  }
+}

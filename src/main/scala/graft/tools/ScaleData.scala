@@ -40,6 +40,12 @@ object ScaleData {
     val dst = args.lift(1).getOrElse("/root/repo/localdata/sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
     val tag = args.lift(3).getOrElse("")
+    // Optional 5th arg: csv of table names to expand (default all). A
+    // decade whose suite reads only `documents` doesn't need 600 M
+    // lineitem rows written first — partial dirs are supported by Bench's
+    // scale block (a missing table fails its query loudly with the -1
+    // sentinel, never silently).
+    val tables = args.lift(4).map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -48,9 +54,15 @@ object ScaleData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    expand(spark, src, dst, factor, tag)
+    expand(spark, src, dst, factor, tag, tables)
     spark.stop()
   }
+
+  /** Marker recording the salt tag an expansion was built with, written
+    * into every dst dir and consulted when chaining (see the guard in
+    * expand). Pre-existing chain dirs built before the marker existed get
+    * theirs retro-fitted from the recorded BENCH_NOTES provenance. */
+  private val TagMarker = "_scale_tag.txt"
 
   /** @param tag distinguishes CHAINED expansions' token salts: level-1
     *   replica i salts tokens `t~i`, and a level-2 run over that output
@@ -58,7 +70,12 @@ object ScaleData {
     *   with level-1 replica i = j and planting exact duplicate documents
     *   across the two levels (fused LSH buckets, inflated pair counts).
     *   A sf1→sf10 run passes e.g. "b" so level-2 salts read `t~b3`,
-    *   disjoint from every level-1 salt by construction. The tag feeds
+    *   disjoint from every level-1 salt by construction. Since round 14
+    *   this is ENFORCED, not advisory: every expansion stamps its tag
+    *   into `_scale_tag.txt` in dst, and expanding a marked dir requires
+    *   a fresh non-empty tag (a reused tag would not just collide salts —
+    *   it would un-flip the embedding sign patterns back to exact
+    *   duplicates, since sign flips square to one). The tag feeds
     *   the embedding sign-flip hash the same way, so level-2 sign
     *   patterns are independent of level-1's and chained embeddings stay
     *   duplicate-free (the pre-round-13 cyclic rotation offered only 64
@@ -78,7 +95,25 @@ object ScaleData {
     *   — read those for token/byte-bound queries; graft.tools.VocabProbe
     *   remains the deeper diagnostic (vocab loads, chars/token). */
   def expand(s: SparkSession, src: String, dst: String, factor: Int,
-      tag: String = ""): Unit = {
+      tag: String = "", tables: Option[Set[String]] = None): Unit = {
+    // Chained-tag guard (ADVICE r13): expanding a ScaleData OUTPUT with
+    // the same tag (e.g. both default "") is worse than the token-salt
+    // collision the scaladoc warns about — the embedding sign flips
+    // square to one, so level-2 replica j applies level-1 replica j's
+    // exact pattern and RESTORES base vectors bitwise, planting exact
+    // duplicates. Every dst carries its tag in a marker; chaining off a
+    // marked dir requires a fresh non-empty tag.
+    val srcMarker = new java.io.File(src, TagMarker)
+    if (srcMarker.isFile) {
+      val srcSrc = scala.io.Source.fromFile(srcMarker)
+      val srcTag = try srcSrc.mkString.trim finally srcSrc.close()
+      require(tag.trim.nonEmpty && tag.trim != srcTag,
+        s"$src is itself a ScaleData expansion (tag '$srcTag'): chaining " +
+          s"with tag '$tag' would replay its token salts and un-flip its " +
+          "embedding sign patterns back to exact duplicates — pass a " +
+          "distinct non-empty tag")
+    }
+    def want(name: String): Boolean = tables.forall(_.contains(name))
     def rd(name: String): DataFrame = s.read.parquet(s"$src/$name.parquet")
     def wr(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
@@ -93,29 +128,36 @@ object ScaleData {
     def off(key: String, stride: Long) = col(key) + col("rep") * lit(stride)
 
     // Dims: fixed, verbatim (TPC-H keeps nation/region constant across sf).
-    wr(rd("region"), "region")
-    wr(rd("nation"), "nation")
+    if (want("region")) wr(rd("region"), "region")
+    if (want("nation")) wr(rd("nation"), "nation")
 
-    val ck = keyStride(rd("customer"), "c_custkey")
-    val ok = keyStride(rd("orders"), "o_orderkey")
-    val pk = keyStride(rd("part"), "p_partkey")
-    val sk = keyStride(rd("supplier"), "s_suppkey")
+    // Strides are lazy so a partial expansion (tables given) never reads
+    // the tables it isn't writing.
+    lazy val ck = keyStride(rd("customer"), "c_custkey")
+    lazy val ok = keyStride(rd("orders"), "o_orderkey")
+    lazy val pk = keyStride(rd("part"), "p_partkey")
+    lazy val sk = keyStride(rd("supplier"), "s_suppkey")
 
-    wr(reps(rd("customer")).withColumn("c_custkey", off("c_custkey", ck))
-      .drop("rep"), "customer")
-    wr(reps(rd("supplier")).withColumn("s_suppkey", off("s_suppkey", sk))
-      .drop("rep"), "supplier")
-    wr(reps(rd("part")).withColumn("p_partkey", off("p_partkey", pk))
-      .drop("rep"), "part")
-    wr(reps(rd("orders"))
-      .withColumn("o_orderkey", off("o_orderkey", ok))
-      .withColumn("o_custkey", off("o_custkey", ck))
-      .drop("rep"), "orders")
-    wr(reps(rd("lineitem"))
-      .withColumn("l_orderkey", off("l_orderkey", ok))
-      .withColumn("l_partkey", off("l_partkey", pk))
-      .withColumn("l_suppkey", off("l_suppkey", sk))
-      .drop("rep"), "lineitem")
+    if (want("customer"))
+      wr(reps(rd("customer")).withColumn("c_custkey", off("c_custkey", ck))
+        .drop("rep"), "customer")
+    if (want("supplier"))
+      wr(reps(rd("supplier")).withColumn("s_suppkey", off("s_suppkey", sk))
+        .drop("rep"), "supplier")
+    if (want("part"))
+      wr(reps(rd("part")).withColumn("p_partkey", off("p_partkey", pk))
+        .drop("rep"), "part")
+    if (want("orders"))
+      wr(reps(rd("orders"))
+        .withColumn("o_orderkey", off("o_orderkey", ok))
+        .withColumn("o_custkey", off("o_custkey", ck))
+        .drop("rep"), "orders")
+    if (want("lineitem"))
+      wr(reps(rd("lineitem"))
+        .withColumn("l_orderkey", off("l_orderkey", ok))
+        .withColumn("l_partkey", off("l_partkey", pk))
+        .withColumn("l_suppkey", off("l_suppkey", sk))
+        .drop("rep"), "lineitem")
 
     // events: written as TIMESTAMP micros (ts div 1000 — the same ns→µs
     // truncation Tables.t and DuckDB both apply to the driver fixture's
@@ -129,6 +171,7 @@ object ScaleData {
     // events.parquet.
     val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
     val prevNanos = s.conf.getOption(nanosKey)
+    if (want("events")) {
     s.conf.set(nanosKey, "true")
     try {
       // Normalize whatever layout the source carries (nanos-long, NTZ µs,
@@ -145,7 +188,9 @@ object ScaleData {
       case Some(v) => s.conf.set(nanosKey, v)
       case None => s.conf.unset(nanosKey)
     }
+    }
 
+    if (want("documents")) {
     val docs = rd("documents")
     val dk = keyStride(docs, "doc_id")
     val salted = when(col("rep") === 0, col("text")).otherwise(
@@ -156,7 +201,9 @@ object ScaleData {
       .withColumn("text", salted)
       .withColumn("n_chars", length(col("text")).cast("long"))
       .drop("rep"), "documents")
+    }
 
+    if (want("embeddings")) {
     val emb = rd("embeddings")
     val vk = keyStride(emb, "vec_id")
     // Replica i ≠ 0 flips each dimension's sign by a deterministic hash of
@@ -183,5 +230,14 @@ object ScaleData {
       .withColumn("vec_id", off("vec_id", vk))
       .withColumn("embedding", flipped)
       .drop("rep"), "embeddings")
+    }
+
+    // Stamp the expansion's tag so a future chaining run off this dir
+    // hits the guard above. Written last — a marker on a half-written
+    // dir would vouch for data that isn't there.
+    val dstDir = new java.io.File(dst)
+    dstDir.mkdirs()
+    val mw = new java.io.PrintWriter(new java.io.File(dstDir, TagMarker))
+    try mw.print(tag.trim) finally mw.close()
   }
 }

@@ -42,7 +42,14 @@ object TunerAb {
     spark.sparkContext.setLogLevel("ERROR")
     graft.core.LogQuiet.boundedWindowWarnings()
 
-    val queries = Seq("q01_pricing_summary", "q04_multiway_join")
+    // q43 joined the A/B in round 14 (VERDICT r13 item 4): the LSH dedup
+    // pipeline is the engine's flagship multi-shuffle shape, so the
+    // tuner's value claim should be demonstrated on it, not only on the
+    // two relational headliners. SPARK_GRAFT_AB_QUERIES (csv) scopes.
+    val queries = sys.env.get("SPARK_GRAFT_AB_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq("q01_pricing_summary", "q04_multiway_join",
+        "q43_minhash_lsh"))
 
     def body(name: String): Unit =
       graft.SparkEntry.queries(name)(spark, sfDir)

@@ -108,6 +108,37 @@ class ScaleDataSpec extends SparkSpec {
     assert(crossRep == 0, s"$crossRep tokens shared across chained replicas")
   }
 
+  test("chaining off an expansion with a reused/empty tag is refused") {
+    // ADVICE r13: a chained run reusing the source's tag doesn't just
+    // collide token salts — the sign flips square to one, so level-2
+    // replica j would RESTORE level-1 replica j's base vectors bitwise.
+    // Every dst carries its tag in _scale_tag.txt; the guard requires a
+    // fresh non-empty tag when the source is marked.
+    val d2 = graft.core.TempDirs.create("graft-scaledata-guard")
+    val emptyTag = intercept[IllegalArgumentException] {
+      ScaleData.expand(spark, outDir, d2, 2) // default tag "" == source's
+    }
+    assert(emptyTag.getMessage.contains("distinct non-empty tag"))
+    // And a marked dir built WITH a tag refuses that same tag downstream.
+    val d3 = graft.core.TempDirs.create("graft-scaledata-guard-b")
+    ScaleData.expand(spark, outDir, d3, 2, "b", Some(Set("documents")))
+    val reused = intercept[IllegalArgumentException] {
+      ScaleData.expand(spark, d3, graft.core.TempDirs.create("graft-sd-g2"),
+        2, "b", Some(Set("documents")))
+    }
+    assert(reused.getMessage.contains("tag 'b'"))
+  }
+
+  test("partial expansion writes only the requested tables") {
+    val d2 = graft.core.TempDirs.create("graft-scaledata-partial")
+    ScaleData.expand(spark, outDir, d2, 2, "p", Some(Set("documents")))
+    assert(cnt(d2, "documents") == 2 * cnt(outDir, "documents"))
+    val written = new java.io.File(d2).list().toSet
+    assert(written.contains("documents.parquet"))
+    assert(!written.exists(_.startsWith("lineitem")),
+      "partial expansion wrote an unrequested table")
+  }
+
   test("embedding sign-flip preserves norms and replica count") {
     val emb = spark.read.parquet(s"$outDir/embeddings.parquet")
     val norm = aggregate(col("embedding"), lit(0.0d), (a, x) => a + x * x)

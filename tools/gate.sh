@@ -61,6 +61,11 @@ if [[ "${SKIP_SCAN:-0}" != "1" ]]; then
   SPARK_GRAFT_SF_DIR="$SF_TEST" sbt -batch "runMain graft.tools.ReuseProbe --all" \
     > /tmp/gate_scans.log 2>&1 \
     || { tail -30 /tmp/gate_scans.log; echo "GATE FAIL: ReuseProbe crashed"; exit 1; }
+  # Budget-semantics drill first (VERDICT r13 item 3): prove the
+  # aqe_empty_relation annotation silences ONLY the deliberately-loose
+  # caps — a plain loose budget still NOTEs, an overrun still FAILs —
+  # before trusting this round's scan_check output.
+  python3 tools/scan_check_selftest.py
   # Registry cross-check (ADVICE r10): a budgeted query that ReuseProbe
   # silently skipped while still in the registry fails, not NOTEs.
   # registry.json (Verify's full SparkEntry.queries listing), NOT
@@ -69,6 +74,24 @@ if [[ "${SKIP_SCAN:-0}" != "1" ]]; then
     /tmp/gate_verify/registry.json
 else
   echo "== gate 2b/3: scan budget skipped (SKIP_SCAN=1) =="
+fi
+
+if [[ "${SKIP_PLAN:-0}" != "1" ]]; then
+  echo "== gate 2d/3: plan-shape invariants (PlanCheck, $SF_TEST) =="
+  # Executed-plan invariants on the headline queries (VERDICT r13 item 6):
+  # q01 pushed filters, q04's 3-broadcast+1-shuffle join shape, no
+  # cartesian/BNLJ in the LSH/simhash pipelines, q31's 2-scan self-join.
+  # Runs with autoBroadcastJoinThreshold=-1 so a BroadcastHashJoin can
+  # only come from an explicit hint — a deleted broadcast() fails here
+  # even though AQE would mask it at sf0.01 (drill:
+  # bench_evidence/r14_plan_mutation.txt).
+  SPARK_GRAFT_SF_DIR="$SF_TEST" sbt -batch "runMain graft.tools.PlanCheck" \
+    > /tmp/gate_plancheck.log 2>&1 \
+    || { tail -30 /tmp/gate_plancheck.log; echo "GATE FAIL: plan_check invariant violated"; exit 1; }
+  grep "plan_check OK:" /tmp/gate_plancheck.log | tail -1 \
+    || { tail -20 /tmp/gate_plancheck.log; echo "GATE FAIL: no plan_check OK line"; exit 1; }
+else
+  echo "== gate 2d/3: plan-shape invariants skipped (SKIP_PLAN=1) =="
 fi
 
 if [[ "${GATE_GOLDEN_DRILL:-0}" == "1" ]]; then

@@ -11,7 +11,14 @@ the committed per-query budget in SCAN_BUDGET.txt. The r9 audit found a
 
 - measured > budget          -> FAIL (a plan change re-introduced replay)
 - query missing from budget  -> FAIL (new queries must declare a budget)
-- measured < budget          -> NOTE (tighten the committed budget)
+- measured < budget          -> NOTE (tighten the committed budget), unless
+                                the budget line carries an annotation token
+                                (e.g. `q07_anti_join 2 aqe_empty_relation`)
+                                declaring the gap expected -> OK (annotated).
+                                Standing NOTEs train readers to skip NOTEs
+                                (VERDICT r13 item 3); an annotation is the
+                                machine-readable form of "this budget is
+                                deliberately loose, here's why".
 - budgeted but not probed    -> FAIL when still in the registry (a probe
                                 that silently skips a query would wave its
                                 replay regressions through — ADVICE r10);
@@ -73,9 +80,16 @@ def parse_budget(path):
         ln = ln.split("#", 1)[0].strip()
         if not ln:
             continue
+        parts = ln.split()
+        # 2 fields: `name cap`. 3 fields: `name cap annotation` — the
+        # annotation declares the cap deliberately above the measured
+        # count (prints OK (annotated) instead of a tighten-NOTE).
+        if len(parts) not in (2, 3):
+            fail(f"budget_file line malformed ({path}): {ln!r} "
+                 "(want `name cap [annotation]`)")
         try:
-            name, cap = ln.split()
-            budget[name] = int(cap)
+            budget[parts[0]] = (int(parts[1]),
+                                parts[2] if len(parts) == 3 else None)
         except ValueError as e:
             fail(f"budget_file line malformed ({path}): {ln!r} ({e})")
     return budget
@@ -118,16 +132,20 @@ def main():
               "the probe dir is likely outside /testdata/ (ReuseProbe "
               "classifies corpus scans by path); re-run against a testdata sf dir")
         return 1
-    failures, notes = [], []
+    failures, notes, annotated = [], [], []
     for q, scans in sorted(probe.items()):
-        cap = budget.get(q)
+        entry = budget.get(q)
+        cap, note = entry if entry is not None else (None, None)
         if cap is None:
             failures.append(f"{q}: {scans} corpus scans but no committed "
                             f"budget — add it to {os.path.basename(budget_path)}")
         elif scans > cap:
             failures.append(f"{q}: {scans} corpus scans > budget {cap}")
         elif scans < cap:
-            notes.append(f"{q}: {scans} < budget {cap} (tighten)")
+            if note:
+                annotated.append(f"{q}: {scans} < budget {cap} ({note})")
+            else:
+                notes.append(f"{q}: {scans} < budget {cap} (tighten)")
     def probe_exempt(q):
         # Mirror of ReuseProbe --all's streaming exclusion.
         return q.startswith("q_stream") or \
@@ -140,6 +158,8 @@ def main():
                             "its replay regressions are unaudited")
         else:
             notes.append(f"{q}: in budget but not probed (removed query? drop it)")
+    for a in annotated:
+        print(f"scan_check OK (annotated): {a}")
     for n in notes:
         print(f"scan_check NOTE: {n}")
     if failures:
@@ -147,7 +167,7 @@ def main():
             print(f"scan_check FAIL: {f}")
         return 1
     print(f"scan_check OK: {len(probe)} queries within corpus-scan budget "
-          f"({os.path.basename(budget_path)})")
+          f"({os.path.basename(budget_path)}, {len(annotated)} annotated)")
     return 0
 
 
