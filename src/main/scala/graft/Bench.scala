@@ -87,13 +87,24 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Scan-split override for evidence runs (round 14): the third decade
+    // exposed that a single-file compressed-text fixture starves the
+    // tokenize stage at the default 128 MB split (sf10 documents = ONE
+    // 79 MB file = ONE scan task on 32 cores; sf100 = 874 MB = ~7), which
+    // read as impossible sub-linear exponents. This applies the same
+    // split sizing the tuner's scan tier recommends
+    // (ComputePartitions.maxPartitionBytes: input/slots, clamped ≥ 4 MB).
+    // NEVER set by driver invocations — committed BENCH numbers stay
+    // out-of-box conf.
+    sys.env.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
+      .foreach(v => builder.config("spark.sql.files.maxPartitionBytes", v))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.core.LogQuiet.boundedWindowWarnings()
 

@@ -115,8 +115,20 @@ object ScaleData {
     }
     def want(name: String): Boolean = tables.forall(_.contains(name))
     def rd(name: String): DataFrame = s.read.parquet(s"$src/$name.parquet")
-    def wr(df: DataFrame, name: String): Unit =
-      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+    // Fact tables repartition before write (round 14): the expansion's
+    // lineage is narrow (read → explode → project, no shuffle), so the
+    // output file count equals the SOURCE's — a single-file documents
+    // input stays a single file (= one parquet row group = scan
+    // parallelism 1, whatever maxPartitionBytes says) through every
+    // chaining level. That starved the sf10→sf100 decade's tokenize
+    // stages on 1 core of 32 and read as impossibly sub-linear
+    // exponents (bench_evidence/r14_third_decade_*.json, incl. the
+    // 4 MB-split control that proved split sizing can't rescue a
+    // monolithic row group). 32 files ≈ the generating session's
+    // parallelism; dims keep their verbatim single file.
+    def wr(df: DataFrame, name: String, parts: Int = 32): Unit =
+      (if (parts > 1) df.repartition(parts) else df)
+        .write.mode("overwrite").parquet(s"$dst/$name.parquet")
     def keyStride(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head().getLong(0) + 1L
     // Replica index column: every source row appears once per replica.
@@ -128,8 +140,8 @@ object ScaleData {
     def off(key: String, stride: Long) = col(key) + col("rep") * lit(stride)
 
     // Dims: fixed, verbatim (TPC-H keeps nation/region constant across sf).
-    if (want("region")) wr(rd("region"), "region")
-    if (want("nation")) wr(rd("nation"), "nation")
+    if (want("region")) wr(rd("region"), "region", 1)
+    if (want("nation")) wr(rd("nation"), "nation", 1)
 
     // Strides are lazy so a partial expansion (tables given) never reads
     // the tables it isn't writing.

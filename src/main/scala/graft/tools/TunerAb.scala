@@ -60,6 +60,12 @@ object TunerAb {
 
     println(s"TunerAb: sfDir=$sfDir local[$cpus] iters=$iters " +
       "(untuned=200 out-of-box; tuned=history-driven recommendation)")
+    // The committed A/B evidence carries its own IO-health probes
+    // (round 14) — same criterion as Bench's recording gate.
+    val probePath = graft.core.IoProbe.path(spark.conf.getOption("spark.local.dir"))
+    def probe(when: String): Unit = println(
+      f"io_probe_mb_s $when ${graft.core.IoProbe.mbPerSec(probePath)}%.1f ($probePath)")
+    probe("pre")
     for (aqe <- Seq(true, false); name <- queries) {
       spark.conf.set("spark.sql.adaptive.enabled", aqe.toString)
       body(name) // untimed warmup: JIT/codegen charged to neither arm
@@ -87,6 +93,7 @@ object TunerAb {
       val uMin = rows.map(_._2).min; val tMin = rows.map(_._3).min
       println(f"min   $uMin%9.2f  $tMin%7.2f   (tuned/untuned = ${tMin / uMin}%.3f)")
     }
+    probe("post")
     graft.core.TempDirs.cleanupAll()
     spark.stop()
   }

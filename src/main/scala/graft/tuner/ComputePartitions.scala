@@ -102,6 +102,20 @@ class ComputePartitions(conf: Map[String, String]) {
       }
   }
 
+  /** Slot floor for APPLYING a recommendation (round 14, found by the
+    * sf1 tuner A/B): under AQE the recorded `numPartitionsUsed` is the
+    * post-coalesce EXECUTED count, so the plateau/regressing branches can
+    * echo a coalesced tiny stage back as the next run's INITIAL count —
+    * the A/B's q04 (aqe on) trajectory recommended 1 on iteration 3,
+    * which at cluster scale parks every slot but one behind a single
+    * shuffle task. The decision table above stays the reference's
+    * formula (it is the spec); the SESSION never applies fewer initial
+    * partitions than the cluster has slots — idling cores is never the
+    * right initial plan, and AQE can only coalesce DOWN from the initial
+    * count, never split a non-skewed stage up. */
+  def applySlotFloor(partitions: Int): Int =
+    math.max(partitions, possibleConcurrentTasks())
+
   /** Scan-tier input-split recommendation (`spark.sql.files.maxPartitionBytes`)
     * — the [[partitionsFloor]] memory math inverted onto the scan tier,
     * which is the knob that matters most for a 100 TB read: the shuffle

@@ -101,7 +101,10 @@ class Tuner(metricsRoot: String, appName: String) {
     val history = store.history(spark)
     val target = StageRunInfo.stagesWithMostExpensiveShuffle(history)
     val cp = new ComputePartitions(spark.conf.getAll)
-    val partitions = cp.fromStageMetricSharedCluster(target)
+    // Slot-floored at the application boundary (see applySlotFloor's doc:
+    // AQE-coalesced executed counts must not feed back as sub-slot
+    // initial counts — the r14 sf1 A/B hit a recommendation of 1).
+    val partitions = cp.applySlotFloor(cp.fromStageMetricSharedCluster(target))
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
     // Scan tier rides the same history read: split size from the biggest
     // recorded input stage (cold start → memory bound alone).

@@ -66,6 +66,21 @@ class ComputePartitionsSpec extends SparkSpec {
     assert(noInstances.possibleConcurrentTasks() == 2)
   }
 
+  test("slot floor clamps applied recommendations, never raw formula output") {
+    // The decision table may legitimately return a sub-slot count (an
+    // AQE-coalesced stage echoed back by the regressing branch); the
+    // APPLICATION boundary floors it at the cluster's slot count.
+    assert(cp.applySlotFloor(1) == 8) // 4 execs × 2 cores
+    assert(cp.applySlotFloor(8) == 8)
+    assert(cp.applySlotFloor(200) == 200)
+    // And the raw formula is unchanged: a regressing history whose best
+    // run used fewer partitions than the slot count still RETURNS it.
+    val h = List(
+      mkStage(80, 85, 100, 3, 5, 10),   // best cpu, 5 partitions < 8 slots
+      mkStage(105, 110, 100, 3, 25, 11))
+    assert(cp.fromStageMetricSharedCluster(h) == 5)
+  }
+
   test("memory string parsing") {
     assert(cp.parseMemoryMb("2g") == 2048.0)
     assert(cp.parseMemoryMb("512m") == 512.0)
