@@ -101,8 +101,11 @@ object Bench {
     // split sizing the tuner's scan tier recommends
     // (ComputePartitions.maxPartitionBytes: input/slots, clamped ≥ 4 MB).
     // NEVER set by driver invocations — committed BENCH numbers stay
-    // out-of-box conf.
-    sys.env.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
+    // out-of-box conf. The contract is machine-checkable, not advisory
+    // (ADVICE r14): the override (or its absence, null) is stamped into
+    // the emitted record as "max_partition_bytes_override".
+    val mpbOverride = sys.env.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
+    mpbOverride
       .foreach(v => builder.config("spark.sql.files.maxPartitionBytes", v))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -223,8 +226,11 @@ object Bench {
     val ioHealthyMbS: Double = scala.util.Try(
       sys.env("SPARK_GRAFT_IO_HEALTHY_MBS").trim.toDouble).getOrElse(250.0)
     def ioDegraded(v: Double): Boolean = v >= 0 && v < ioHealthyMbS
+    // Pre-wait budget raised 3 → 5 samples in round 15: the r14 record's
+    // degraded window outlasted the two 45 s waits; two more are cheap
+    // next to a suite that cannot certify healthy without them.
     val ioPreSamples = scala.collection.mutable.ArrayBuffer(ioProbeMbS())
-    while (ioDegraded(ioPreSamples.last) && ioPreSamples.length < 3) {
+    while (ioDegraded(ioPreSamples.last) && ioPreSamples.length < 5) {
       System.err.println(f"[bench] io probe ${ioPreSamples.last}%.0f MB/s " +
         f"below the healthy band (${ioHealthyMbS}%.0f) — waiting 45 s")
       Thread.sleep(45000)
@@ -367,22 +373,51 @@ object Bench {
     }
     var offReps = aqeOffReps(REPS)
 
-    // (b) of the recording gate: if the probes bracketing the suite saw
-    // the device degraded, append one extra pass of BOTH suites in the
-    // same shapes, then re-probe. stats() below takes min over all reps.
+    // (b) of the recording gate, strengthened in round 15 (VERDICT r14
+    // item 2): r14's single extra pass ran IMMEDIATELY inside the degraded
+    // window — its own third post-probe read 24 MB/s and the record still
+    // shipped healthy:false. The published basis is min-of-N and
+    // contention only ever ADDS time, so health needs exactly ONE full
+    // pass bracketed by in-band probes. The retry loop now (1) WAITS for
+    // the device to re-enter the band before spending a pass (up to
+    // 3 × 45 s per retry), (2) retries up to SPARK_GRAFT_IO_RETRIES
+    // (default 2) extra passes, and (3) stamps healthy from the LAST
+    // pass's own probe bracket — the pair that actually surrounds timed
+    // work the min can draw from. A probe that cannot run (-1) neither
+    // loops nor certifies, as before.
     val ioPostSamples = scala.collection.mutable.ArrayBuffer(ioProbeMbS())
-    val ioRetried = ioDegraded(ioPreSamples.last) || ioDegraded(ioPostSamples.last)
-    if (ioRetried) {
-      System.err.println("[bench] io probe degraded around the suite — " +
-        "running one extra timed pass (min-of-N absorbs the taxed passes)")
+    var bracketPre = ioPreSamples.last
+    var bracketPost = ioPostSamples.last
+    def bracketHealthy: Boolean = {
+      val ran = Seq(bracketPre, bracketPost).filter(_ >= 0)
+      ran.nonEmpty && ran.forall(_ >= ioHealthyMbS)
+    }
+    val ioRetryBudget = math.max(0, scala.util.Try(
+      sys.env("SPARK_GRAFT_IO_RETRIES").trim.toInt).getOrElse(2))
+    var ioExtraPasses = 0
+    while (Seq(bracketPre, bracketPost).exists(ioDegraded) &&
+        ioExtraPasses < ioRetryBudget) {
+      System.err.println(f"[bench] io bracket $bracketPre%.0f/$bracketPost%.0f " +
+        "MB/s degraded — waiting for the band, then one extra timed pass")
+      var waits = 0
+      var probe = ioProbeMbS()
+      ioPostSamples += probe
+      while (ioDegraded(probe) && waits < 3) {
+        Thread.sleep(45000); waits += 1
+        probe = ioProbeMbS(); ioPostSamples += probe
+      }
+      bracketPre = probe
       combinedReps = addPass(combinedReps, suiteReps(suiteRun, 1))
       offReps = addPass(offReps, aqeOffReps(1))
-      ioPostSamples += ioProbeMbS()
+      ioExtraPasses += 1
+      bracketPost = ioProbeMbS()
+      ioPostSamples += bracketPost
     }
-    // healthy = every probe that RAN in the window bracketing the timed
-    // passes (last pre-sample + all post-samples) met the band.
-    val ioBracket = (ioPreSamples.last +: ioPostSamples.toSeq).filter(_ >= 0)
-    val ioHealthy = ioBracket.nonEmpty && ioBracket.forall(_ >= ioHealthyMbS)
+    val ioRetried = ioExtraPasses > 0
+    // healthy = the LAST timed pass ran between two in-band probes (the
+    // min-of-N basis needs one clean window; earlier taxed passes can
+    // only be slower and never win the min).
+    val ioHealthy = bracketHealthy
 
     val combinedStats = stats(combinedReps)
     val metaResults = combinedStats.filter { case (n, _) => metaSuite.contains(n) }
@@ -465,6 +500,18 @@ object Bench {
       if (!scaleEnabled) ("{}", "{}")
       else {
         val factor = scaleFactorOpt.get
+        // Scale-bracket probes (ADVICE r14): the headline bracket above
+        // closes BEFORE this multi-hour sweep, so a degraded-IO window
+        // during the scale passes would otherwise be invisible — the
+        // record could stamp load.healthy:true over exponents measured
+        // under contention. Probes ride BETWEEN the timed passes (the
+        // sweep's own spill writeback leaves the device busy at the end,
+        // so a single pre/post pair would read degraded even when pass 1
+        // ran clean); the published basis is min-of-N, so the scale block
+        // is healthy when BOTH dirs had at least one timed pass bracketed
+        // by in-band probes. All samples ride the scale JSON's "io_mb_s"
+        // plus the flat load list.
+        val ioScaleSamples = scala.collection.mutable.ArrayBuffer[Double]()
         // SPARK_GRAFT_SCALE_SUITE (csv of query names) scopes the scale
         // block — e.g. the sf1→sf10 decade excludes the embedding-family
         // queries whose sf10 fixture transform is documented as lossy
@@ -478,14 +525,27 @@ object Bench {
         // (q01 at sf1: 20 s driver vs 9.8 s reproducible), flipping
         // sub-linear exponents super-linear. Contention only ever adds
         // time, so the min is the defensible steady-state estimate.
-        def minOfN(dir: String, n: Int): Map[String, Double] = {
-          val passes = Seq.fill(n)(suite.map(q => q -> runAt(q, dir)).toMap)
-          suite.map { q =>
+        // Returns (per-query min, whether any timed pass at this dir was
+        // bracketed by two in-band probes — the min can only come from a
+        // pass at least that fast, so one clean bracket certifies it).
+        def minOfN(dir: String, n: Int): (Map[String, Double], Boolean) = {
+          val probes = scala.collection.mutable.ArrayBuffer(ioProbeMbS())
+          val passes = Seq.fill(n) {
+            val p = suite.map(q => q -> runAt(q, dir)).toMap
+            probes += ioProbeMbS()
+            p
+          }
+          ioScaleSamples ++= probes
+          val bracketOk = (0 until n).exists { i =>
+            val ran = Seq(probes(i), probes(i + 1)).filter(_ >= 0)
+            ran.nonEmpty && ran.forall(_ >= ioHealthyMbS)
+          }
+          (suite.map { q =>
             val ok = passes.map(_(q)).filter(_ >= 0)
             q -> (if (ok.isEmpty) -1.0 else ok.min)
-          }.toMap
+          }.toMap, bracketOk)
         }
-        val base = minOfN(sfDir, 2)
+        val (base, baseBracketOk) = minOfN(sfDir, 2)
         // SCALED-dir pass budget (round 14): a third decade's scaled side
         // runs ~10 min/query — warm + min-of-2 would triple a multi-hour
         // sweep for noise defense the probes already provide. The knobs
@@ -506,7 +566,7 @@ object Bench {
         // (footer caches, first shuffle at that size) would bias every
         // exponent upward relative to the steady-state base numbers.
         if (scaleWarm) suite.foreach(runAt(_, scaleDir))
-        val big = minOfN(scaleDir, scalePasses)
+        val (big, bigBracketOk) = minOfN(scaleDir, scalePasses)
         def obj(m: Map[String, Double]) = suite
           .map(n => "\"" + n + "\":" + fmt(m(n))).mkString("{", ",", "}")
         def expObj(denom: Double) = suite.map { n =>
@@ -540,9 +600,15 @@ object Bench {
         val bytesFactor =
           if (charsBase > 0 && charsBig > 0) charsBig / charsBase else -1.0
         val expsBytes = expObj(bytesFactor)
+        ioPostSamples ++= ioScaleSamples
+        // Healthy = each dir's min had a clean-bracketed pass to draw
+        // from (an exponent needs BOTH sides trustworthy). A probe that
+        // cannot run (-1) certifies nothing, as everywhere else.
+        val scaleHealthy = baseBracketOk && bigBracketOk
+        val scaleIoJson = s""""io_mb_s":${ioScaleSamples.map(fmt).mkString("[", ",", "]")},"healthy":$scaleHealthy"""
         val bytesJson = s""""bytes_factor":${fmt(bytesFactor)},"exponents_bytes":$expsBytes"""
-        (s"""{"dir":"${jsonStr(scaleDir)}","factor":$factor,"exponents":$exps,$bytesJson}""",
-          s"""{"dir":"${jsonStr(scaleDir)}","factor":$factor,"corpus_chars":{"base":${fmt(charsBase)},"scaled":${fmt(charsBig)}},"base_sec":${obj(base)},"scaled_sec":${obj(big)},"exponents":$exps,$bytesJson}""")
+        (s"""{"dir":"${jsonStr(scaleDir)}","factor":$factor,"exponents":$exps,$bytesJson,$scaleIoJson}""",
+          s"""{"dir":"${jsonStr(scaleDir)}","factor":$factor,"corpus_chars":{"base":${fmt(charsBase)},"scaled":${fmt(charsBig)}},"base_sec":${obj(base)},"scaled_sec":${obj(big)},"exponents":$exps,$bytesJson,$scaleIoJson}""")
       }
     // Load metadata: 1-min load-average samples plus the /proc/stat busy
     // fraction across the whole run. The load-sample key is MODE-specific
@@ -574,12 +640,18 @@ object Bench {
     val scaleStub =
       if (!scaleEnabled) "{}"
       else s"""{"detail":"prior stdout line + /tmp/graft_bench.json"}"""
+    // reps_effective (ADVICE r14): the degraded-IO retry appends extra
+    // passes, so medians/mins are computed over MORE than REPS samples;
+    // tooling reading "reps" alone would be off by the retry count.
+    // max_partition_bytes_override (ADVICE r14): the out-of-box-conf claim
+    // is a field, not an honor-system comment — null when unset.
+    val confJson = s""""reps_effective":${REPS + ioExtraPasses},"max_partition_bytes_override":${mpbOverride.map(v => "\"" + jsonStr(v) + "\"").getOrElse("null")}"""
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"meta":$metaQs,"meta_min":$metaQsMin,"reps":$REPS,"mode":"$MODE","sf":"${jsonStr(sfDir)}","load":$loadJson,"scale":$scaleStub}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"meta":$metaQs,"meta_min":$metaQsMin,"reps":$REPS,$confJson,"mode":"$MODE","sf":"${jsonStr(sfDir)}","load":$loadJson,"scale":$scaleStub}"""
     val scaleLine =
       if (scaleEnabled) Some(s"""{"metric":"scale","scale":$scaleJson}""") else None
     val jsonFull =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"meta":$metaQs,"meta_min":$metaQsMin,"reps":$REPS,"mode":"$MODE","sf":"${jsonStr(sfDir)}","load":$loadJson,"scale":$scaleJsonFull}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"meta":$metaQs,"meta_min":$metaQsMin,"reps":$REPS,$confJson,"mode":"$MODE","sf":"${jsonStr(sfDir)}","load":$loadJson,"scale":$scaleJsonFull}"""
     // Contract hardening (round-1 driver recorded parsed:null): stop Spark
     // FIRST so no late log line can land after the JSON, mirror the JSON to
     // a well-known file, then emit it as the final bare stdout line. Log

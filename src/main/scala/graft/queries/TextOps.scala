@@ -777,11 +777,33 @@ object TextOps {
         bg.groupBy("pair").agg(count(lit(1)).as("c2")), "bigramlm-c2")
       val c1 = c2.groupBy(expr("split_part(pair, ' ', 1)").as("w1"))
         .agg(sum("c2").as("c1"))
-      bg.join(c2, "pair")
+      // Model assembled at VOCAB scale before the corpus is touched again
+      // (round 15): c2 ⋈ c1 on the first word is a distinct-bigram-sized
+      // join, so the per-pair -ln term is computed once per DISTINCT
+      // bigram. The previous shape joined the corpus-sized bg stream on
+      // w1 directly — a Zipf-skewed shuffle whose hottest first-word key
+      // grows linearly with the corpus, measured super-linear at the
+      // sf10→sf100 decade (bytes-exponent 1.11,
+      // bench_evidence/r14_third_decade_fixed.json). Scoring now pays ONE
+      // corpus-sized join, keyed on the far-less-skewed full bigram; the
+      // summed term multiset per doc is unchanged (decimal(18,6) sum is
+      // exact and order-independent), so the oracle hash is identical.
+      val model = c2
         .join(c1, expr("split_part(pair, ' ', 1)") === col("w1"))
-        .select(col("doc_id"),
+        .select(col("pair"),
           round(-log(col("c2").cast("double") / col("c1").cast("double")), 6)
             .cast("decimal(18,6)").as("term"))
+      // Hash-prefixed join key: the scoring SMJ sorts the corpus-sized bg
+      // stream, and comparing long bigram STRINGS dominates that sort at
+      // the sf100 tier. Joining on (xxhash64(pair), pair) keeps exact
+      // equi-join semantics (the hash is functionally dependent on pair;
+      // the string tie-break fires only on hash collisions) while the
+      // sort compares an 8-byte long first — the same trick a 100 TB
+      // cluster would use to sort-shuffle wide text keys.
+      val bgH = bg.withColumn("hp", xxhash64(col("pair")))
+      val modelH = model.withColumn("hp", xxhash64(col("pair")))
+      bgH.join(modelH, Seq("hp", "pair"))
+        .select(col("doc_id"), col("term"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
           round(sum("term").cast("double") / count(lit(1)), 6).as("avg_nll"))
@@ -1052,21 +1074,26 @@ object TextOps {
     // each document's distinct 3-grams first seen in THAT document —
     // the marginal-contribution signal dataset curation ranks new
     // sources by. Two corpus-linear shuffles (ngram → first-doc min,
-    // doc_id → per-doc ratio); the shuffle key is an md5 of the ngram
-    // would be the 100 TB refinement but the distinct pre-collapse
-    // already bounds rows at one per (doc, distinct ngram).
+    // doc_id → per-doc ratio). Restructured in round 15: (doc, ngram)
+    // pairs duplicate only WITHIN a document, so the old corpus-wide
+    // distinct() (a full-row shuffle) collapses into a map-side
+    // array_distinct before the explode; and first-seen detection is a
+    // window min over the ngram key instead of a groupBy + corpus-sized
+    // self-join — the join re-shuffled and re-sorted the whole stream a
+    // second time and measured super-linear at the sf10→sf100 decade
+    // (bytes-exponent 1.07, bench_evidence/r14_third_decade_fixed.json).
+    // Four corpus shuffles down to two; identical output.
     "q_ngram_novelty" -> { (s, dir) =>
       val g = t(s, dir, "documents")
         .select(col("doc_id"),
           expr("filter(split(text, ' '), t -> t <> '')").as("ts"))
         .filter(size(col("ts")) >= 3)
         .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(ts) - 2), i -> concat_ws(' '," +
-            " element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2)))"))
+          "array_distinct(transform(sequence(1, size(ts) - 2)," +
+            " i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1)," +
+            " element_at(ts, i + 2))))"))
           .as("ng"))
-        .distinct()
-      val first = g.groupBy("ng").agg(min("doc_id").as("fd"))
-      g.join(first, "ng")
+      g.withColumn("fd", min("doc_id").over(Window.partitionBy("ng")))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_ngrams"),
           sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L))

@@ -113,6 +113,22 @@ object ScaleData {
           "embedding sign patterns back to exact duplicates — pass a " +
           "distinct non-empty tag")
     }
+    // Partial re-expansion guard (ADVICE r14): writing a SUBSET of tables
+    // under a new tag into a dst built with a different tag would leave
+    // mixed-tag tables behind one marker — the chain guard above would
+    // then reason over the wrong tag for the untouched tables. A FULL
+    // re-expand legitimately rebrands (every table is rewritten); a
+    // partial one must match the tag the dir already carries.
+    val dstMarker = new java.io.File(dst, TagMarker)
+    if (tables.isDefined && dstMarker.isFile) {
+      val dstSrc = scala.io.Source.fromFile(dstMarker)
+      val dstTag = try dstSrc.mkString.trim finally dstSrc.close()
+      require(tag.trim == dstTag,
+        s"$dst was expanded with tag '$dstTag': a partial re-expansion " +
+          s"(tables=${tables.get.toSeq.sorted.mkString(",")}) with tag " +
+          s"'${tag.trim}' would mix salts behind one marker — reuse tag " +
+          s"'$dstTag' or rewrite the full dir")
+    }
     def want(name: String): Boolean = tables.forall(_.contains(name))
     def rd(name: String): DataFrame = s.read.parquet(s"$src/$name.parquet")
     // Fact tables repartition before write (round 14): the expansion's
