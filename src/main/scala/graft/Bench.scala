@@ -343,7 +343,7 @@ object Bench {
     // Meta entries ride in the SAME passes as the headline queries (one
     // combined suite), so every per-query timing keeps the exact pass
     // composition of earlier rounds — the split below is reporting only.
-    var combinedReps = suiteReps(suiteRun, REPS)
+    var combinedReps = suiteRun.map(n => n -> Seq.empty[Double])
     // AQE interaction record (BASELINE.md): headline queries with
     // adaptive execution off, to expose what runtime re-planning buys.
     // Widened in round 14 (VERDICT r13 item 5) from q01/q04 to the two
@@ -371,7 +371,25 @@ object Bench {
       run("q_stratified_sample")
       spark.conf.set("spark.sql.adaptive.enabled", "true")
     }
-    var offReps = aqeOffReps(REPS)
+    // AQE-off twins ride the SAME time windows as their AQE-on twins
+    // (round 15): the off entries used to run as their own tail block
+    // after ALL on passes — on a device whose throughput swings mid-suite
+    // the twin ratio then measures window drift, not AQE (the r14 record
+    // read q43 off/on 1.40×, the r15 gate rehearsal 1.51×, while a
+    // controlled same-window A/B reads 1.08× —
+    // bench_evidence/r15_q43_aqe_ab.json). Interleaved mode now runs
+    // each pass as {on suite, off suite}; grouped mode keeps its legacy
+    // query-major blocks (the two were never cross-comparable anyway).
+    var offReps = aqeOffNames.map(n => s"${n}__aqe_off" -> Seq.empty[Double])
+    if (MODE == "grouped") {
+      combinedReps = suiteReps(suiteRun, REPS)
+      offReps = aqeOffReps(REPS)
+    } else {
+      for (_ <- 1 to REPS) {
+        combinedReps = addPass(combinedReps, suiteReps(suiteRun, 1))
+        offReps = addPass(offReps, aqeOffReps(1))
+      }
+    }
 
     // (b) of the recording gate, strengthened in round 15 (VERDICT r14
     // item 2): r14's single extra pass ran IMMEDIATELY inside the degraded

@@ -129,6 +129,25 @@ class ScaleDataSpec extends SparkSpec {
     assert(reused.getMessage.contains("tag 'b'"))
   }
 
+  test("partial re-expansion into a dst marked with a different tag is refused") {
+    // ADVICE r14: rewriting a SUBSET of tables under a new tag into a dir
+    // built with another tag would leave mixed-tag tables behind one
+    // marker — the chain guard would then reason over the wrong tag for
+    // the untouched tables. A FULL re-expand legitimately rebrands.
+    val d2 = graft.core.TempDirs.create("graft-scaledata-rebrand")
+    ScaleData.expand(spark, outDir, d2, 2, "m1")
+    val mixed = intercept[IllegalArgumentException] {
+      ScaleData.expand(spark, outDir, d2, 2, "m2", Some(Set("documents")))
+    }
+    assert(mixed.getMessage.contains("mix salts"))
+    // Same tag re-runs idempotently; a full rewrite may rebrand.
+    ScaleData.expand(spark, outDir, d2, 2, "m1", Some(Set("documents")))
+    ScaleData.expand(spark, outDir, d2, 2, "m2")
+    val src = scala.io.Source.fromFile(new java.io.File(d2, "_scale_tag.txt"))
+    val tagNow = try src.mkString.trim finally src.close()
+    assert(tagNow == "m2")
+  }
+
   test("partial expansion writes only the requested tables") {
     val d2 = graft.core.TempDirs.create("graft-scaledata-partial")
     ScaleData.expand(spark, outDir, d2, 2, "p", Some(Set("documents")))
