@@ -1093,7 +1093,13 @@ object TextOps {
             " i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1)," +
             " element_at(ts, i + 2))))"))
           .as("ng"))
-      g.withColumn("fd", min("doc_id").over(Window.partitionBy("ng")))
+      // Hash-prefixed window key (same trick as q_bigram_lm's join): the
+      // window shuffle sorts by its partition keys, and 3-gram STRINGS
+      // are ~3 tokens wide — leading with xxhash64(ng) makes the sort
+      // compare an 8-byte long and reach the string only on collisions.
+      // Grouping is unchanged (the hash is functionally dependent on ng).
+      g.withColumn("fd",
+          min("doc_id").over(Window.partitionBy(xxhash64(col("ng")), col("ng"))))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_ngrams"),
           sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L))
