@@ -18,7 +18,13 @@ object Bench {
     "q32_cosine_topk",     // similarity search
     "q34_sessionization",  // sessionization windows
     "q43_minhash_lsh",     // minhash LSH dedup (scale path)
-    "q_simhash")           // simhash fingerprints
+    "q_simhash",           // simhash fingerprints
+    // Round 15: the r13-item-5 AQE-off matrix times q_stratified_sample
+    // with AQE off, but the record carried no AQE-on twin to compare the
+    // skew-hardened shape against (VERDICT r14 item 4, parenthetical).
+    // The AQE-on entry joins the headline set so the twin ratio is an
+    // in-record fact like q43's.
+    "q_stratified_sample") // per-stratum quota sampling (salted)
 
   /** Harness-paced entries (VERDICT r7 item 5): timed and gated like the
     * headline set — same interleaved passes, same regression tolerance —
