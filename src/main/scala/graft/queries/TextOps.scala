@@ -755,8 +755,8 @@ object TextOps {
     // quality filter): per-doc mean negative log P(w2|w1) under the
     // corpus's own bigram MLE. Two vocab-keyed aggregations build the
     // model (c2 = bigram counts, c1 = prefix totals derived FROM c2,
-    // never a second corpus scan); scoring is two equi-joins on the
-    // bigram/prefix keys — every shuffle is linear in corpus tokens or
+    // never a second corpus scan); scoring is ONE equi-join on the
+    // bigram key — every shuffle is linear in corpus tokens or
     // bounded by vocabulary. Each -ln term is rounded to 6 dp and
     // decimal-cast BEFORE the per-doc sum (the TF-IDF ln() parity
     // canon, made order-independent by the exact decimal aggregation).
