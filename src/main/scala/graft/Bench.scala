@@ -232,6 +232,15 @@ object Bench {
     val ioHealthyMbS: Double = scala.util.Try(
       sys.env("SPARK_GRAFT_IO_HEALTHY_MBS").trim.toDouble).getOrElse(250.0)
     def ioDegraded(v: Double): Boolean = v >= 0 && v < ioHealthyMbS
+    // A timed pass is certified ONLY by two probes that both RAN and both
+    // met the band (round-15 review: the earlier filter(_ >= 0) let a
+    // failed probe silently halve the requirement — one -1 next to one
+    // in-band sample certified a pass the device could have throttled
+    // through). -1 still never triggers the retry loop (it proves
+    // nothing either way); it just cannot certify. Shared by the
+    // headline bracket and the scale block's per-pass brackets.
+    def bracketInBand(pre: Double, post: Double): Boolean =
+      pre >= ioHealthyMbS && post >= ioHealthyMbS
     // Pre-wait budget raised 3 → 5 samples in round 15: the r14 record's
     // degraded window outlasted the two 45 s waits; two more are cheap
     // next to a suite that cannot certify healthy without them.
@@ -369,9 +378,10 @@ object Bench {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       off
     }
-    // q_stratified_sample is not in the headline warmup set — charge its
-    // codegen/footer warmth to warmup like everyone else's (under the
-    // same AQE-off conf its timed reps run with).
+    // Warm q_stratified_sample under the AQE-OFF conf its __aqe_off reps
+    // run with: the headline warmup (it joined that set in round 15)
+    // compiles only the AQE-on plan, and the off-variant's first
+    // compilation must charge to warmup like everyone else's.
     if (aqeOffNames.contains("q_stratified_sample")) {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       run("q_stratified_sample")
@@ -412,10 +422,6 @@ object Bench {
     val ioPostSamples = scala.collection.mutable.ArrayBuffer(ioProbeMbS())
     var bracketPre = ioPreSamples.last
     var bracketPost = ioPostSamples.last
-    def bracketHealthy: Boolean = {
-      val ran = Seq(bracketPre, bracketPost).filter(_ >= 0)
-      ran.nonEmpty && ran.forall(_ >= ioHealthyMbS)
-    }
     val ioRetryBudget = math.max(0, scala.util.Try(
       sys.env("SPARK_GRAFT_IO_RETRIES").trim.toInt).getOrElse(2))
     var ioExtraPasses = 0
@@ -423,9 +429,12 @@ object Bench {
         ioExtraPasses < ioRetryBudget) {
       System.err.println(f"[bench] io bracket $bracketPre%.0f/$bracketPost%.0f " +
         "MB/s degraded — waiting for the band, then one extra timed pass")
+      // The wait loop's first sample is the bracketPost just taken above
+      // (or at the bottom of the previous iteration) — re-probing the
+      // same instant would only add 64 MB of write pressure to a device
+      // the loop is waiting OUT of degradation (round-15 review).
       var waits = 0
-      var probe = ioProbeMbS()
-      ioPostSamples += probe
+      var probe = bracketPost
       while (ioDegraded(probe) && waits < 3) {
         Thread.sleep(45000); waits += 1
         probe = ioProbeMbS(); ioPostSamples += probe
@@ -441,7 +450,7 @@ object Bench {
     // healthy = the LAST timed pass ran between two in-band probes (the
     // min-of-N basis needs one clean window; earlier taxed passes can
     // only be slower and never win the min).
-    val ioHealthy = bracketHealthy
+    val ioHealthy = bracketInBand(bracketPre, bracketPost)
 
     val combinedStats = stats(combinedReps)
     val metaResults = combinedStats.filter { case (n, _) => metaSuite.contains(n) }
@@ -534,7 +543,7 @@ object Bench {
         // ran clean); the published basis is min-of-N, so the scale block
         // is healthy when BOTH dirs had at least one timed pass bracketed
         // by in-band probes. All samples ride the scale JSON's "io_mb_s"
-        // plus the flat load list.
+        // (NOT load.io_mb_s — see below).
         val ioScaleSamples = scala.collection.mutable.ArrayBuffer[Double]()
         // SPARK_GRAFT_SCALE_SUITE (csv of query names) scopes the scale
         // block — e.g. the sf1→sf10 decade excludes the embedding-family
@@ -560,10 +569,8 @@ object Bench {
             p
           }
           ioScaleSamples ++= probes
-          val bracketOk = (0 until n).exists { i =>
-            val ran = Seq(probes(i), probes(i + 1)).filter(_ >= 0)
-            ran.nonEmpty && ran.forall(_ >= ioHealthyMbS)
-          }
+          val bracketOk = (0 until n).exists(i =>
+            bracketInBand(probes(i), probes(i + 1)))
           (suite.map { q =>
             val ok = passes.map(_(q)).filter(_ >= 0)
             q -> (if (ok.isEmpty) -1.0 else ok.min)
@@ -624,7 +631,14 @@ object Bench {
         val bytesFactor =
           if (charsBase > 0 && charsBig > 0) charsBig / charsBase else -1.0
         val expsBytes = expObj(bytesFactor)
-        ioPostSamples ++= ioScaleSamples
+        // Scale samples stay OUT of load.io_mb_s (round-15 review):
+        // gate_diff reads that list's min/max as "the device around the
+        // HEADLINE passes" for its drift normalization — folding in a
+        // throttle sample from a multi-hour scale sweep taken after the
+        // headline closed healthy would let a genuine headline
+        // regression be absorbed as environment drift. The sweep's
+        // samples live in the scale JSON below, scoped to what they
+        // bracket.
         // Healthy = each dir's min had a clean-bracketed pass to draw
         // from (an exponent needs BOTH sides trustworthy). A probe that
         // cannot run (-1) certifies nothing, as everywhere else.

@@ -1082,7 +1082,10 @@ object TextOps {
     // self-join — the join re-shuffled and re-sorted the whole stream a
     // second time and measured super-linear at the sf10→sf100 decade
     // (bytes-exponent 1.07, bench_evidence/r14_third_decade_fixed.json).
-    // Four corpus shuffles down to two; identical output.
+    // Four corpus shuffles down to two; identical output. Precondition
+    // the old global distinct did not need: doc_id rows are unique (the
+    // fixture's primary key — TESTDATA.md; a violation would hash-FAIL
+    // against the oracle's global-DISTINCT shape at the next gate).
     "q_ngram_novelty" -> { (s, dir) =>
       val g = t(s, dir, "documents")
         .select(col("doc_id"),

@@ -118,17 +118,38 @@ object ScaleData {
     // mixed-tag tables behind one marker — the chain guard above would
     // then reason over the wrong tag for the untouched tables. A FULL
     // re-expand legitimately rebrands (every table is rewritten); a
-    // partial one must match the tag the dir already carries.
+    // partial one must match the tag the dir already carries. A partial
+    // into an UNMARKED dir that already holds tables is refused too
+    // (round-15 review): pre-marker legacy dirs carry an unknowable tag,
+    // so stamping this run's tag over them would vouch for salts it
+    // never wrote — full-expand the dir or retrofit its true marker.
     val dstMarker = new java.io.File(dst, TagMarker)
-    if (tables.isDefined && dstMarker.isFile) {
-      val dstSrc = scala.io.Source.fromFile(dstMarker)
-      val dstTag = try dstSrc.mkString.trim finally dstSrc.close()
-      require(tag.trim == dstTag,
-        s"$dst was expanded with tag '$dstTag': a partial re-expansion " +
-          s"(tables=${tables.get.toSeq.sorted.mkString(",")}) with tag " +
-          s"'${tag.trim}' would mix salts behind one marker — reuse tag " +
-          s"'$dstTag' or rewrite the full dir")
+    if (tables.isDefined) {
+      if (dstMarker.isFile) {
+        val dstSrc = scala.io.Source.fromFile(dstMarker)
+        val dstTag = try dstSrc.mkString.trim finally dstSrc.close()
+        require(tag.trim == dstTag,
+          s"$dst was expanded with tag '$dstTag': a partial re-expansion " +
+            s"(tables=${tables.get.toSeq.sorted.mkString(",")}) with tag " +
+            s"'${tag.trim}' would mix salts behind one marker — reuse tag " +
+            s"'$dstTag' or rewrite the full dir")
+      } else {
+        val existing = Option(new java.io.File(dst).list()).getOrElse(Array.empty)
+          .filter(_.endsWith(".parquet"))
+        require(existing.isEmpty,
+          s"$dst holds tables (${existing.sorted.mkString(",")}) but no " +
+            "_scale_tag.txt: a partial re-expansion would stamp tag " +
+            s"'${tag.trim}' over salts of unknown tag — full-expand the " +
+            "dir or retrofit the marker it was built with")
+      }
     }
+    // Rebrand invalidation (round-15 review): a FULL re-expand with a new
+    // tag spans many long parquet writes; a crash mid-run must not leave
+    // the OLD marker vouching for a half-rebranded dir. Delete it first —
+    // the fresh marker is re-stamped only after every table lands
+    // (same invalidate-first pattern as IndexManifest).
+    if (tables.isEmpty && dstMarker.isFile && !dstMarker.delete())
+      throw new java.io.IOException(s"could not invalidate $dstMarker before rebrand")
     def want(name: String): Boolean = tables.forall(_.contains(name))
     def rd(name: String): DataFrame = s.read.parquet(s"$src/$name.parquet")
     // Fact tables repartition before write (round 14): the expansion's

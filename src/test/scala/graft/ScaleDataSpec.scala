@@ -146,6 +146,36 @@ class ScaleDataSpec extends SparkSpec {
     val src = scala.io.Source.fromFile(new java.io.File(d2, "_scale_tag.txt"))
     val tagNow = try src.mkString.trim finally src.close()
     assert(tagNow == "m2")
+    // Round-15 review hole 1: a partial into an UNMARKED dir that already
+    // holds tables must refuse too — a pre-marker legacy dir's tag is
+    // unknowable, and stamping this run's tag would vouch for salts it
+    // never wrote. (Simulate the legacy dir by deleting the marker.)
+    assert(new java.io.File(d2, "_scale_tag.txt").delete())
+    val legacy = intercept[IllegalArgumentException] {
+      ScaleData.expand(spark, outDir, d2, 2, "m3", Some(Set("documents")))
+    }
+    assert(legacy.getMessage.contains("no _scale_tag.txt"))
+    // ...while a partial into a genuinely FRESH dir is fine (built above
+    // by the d3 case and the partial-expansion test).
+  }
+
+  test("a rebranding full re-expand invalidates the old marker before writing") {
+    // Round-15 review hole 2: the rebrand spans many table writes; a
+    // crash mid-run must not leave the OLD tag vouching for a
+    // half-rebranded dir. The marker is deleted up front and re-stamped
+    // only after every table lands — simulate the crash window by
+    // checking the marker is gone the moment a (failing) expand starts.
+    val d4 = graft.core.TempDirs.create("graft-scaledata-inval")
+    ScaleData.expand(spark, outDir, d4, 2, "v1")
+    assert(new java.io.File(d4, "_scale_tag.txt").isFile)
+    // Force a failure AFTER the invalidation point: a bogus src table dir
+    // makes the first read throw, leaving the dir mid-"rebrand".
+    val bogusSrc = graft.core.TempDirs.create("graft-scaledata-bogus")
+    intercept[Exception] {
+      ScaleData.expand(spark, bogusSrc, d4, 2, "v2")
+    }
+    assert(!new java.io.File(d4, "_scale_tag.txt").isFile,
+      "stale marker survived a failed rebrand — it must be invalidated first")
   }
 
   test("partial expansion writes only the requested tables") {
