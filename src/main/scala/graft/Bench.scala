@@ -366,9 +366,15 @@ object Bench {
     // q_stratified_sample's per-stratum quota — at 100 TB on a real
     // cluster AQE's skew-split thresholds differ from local[32], so the
     // manual salting must hold per-task bounds WITHOUT AQE's help.
+    // Round 16 (VERDICT r15 item 3): the whole headline set is paired —
+    // the remaining six entries had no __aqe_off twin, so "this plan
+    // doesn't lean on local[32]'s AQE thresholds" was an argument, not a
+    // record, for exactly the queries a cluster would run most.
     val aqeOffNames = {
       val defaults = Seq("q01_pricing_summary", "q04_multiway_join",
-        "q43_minhash_lsh", "q_stratified_sample")
+        "q15_window_rank", "q18_topk", "q31_jaccard_pairs",
+        "q32_cosine_topk", "q34_sessionization", "q43_minhash_lsh",
+        "q_simhash", "q_stratified_sample")
       if (benchScoped) defaults.filter(headlineRun.contains) else defaults
     }
     def aqeOffReps(passes: Int): Seq[(String, Seq[Double])] = {
@@ -378,13 +384,16 @@ object Bench {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       off
     }
-    // Warm q_stratified_sample under the AQE-OFF conf its __aqe_off reps
-    // run with: the headline warmup (it joined that set in round 15)
-    // compiles only the AQE-on plan, and the off-variant's first
-    // compilation must charge to warmup like everyone else's.
-    if (aqeOffNames.contains("q_stratified_sample")) {
+    // Warm EVERY off entry under the AQE-OFF conf its __aqe_off reps run
+    // with (generalized from the r15 q_stratified_sample special case):
+    // the headline warmup compiles only the AQE-on plans, and an
+    // off-variant's first whole-stage-codegen compilation must charge to
+    // warmup like everyone else's — with the matrix widened to all ten
+    // headline entries, an unwarmed first off pass would tax exactly the
+    // new twins this round exists to measure.
+    if (aqeOffNames.nonEmpty) {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
-      run("q_stratified_sample")
+      aqeOffNames.foreach(run)
       spark.conf.set("spark.sql.adaptive.enabled", "true")
     }
     // AQE-off twins ride the SAME time windows as their AQE-on twins
@@ -425,7 +434,9 @@ object Bench {
     val ioRetryBudget = math.max(0, scala.util.Try(
       sys.env("SPARK_GRAFT_IO_RETRIES").trim.toInt).getOrElse(2))
     var ioExtraPasses = 0
-    while (Seq(bracketPre, bracketPost).exists(ioDegraded) &&
+    var ioProbeBroken = false
+    while (!ioProbeBroken &&
+        Seq(bracketPre, bracketPost).exists(ioDegraded) &&
         ioExtraPasses < ioRetryBudget) {
       System.err.println(f"[bench] io bracket $bracketPre%.0f/$bracketPost%.0f " +
         "MB/s degraded — waiting for the band, then one extra timed pass")
@@ -435,16 +446,41 @@ object Bench {
       // the loop is waiting OUT of degradation (round-15 review).
       var waits = 0
       var probe = bracketPost
-      while (ioDegraded(probe) && waits < 3) {
-        Thread.sleep(45000); waits += 1
+      // A -1 probe (the probe itself could not run) is not "in band" —
+      // entering the timed pass with bracketPre=-1 would spend a full
+      // suite pass that can NEVER certify healthy, burning the whole
+      // retry budget for nothing (ADVICE r15). Re-probe after a short
+      // wait; if the probe still cannot run, stop retrying entirely —
+      // extra passes prove nothing without a working probe.
+      while (probe < 0 && waits < 2) {
+        Thread.sleep(5000); waits += 1
         probe = ioProbeMbS(); ioPostSamples += probe
       }
-      bracketPre = probe
-      combinedReps = addPass(combinedReps, suiteReps(suiteRun, 1))
-      offReps = addPass(offReps, aqeOffReps(1))
-      ioExtraPasses += 1
-      bracketPost = ioProbeMbS()
-      ioPostSamples += bracketPost
+      if (probe < 0) {
+        System.err.println("[bench] io probe cannot run (-1) — abandoning " +
+          "the retry loop; extra passes cannot certify without a probe")
+        ioProbeBroken = true
+      } else {
+        waits = 0
+        while (ioDegraded(probe) && waits < 3) {
+          Thread.sleep(45000); waits += 1
+          probe = ioProbeMbS(); ioPostSamples += probe
+        }
+        if (probe < 0) {
+          // The probe died mid-wait — same reasoning as above: a pass
+          // opened by a -1 bracket cannot certify, so don't spend it.
+          System.err.println("[bench] io probe failed during the band wait " +
+            "(-1) — abandoning the retry loop")
+          ioProbeBroken = true
+        } else {
+          bracketPre = probe
+          combinedReps = addPass(combinedReps, suiteReps(suiteRun, 1))
+          offReps = addPass(offReps, aqeOffReps(1))
+          ioExtraPasses += 1
+          bracketPost = ioProbeMbS()
+          ioPostSamples += bracketPost
+        }
+      }
     }
     val ioRetried = ioExtraPasses > 0
     // healthy = the LAST timed pass ran between two in-band probes (the
@@ -683,7 +719,15 @@ object Bench {
     // tooling reading "reps" alone would be off by the retry count.
     // max_partition_bytes_override (ADVICE r14): the out-of-box-conf claim
     // is a field, not an honor-system comment — null when unset.
-    val confJson = s""""reps_effective":${REPS + ioExtraPasses},"max_partition_bytes_override":${mpbOverride.map(v => "\"" + jsonStr(v) + "\"").getOrElse("null")}"""
+    // aqe_off_window (ADVICE r15): the __aqe_off entries moved from a
+    // tail block (pre-r15) to same-window interleaved passes; nothing in
+    // the record marked that, so tooling could compare off-entries across
+    // the methodology change and read the ~1.4x→~1.1x shift as a code
+    // delta. The pass composition is now a field: "same_pass" when the
+    // off suite rides each on pass's window (interleaved), "tail_block"
+    // when it runs as its own query-major block (grouped).
+    val aqeOffWindow = if (MODE == "grouped") "tail_block" else "same_pass"
+    val confJson = s""""reps_effective":${REPS + ioExtraPasses},"max_partition_bytes_override":${mpbOverride.map(v => "\"" + jsonStr(v) + "\"").getOrElse("null")},"aqe_off_window":"$aqeOffWindow""""
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"meta":$metaQs,"meta_min":$metaQsMin,"reps":$REPS,$confJson,"mode":"$MODE","sf":"${jsonStr(sfDir)}","load":$loadJson,"scale":$scaleStub}"""
     val scaleLine =

@@ -1,10 +1,13 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.XxHash64
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastHashJoinExec,
   BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec,
   SortMergeJoinExec}
+import org.apache.spark.sql.execution.window.WindowExec
 
 /** Plan-SHAPE regression gate (VERDICT r13 item 6): PLANS.md is
   * regenerated every gate run but only eyeballed — a removed
@@ -31,19 +34,52 @@ import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
   */
 object PlanCheck {
 
-  /** Executed-plan shape counts, via ReuseProbe's node walk. */
+  /** Executed-plan shape counts, via ReuseProbe's node walk. Extended in
+    * round 16 (VERDICT r15 item 1, carrying r14 task 5) with the fields
+    * that pin the restructured q_bigram_lm / q_ngram_novelty plans:
+    *   - matScans: scans of a Materialize scratch dir ("graft-mat-") —
+    *     the barrier's read-back consumers; 0 means the barrier is gone
+    *     and its producer replays once per consumer.
+    *   - exchanges: ShuffleExchangeExec count (hash AND range) — the
+    *     number of times data crosses the wire; a dropped map-side
+    *     array_distinct or a revived corpus self-join shows up here.
+    *   - xxhash: XxHash64 expressions anywhere in the plan — the
+    *     hash-prefix sort-key trick (TextOps q_bigram_lm/q_ngram_novelty)
+    *     leaves at least one per prefixed key; 0 means a refactor dropped
+    *     the prefix and wide-string sorts are back on the 100 TB path.
+    *   - windowParts: partitionSpec arity of each WindowExec — the
+    *     novelty first-seen window must key on (xxhash64(ng), ng), arity
+    *     2; arity 1 means the prefix was dropped from the window key.
+    *   - corpusJoinKeys: equi-key arity of each join whose subtree scans
+    *     the corpus — q_bigram_lm's ONE corpus-sized join must ride
+    *     (hp, pair), arity 2; a second entry means the vocab-scale model
+    *     join regressed to a corpus-sided shape (the r14 super-linear
+    *     mechanism), arity 1 means the hash prefix fell off. */
   final case class Shape(bhj: Int, shuffleJoins: Int, cartesian: Int,
-      bnlj: Int, corpusScans: Int, pushedCorpusScans: Int) {
+      bnlj: Int, corpusScans: Int, pushedCorpusScans: Int, matScans: Int,
+      exchanges: Int, xxhash: Int, windowParts: Seq[Int],
+      corpusJoinKeys: Seq[Int]) {
     override def toString: String =
       s"bhj=$bhj shuffleJoins=$shuffleJoins cartesian=$cartesian " +
-        s"bnlj=$bnlj corpusScans=$corpusScans pushed=$pushedCorpusScans"
+        s"bnlj=$bnlj corpusScans=$corpusScans pushed=$pushedCorpusScans " +
+        s"matScans=$matScans exchanges=$exchanges xxhash=$xxhash " +
+        s"windowParts=${windowParts.mkString("[", ",", "]")} " +
+        s"corpusJoinKeys=${corpusJoinKeys.mkString("[", ",", "]")}"
   }
+
+  private def scanPath(f: FileSourceScanExec): String =
+    f.relation.location.rootPaths.mkString(",")
+
+  private def subtreeHasCorpus(p: SparkPlan): Boolean =
+    ReuseProbe.nodes(p).exists {
+      case f: FileSourceScanExec => scanPath(f).contains("/testdata/")
+      case _ => false
+    }
 
   def shape(plan: SparkPlan): Shape = {
     val all = ReuseProbe.nodes(plan)
     val corpus = all.collect {
-      case f: FileSourceScanExec
-          if f.relation.location.rootPaths.mkString(",").contains("/testdata/") => f
+      case f: FileSourceScanExec if scanPath(f).contains("/testdata/") => f
     }
     Shape(
       bhj = all.count(_.isInstanceOf[BroadcastHashJoinExec]),
@@ -53,7 +89,19 @@ object PlanCheck {
       bnlj = all.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
       corpusScans = corpus.length,
       pushedCorpusScans = corpus.count(
-        _.metadata.get("PushedFilters").exists(s => s != "[]" && s.nonEmpty)))
+        _.metadata.get("PushedFilters").exists(s => s != "[]" && s.nonEmpty)),
+      matScans = all.count {
+        case f: FileSourceScanExec => scanPath(f).contains("graft-mat-")
+        case _ => false
+      },
+      exchanges = all.count(_.isInstanceOf[ShuffleExchangeExec]),
+      xxhash = all.map(_.expressions.map(
+        _.collect { case _: XxHash64 => 1 }.sum).sum).sum,
+      windowParts = all.collect { case w: WindowExec => w.partitionSpec.length },
+      corpusJoinKeys = all.collect {
+        case j: BaseJoinExec if j.leftKeys.nonEmpty && subtreeHasCorpus(j) =>
+          j.leftKeys.length
+      })
   }
 
   /** name -> invariant (None = pass, Some(violation)). Calibrated against
@@ -95,6 +143,38 @@ object PlanCheck {
     "q31_jaccard_pairs" -> { s =>
       if (s.corpusScans == 2 && s.cartesian + s.bnlj == 0) None
       else Some(s"want corpusScans=2 no-cartesian/bnlj, got ($s)")
+    },
+    // q_bigram_lm (round 16, pinning the r15 restructure that cleared the
+    // sf10→sf100 super-linear reading): ONE corpus pass (corpusScans=1 —
+    // the c2 bigram count is assembled behind a Materialize barrier at
+    // construction time, so the final plan re-reads scratch, not corpus);
+    // the barrier feeds BOTH consumers (matScans=2: the c1 prefix rollup
+    // and the probability join); the model is assembled at VOCAB scale
+    // (exactly one join subtree touches the corpus — a second entry in
+    // corpusJoinKeys means the w1-keyed model join regressed to a
+    // corpus-sided shape, the r14 super-linear mechanism); and the one
+    // corpus-sized scoring join rides the (xxhash64(pair), pair)
+    // hash-prefix key (arity 2, xxhash>=2 for the two prefix projections).
+    "q_bigram_lm" -> { s =>
+      if (s.corpusScans == 1 && s.matScans == 2 && s.corpusJoinKeys == Seq(2) &&
+          s.xxhash >= 2 && s.cartesian + s.bnlj == 0) None
+      else Some("want corpusScans=1 matScans=2 corpusJoinKeys=[2] xxhash>=2 " +
+        s"no-cartesian/bnlj, got ($s)")
+    },
+    // q_ngram_novelty (same round): ONE corpus scan, NO join at all (the
+    // r14 shape re-joined the corpus-sized stream against its own groupBy
+    // and measured super-linear; first-seen detection is now a window
+    // min), the first-seen window keyed on (xxhash64(ng), ng) — arity 2
+    // with at least one XxHash64 in the plan — and exactly the two
+    // corpus-linear shuffles the restructure promised plus the final
+    // per-doc range sort (exchanges=3; a revived corpus distinct() or
+    // self-join adds a fourth).
+    "q_ngram_novelty" -> { s =>
+      if (s.corpusScans == 1 && s.corpusJoinKeys.isEmpty &&
+          s.windowParts == Seq(2) && s.xxhash >= 1 && s.exchanges <= 3 &&
+          s.cartesian + s.bnlj == 0) None
+      else Some("want corpusScans=1 no-joins windowParts=[2] xxhash>=1 " +
+        s"exchanges<=3 no-cartesian/bnlj, got ($s)")
     })
 
   def main(args: Array[String]): Unit = {

@@ -64,6 +64,26 @@ object ScaleData {
     * theirs retro-fitted from the recorded BENCH_NOTES provenance. */
   private val TagMarker = "_scale_tag.txt"
 
+  /** Every table an expansion can write — the src-sanity precondition
+    * checks the WANTED subset of these exists before any destructive
+    * step (ADVICE r15). */
+  private val AllTables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Marker format since round 16 (ADVICE r15): line 1 = tag, line 2 =
+    * "factor=N". Pre-r16 markers carry only the tag line; readers treat
+    * their factor as unknown. Returns (tag, factor). */
+  private def readMarker(f: java.io.File): (String, Option[Int]) = {
+    val src = scala.io.Source.fromFile(f)
+    val lines = try src.getLines().toList finally src.close()
+    val tag = lines.headOption.getOrElse("").trim
+    val fac = lines.collectFirst {
+      case l if l.trim.startsWith("factor=") =>
+        scala.util.Try(l.trim.stripPrefix("factor=").toInt).toOption
+    }.flatten
+    (tag, fac)
+  }
+
   /** @param tag distinguishes CHAINED expansions' token salts: level-1
     *   replica i salts tokens `t~i`, and a level-2 run over that output
     *   with an empty tag would salt its replica j as `t~j` — colliding
@@ -105,8 +125,7 @@ object ScaleData {
     // marked dir requires a fresh non-empty tag.
     val srcMarker = new java.io.File(src, TagMarker)
     if (srcMarker.isFile) {
-      val srcSrc = scala.io.Source.fromFile(srcMarker)
-      val srcTag = try srcSrc.mkString.trim finally srcSrc.close()
+      val (srcTag, _) = readMarker(srcMarker)
       require(tag.trim.nonEmpty && tag.trim != srcTag,
         s"$src is itself a ScaleData expansion (tag '$srcTag'): chaining " +
           s"with tag '$tag' would replay its token salts and un-flip its " +
@@ -126,13 +145,30 @@ object ScaleData {
     val dstMarker = new java.io.File(dst, TagMarker)
     if (tables.isDefined) {
       if (dstMarker.isFile) {
-        val dstSrc = scala.io.Source.fromFile(dstMarker)
-        val dstTag = try dstSrc.mkString.trim finally dstSrc.close()
+        val (dstTag, dstFactor) = readMarker(dstMarker)
         require(tag.trim == dstTag,
           s"$dst was expanded with tag '$dstTag': a partial re-expansion " +
             s"(tables=${tables.get.toSeq.sorted.mkString(",")}) with tag " +
             s"'${tag.trim}' would mix salts behind one marker — reuse tag " +
             s"'$dstTag' or rewrite the full dir")
+        // Factor must match too (ADVICE r15): a same-tag partial with a
+        // DIFFERENT factor passes the tag check but leaves mixed-factor
+        // tables (inconsistent key strides / row counts) behind one
+        // marker — the same mixed-provenance class. A legacy marker
+        // without a factor line can't vouch either way; retrofit it
+        // (append "factor=N" with the dir's true factor) or full-expand.
+        require(dstFactor.contains(factor),
+          dstFactor match {
+            case Some(df) =>
+              s"$dst was expanded with factor $df: a partial re-expansion " +
+                s"with factor $factor would mix key strides behind one " +
+                s"marker — reuse factor $df or rewrite the full dir"
+            case None =>
+              s"$dst's marker carries no factor line (pre-r16 format): a " +
+                "partial re-expansion cannot verify stride consistency — " +
+                s"retrofit the marker (append 'factor=N' with the dir's " +
+                "true factor) or rewrite the full dir"
+          })
       } else {
         val existing = Option(new java.io.File(dst).list()).getOrElse(Array.empty)
           .filter(_.endsWith(".parquet"))
@@ -143,6 +179,20 @@ object ScaleData {
             "dir or retrofit the marker it was built with")
       }
     }
+    def want(name: String): Boolean = tables.forall(_.contains(name))
+    // Src sanity BEFORE any destructive step (ADVICE r15): the rebrand
+    // invalidation below deletes dst's marker first, so a full re-expand
+    // with a typo'd src path used to destroy a valid dir's provenance
+    // marker without writing a single table. Every WANTED table must
+    // exist under src before the marker is touched; a doomed run now
+    // fails here with the dst untouched. (Existence only — a corrupt
+    // table still fails mid-run, which is exactly what the
+    // invalidate-first pattern below exists for.)
+    val missingSrc = AllTables.filter(want)
+      .filterNot(n => new java.io.File(src, s"$n.parquet").exists())
+    require(missingSrc.isEmpty,
+      s"src $src is missing ${missingSrc.mkString(",")} — refusing before " +
+        s"touching $dst (a doomed run must not invalidate its marker)")
     // Rebrand invalidation (round-15 review): a FULL re-expand with a new
     // tag spans many long parquet writes; a crash mid-run must not leave
     // the OLD marker vouching for a half-rebranded dir. Delete it first —
@@ -150,7 +200,6 @@ object ScaleData {
     // (same invalidate-first pattern as IndexManifest).
     if (tables.isEmpty && dstMarker.isFile && !dstMarker.delete())
       throw new java.io.IOException(s"could not invalidate $dstMarker before rebrand")
-    def want(name: String): Boolean = tables.forall(_.contains(name))
     def rd(name: String): DataFrame = s.read.parquet(s"$src/$name.parquet")
     // Fact tables repartition before write (round 14): the expansion's
     // lineage is narrow (read → explode → project, no shuffle), so the
@@ -281,12 +330,12 @@ object ScaleData {
       .drop("rep"), "embeddings")
     }
 
-    // Stamp the expansion's tag so a future chaining run off this dir
-    // hits the guard above. Written last — a marker on a half-written
-    // dir would vouch for data that isn't there.
+    // Stamp the expansion's tag AND factor so a future chaining or
+    // partial run off this dir hits the guards above. Written last — a
+    // marker on a half-written dir would vouch for data that isn't there.
     val dstDir = new java.io.File(dst)
     dstDir.mkdirs()
     val mw = new java.io.PrintWriter(new java.io.File(dstDir, TagMarker))
-    try mw.print(tag.trim) finally mw.close()
+    try mw.print(s"${tag.trim}\nfactor=$factor") finally mw.close()
   }
 }

@@ -140,12 +140,29 @@ class ScaleDataSpec extends SparkSpec {
       ScaleData.expand(spark, outDir, d2, 2, "m2", Some(Set("documents")))
     }
     assert(mixed.getMessage.contains("mix salts"))
-    // Same tag re-runs idempotently; a full rewrite may rebrand.
+    // Same tag AND factor re-runs idempotently; a full rewrite may rebrand.
     ScaleData.expand(spark, outDir, d2, 2, "m1", Some(Set("documents")))
+    // Same tag but a DIFFERENT factor must refuse too (ADVICE r15): the
+    // tag check alone would pass while the rewritten table's key strides
+    // and row counts diverge from the untouched ones behind one marker.
+    val mixedFactor = intercept[IllegalArgumentException] {
+      ScaleData.expand(spark, outDir, d2, 3, "m1", Some(Set("documents")))
+    }
+    assert(mixedFactor.getMessage.contains("mix key strides"))
     ScaleData.expand(spark, outDir, d2, 2, "m2")
     val src = scala.io.Source.fromFile(new java.io.File(d2, "_scale_tag.txt"))
-    val tagNow = try src.mkString.trim finally src.close()
-    assert(tagNow == "m2")
+    val markerNow = try src.getLines().toList finally src.close()
+    assert(markerNow.head.trim == "m2")
+    assert(markerNow.exists(_.trim == "factor=2"),
+      "marker must stamp the factor alongside the tag")
+    // A legacy (pre-r16, tag-only) marker can't vouch for stride
+    // consistency — a partial into it must refuse with the retrofit hint.
+    val mw = new java.io.PrintWriter(new java.io.File(d2, "_scale_tag.txt"))
+    try mw.print("m2") finally mw.close()
+    val legacyFactor = intercept[IllegalArgumentException] {
+      ScaleData.expand(spark, outDir, d2, 2, "m2", Some(Set("documents")))
+    }
+    assert(legacyFactor.getMessage.contains("retrofit the marker"))
     // Round-15 review hole 1: a partial into an UNMARKED dir that already
     // holds tables must refuse too — a pre-marker legacy dir's tag is
     // unknowable, and stamping this run's tag would vouch for salts it
@@ -168,11 +185,28 @@ class ScaleDataSpec extends SparkSpec {
     val d4 = graft.core.TempDirs.create("graft-scaledata-inval")
     ScaleData.expand(spark, outDir, d4, 2, "v1")
     assert(new java.io.File(d4, "_scale_tag.txt").isFile)
-    // Force a failure AFTER the invalidation point: a bogus src table dir
-    // makes the first read throw, leaving the dir mid-"rebrand".
+    // ADVICE r15: a trivially-doomed run (typo'd/empty src) must fail the
+    // src-sanity precondition BEFORE touching dst — the old behavior
+    // deleted a healthy dir's marker without writing a single table.
     val bogusSrc = graft.core.TempDirs.create("graft-scaledata-bogus")
-    intercept[Exception] {
+    val doomed = intercept[IllegalArgumentException] {
       ScaleData.expand(spark, bogusSrc, d4, 2, "v2")
+    }
+    assert(doomed.getMessage.contains("missing"))
+    assert(new java.io.File(d4, "_scale_tag.txt").isFile,
+      "a doomed rebrand (empty src) must not orphan the dst marker")
+    // Force a failure AFTER the invalidation point: every src table
+    // EXISTS (passing the sanity check) but is a corrupt junk file, so
+    // the first read throws mid-"rebrand" — the marker must already be
+    // gone, never vouching for a half-rebranded dir.
+    val corruptSrc = graft.core.TempDirs.create("graft-scaledata-corrupt")
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings").foreach { t =>
+      val w = new java.io.PrintWriter(new java.io.File(corruptSrc, s"$t.parquet"))
+      try w.print("not parquet") finally w.close()
+    }
+    intercept[Exception] {
+      ScaleData.expand(spark, corruptSrc, d4, 2, "v2")
     }
     assert(!new java.io.File(d4, "_scale_tag.txt").isFile,
       "stale marker survived a failed rebrand — it must be invalidated first")

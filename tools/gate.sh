@@ -94,6 +94,16 @@ else
   echo "== gate 2d/3: plan-shape invariants skipped (SKIP_PLAN=1) =="
 fi
 
+echo "== gate 2e/3: scale-exponent ledger (scale_check) =="
+# The "zero super-linear" claim, mechanized (VERDICT r15 item 2): the
+# committed decade evidence named in SCALE_LEDGER.txt must be probe-
+# certified healthy and every bytes-exponent <= 1.0 with two-rep
+# agreement. The selftest runs FIRST and proves a planted regression,
+# an uncertified rep, a -1 sentinel and a broken agreement all FAIL —
+# same drill-before-trust pattern as scan_check_selftest above.
+python3 tools/scale_check_selftest.py
+python3 tools/scale_check.py
+
 if [[ "${GATE_GOLDEN_DRILL:-0}" == "1" ]]; then
   echo "== gate 2c/3: golden regeneration drill (GATE_GOLDEN_DRILL=1) =="
   # Opt-in (VERDICT r12 item 6): regenerate the committed golden oracles

@@ -286,9 +286,37 @@ def bench(bench_json):
                   "load metadata — drift normalization withheld (set "
                   "GATE_BENCH_ENV_OK=1 to apply it deliberately)")
             env = 1.0
+    # AQE-off pass-composition guard (ADVICE r15): r15 moved the __aqe_off
+    # entries from a tail block after ALL on passes into the same time
+    # window as their on twins — on a device whose throughput swings
+    # mid-suite the two compositions are not comparable (the q43 off/on
+    # ratio read ~1.4x tail-block vs ~1.1x same-window on identical code).
+    # Bench r16+ stamps "aqe_off_window"; older records are inferred from
+    # their round (r15 interleaved was the first same-pass composition,
+    # everything earlier ran off entries as a tail block).
+    def off_window(doc, path):
+        w = doc.get("aqe_off_window")
+        if w:
+            return w
+        m = re.search(r"_r(\d+)", os.path.basename(path or ""))
+        rnd = int(m.group(1)) if m else 99
+        inter = (doc.get("mode") or "interleaved") == "interleaved"
+        return "same_pass" if inter and rnd >= 15 else "tail_block"
+    cur_off_win = off_window(cur, None)
+    prev_off_win = off_window(prev, prev_path)
+    off_comparable = cur_off_win == prev_off_win
+    if not off_comparable:
+        print(f"gate_diff bench NOTE: __aqe_off pass composition differs "
+              f"(prev {prev_off_win}, cur {cur_off_win}) — off-entry diffs "
+              "are cross-methodology and reported as NOTEs only")
     regressions = []
     for q, t_prev in prev_q.items():
         t_cur = cur_q.get(q)
+        if q.endswith("__aqe_off") and not off_comparable:
+            if t_cur is not None and t_cur > 0 and t_prev > 0:
+                print(f"gate_diff bench NOTE (cross-composition, not "
+                      f"failing): {q}: {t_cur:.2f}s vs {t_prev:.2f}s")
+            continue
         if t_cur is None:
             regressions.append(f"{q}: missing from current bench")
         elif t_cur < 0:
