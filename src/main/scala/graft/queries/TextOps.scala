@@ -1009,9 +1009,20 @@ object TextOps {
       val d2 = expr("IF(size(ts) >= 3, transform(sequence(1, size(ts) - 2)," +
         " i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 2) AS w2))," +
         " array())")
+      // Hash-prefixed grouping key (round 16, the q_bigram_lm canon —
+      // VERDICT r15 watch item): the corpus-sized pair aggregation
+      // shuffles and, at the sf100 tier, SPILL-SORTS on two wide token
+      // strings; leading the grouping with xxhash64(w1, w2) makes the
+      // external-sort comparisons and the exchange's partitioning hash
+      // ride an 8-byte long, reaching the strings only on collisions.
+      // Groups are unchanged (the hash is functionally dependent on the
+      // pair), the prefix is dropped before the top-30, and the final
+      // order is total on (cnt, w1, w2) — output byte-identical.
       toks.select(explode(concat(d1, d2)).as("pr"))
         .select(col("pr.w1"), col("pr.w2"))
-        .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+        .groupBy(xxhash64(col("w1"), col("w2")).as("hp"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("w1"), col("w2"), col("cnt"))
         .orderBy(desc("cnt"), asc("w1"), asc("w2"))
         .limit(30)
     },
