@@ -175,6 +175,21 @@ object PlanCheck {
           s.cartesian + s.bnlj == 0) None
       else Some("want corpusScans=1 no-joins windowParts=[2] xxhash>=1 " +
         s"exchanges<=3 no-cartesian/bnlj, got ($s)")
+    },
+    // q_cooccur_window (round 16 — pinned the same round its plan
+    // changed, so the guard ships with the change it guards): ONE corpus
+    // scan, NO join (pairs are GENERATED by array transform, never a
+    // positional self-join — the quadratic shape this query must never
+    // regress to), the pair aggregation keyed with an xxhash64 prefix
+    // (xxhash>=1; 0 means the 8-byte sort-key trick fell off and sf100
+    // spill-sorts compare wide token strings again), and exactly ONE
+    // exchange (the partial->final agg shuffle; the top-30 is a
+    // TakeOrdered, not a global sort exchange).
+    "q_cooccur_window" -> { s =>
+      if (s.corpusScans == 1 && s.corpusJoinKeys.isEmpty && s.xxhash >= 1 &&
+          s.exchanges <= 1 && s.cartesian + s.bnlj == 0) None
+      else Some("want corpusScans=1 no-joins xxhash>=1 exchanges<=1 " +
+        s"no-cartesian/bnlj, got ($s)")
     })
 
   def main(args: Array[String]): Unit = {
