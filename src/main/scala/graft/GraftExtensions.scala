@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, DotProduct}
 
 /** Session extension: registers the engine's native expressions AND its
   * custom operator strategies. Attach with
@@ -21,6 +21,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "", "", "", "", "", "", ""),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo("graft", null, "graft_dot",
+        "graft_dot(a, b) - dot product of two double arrays",
+        "", "", "", "", "", "", ""),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProduct(children(0), children(1))))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
@@ -28,9 +35,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   /** Idempotent in-session registration for sessions built without the
     * extensions conf (e.g. the driver's own Verify session). */
-  def ensureRegistered(spark: SparkSession): Unit =
+  def ensureRegistered(spark: SparkSession): Unit = {
     org.apache.spark.sql.graftaccess.FunctionAccess.register(
       spark, "graft_cosine",
       "graft_cosine(a, b) - cosine similarity of two double arrays",
       children => CosineSimilarity(children(0), children(1)))
+    org.apache.spark.sql.graftaccess.FunctionAccess.register(
+      spark, "graft_dot",
+      "graft_dot(a, b) - dot product of two double arrays",
+      children => DotProduct(children(0), children(1)))
+  }
 }

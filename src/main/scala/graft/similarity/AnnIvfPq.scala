@@ -33,13 +33,19 @@ object AnnIvfPq {
   val TOP_K = 5
   val RERANK_FACTOR = 4
 
+  /** Native single-pass dot (optimization r16, guide §4 — the HOF
+    * spelling was an interpreted fold; bit-identical accumulation). */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.DotProduct.dot(a, b)
 
-  private def normalized(e: DataFrame): DataFrame = {
-    val norm = sqrt(dot(col("emb"), col("emb")))
-    e.select(col("vec_id"), transform(col("emb"), x => x / norm).as("emb"))
-  }
+  /** Unit-normalize with the norm hoisted into its own column
+    * (optimization r16): inlined inside the transform lambda the dot-fold
+    * re-evaluated per ELEMENT — dim² interpreted work per row. Same norm
+    * value, same divisions — bit-identical. */
+  private def normalized(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("emb"),
+        sqrt(dot(col("emb"), col("emb"))).as("nrm"))
+      .select(col("vec_id"), transform(col("emb"), x => x / col("nrm")).as("emb"))
 
   /** Fit coarse cells on the normalized corpus, code the residuals, and
     * persist the whole index (manifest last — crash-consistency canon). */
@@ -48,8 +54,24 @@ object AnnIvfPq {
     val s = e.sparkSession
     graft.GraftExtensions.ensureRegistered(s)
     graft.core.IndexManifest.invalidate(s, indexDir)
-    val en = normalized(e)
-    val n = en.count()
+    // Normalize ONCE into the index's vectors table (optimization r16 —
+    // same rationale as AnnPq.fit): every fit-side consumer (count,
+    // seeds, each k-means iteration's two assign sides, the assignment,
+    // residuals, the final vectors copy) used to replay the interpreted
+    // normalize kernel, single-threaded on the one-file fixture scan.
+    // Repartitioned by vec_id to the session's default parallelism so the
+    // kernel work is spread across cores whatever the input file count.
+    // Corpus count rides the SAME write job as an observe() metric —
+    // the separate count() job it replaces was a full extra pass.
+    val cnt = org.apache.spark.sql.Observation("ivfpq-fit-n")
+    normalized(e)
+      .select(col("vec_id"), col("emb").as("nemb"))
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .observe(cnt, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$indexDir/vectors")
+    val en = s.read.parquet(s"$indexDir/vectors")
+      .select(col("vec_id"), col("nemb").as("emb"))
+    val n = cnt.get("n").asInstanceOf[Long]
     val stride = math.max(1L, n / coarseK)
     val seeds = en.filter(col("vec_id") % stride === 0 &&
         col("vec_id") / stride < coarseK)
@@ -61,17 +83,25 @@ object AnnIvfPq {
     assigned.select("vec_id", "cid").write.mode("overwrite")
       .parquet(s"$indexDir/assigned")
     // Residuals: vector minus its cell centroid — what PQ actually codes.
-    val residuals = assigned.join(broadcast(persistedC), "cid")
-      .select(col("vec_id"),
-        zip_with(col("emb"), col("cemb"), (x, c) => x - c).as("emb"))
+    // Derived from the PERSISTED assignment and materialized once
+    // (optimization r16, lineage truncation): the old frame reused the
+    // un-truncated `assigned` plan, so every codebook-fit action replayed
+    // the full N·K assignment scoring — StageBreakdown at sf0.1 read
+    // multi-second single-task CPU stages for each replay. Same rows,
+    // same doubles (assignment values come from the same persisted table).
+    val assignedP = s.read.parquet(s"$indexDir/assigned")
+    val residuals = graft.core.Materialize(
+      en.join(assignedP, "vec_id")
+        .join(broadcast(persistedC), "cid")
+        .select(col("vec_id"),
+          zip_with(col("emb"), col("cemb"), (x, c) => x - c).as("emb")),
+      "ivfpq-resid")
     val rsv = AnnPq.subvectorsOf(residuals, normalize = false)
     val codes = AnnPq.chooseCodes(n)
     AnnPq.fitCodebook(rsv, n, codes, iters)
       .write.mode("overwrite").parquet(s"$indexDir/codebook")
     val cb = s.read.parquet(s"$indexDir/codebook")
     AnnPq.encode(rsv, cb).write.mode("overwrite").parquet(s"$indexDir/codes")
-    en.select(col("vec_id"), col("emb").as("nemb"))
-      .write.mode("overwrite").parquet(s"$indexDir/vectors")
     graft.core.IndexManifest.write(s, indexDir,
       Map("family" -> "ivfpq-cosine", "coarse_k" -> coarseK.toString,
         "m" -> AnnPq.M.toString, "codes" -> codes.toString))

@@ -65,12 +65,16 @@ object AnnLsh {
   private def cosine(a: Column, b: Column): Column =
     graft.functions.CosineSimilarity.cosine(a, b)
 
-  /** Bit b of the signature = sign of ⟨v, plane_b⟩, as an int column. */
+  /** Bit b of the signature = sign of ⟨v, plane_b⟩, as an int column.
+    * Native graft_dot (optimization r16, guide §4): the HOF spelling paid
+    * an interpreted fold per plane — bands·bitsPerBand = 192 folds of
+    * dim 64 per corpus row was the single hottest stage of the index
+    * build (StageBreakdown: 3.7 s CPU of q_ann_lsh's 6.6 s at sf0.1).
+    * Same accumulation order, bit-identical signs. */
   private def signatureBits(emb: Column, ps: Array[Array[Double]]): Seq[Column] =
     ps.toSeq.map { plane =>
       val planeCol = array(plane.map(lit).toIndexedSeq: _*)
-      (aggregate(zip_with(emb, planeCol, (x, y) => x * y), lit(0.0), _ + _) > 0)
-        .cast("int")
+      (graft.functions.DotProduct.dot(emb, planeCol) > 0).cast("int")
     }
 
   /** (vec_id, emb, band, sig) bucket rows. With probe=true additionally
@@ -87,6 +91,9 @@ object AnnLsh {
     * materialized column through untouched. */
   def bucketed(e: DataFrame, shape: Shape = Sharp, probe: Boolean = false,
                seed: Long = 7L, dim: Int = 64): DataFrame = {
+    // signatureBits evaluates the graft_dot call_function (same contract
+    // as the cosine sites: resolution needs the session registration).
+    graft.GraftExtensions.ensureRegistered(e.sparkSession)
     val ps = planes(seed, shape.signBits, dim)
     val withBits = e.select(col("vec_id"), col("emb"),
       array(signatureBits(col("emb"), ps): _*).as("bits"))
@@ -153,7 +160,20 @@ object AnnLsh {
     // Invalidate FIRST (see IndexManifest.invalidate): rebuilds must not
     // leave a stale manifest over a partially overwritten bucket table.
     graft.core.IndexManifest.invalidate(e.sparkSession, indexDir)
+    // Index layout split (optimization r16, guide §2.3 "shuffle keys and
+    // metadata instead of payloads"): bucket rows used to carry the full
+    // emb array on every one of the `bands` rows per vector — a 16×
+    // payload duplication in the stored table, the band-join shuffle AND
+    // the candidate distinct (which deduped ~550 B rows instead of 16 B
+    // id pairs). Buckets now store (vec_id, band, sig) only; the rerank
+    // fetches vectors by id from the once-stored vectors table.
+    // Vectors BEFORE buckets (the AnnPq two-table canon): an orphan
+    // vector row after a crash is unreachable, while an orphan BUCKET row
+    // would silently drop from the rerank join.
+    e.select(col("vec_id"), col("emb"))
+      .write.mode("overwrite").parquet(s"$indexDir/vectors")
     bucketed(e, shape, probe = false, seed, dim)
+      .select("vec_id", "band", "sig")
       .write.mode("overwrite").parquet(s"$indexDir/buckets")
     // Manifest LAST: presence certifies a complete bucket table.
     graft.core.IndexManifest.write(e.sparkSession, indexDir,
@@ -167,7 +187,11 @@ object AnnLsh {
       seed: Long = 7L, dim: Int = 64): Unit = {
     graft.core.IndexManifest.verify(newVecs.sparkSession, indexDir,
       manifestFields(shape, seed, dim), "AnnLsh.append")
+    // Vectors before buckets — same crash-ordering rationale as buildIndex.
+    newVecs.select(col("vec_id"), col("emb"))
+      .write.mode("append").parquet(s"$indexDir/vectors")
     bucketed(newVecs, shape, probe = false, seed, dim)
+      .select("vec_id", "band", "sig")
       .write.mode("append").parquet(s"$indexDir/buckets")
   }
 
@@ -181,16 +205,22 @@ object AnnLsh {
     graft.core.IndexManifest.verify(s, indexDir,
       manifestFields(shape, seed, dim), "AnnLsh.search")
     val buckets = s.read.parquet(s"$indexDir/buckets")
+    val vectors = s.read.parquet(s"$indexDir/vectors")
     val qb = bucketed(queries, shape, probe = true, seed, dim)
-      .select(col("vec_id").as("qid"), col("emb").as("qemb"),
-        col("band"), col("sig"))
-    // Candidates: any shared (band, sig) bucket; distinct before rerank.
+      .select(col("vec_id").as("qid"), col("band"), col("sig"))
+    // Candidates: any shared (band, sig) bucket; the distinct runs on
+    // bare (qid, cand_id) id pairs — the embeddings join in AFTER the
+    // dedup (optimization r16: the old shape deduped rows carrying both
+    // 64-double arrays). Same pair set, same rerank scores.
     val cands = qb.join(buckets, Seq("band", "sig"))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("qemb"), col("vec_id").as("cand_id"), col("emb"))
+      .select(col("qid"), col("vec_id").as("cand_id"))
       .distinct()
+    val qn = queries.select(col("vec_id").as("qid"), col("emb").as("qemb"))
     val w = Window.partitionBy("qid").orderBy(desc("cos_sim"), asc("cand_id"))
-    cands.select(col("qid"), col("cand_id"),
+    cands.join(vectors, col("cand_id") === vectors("vec_id"))
+      .join(qn, "qid")
+      .select(col("qid"), col("cand_id"),
         round(cosine(col("qemb"), col("emb")), 6).as("cos_sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= topK)

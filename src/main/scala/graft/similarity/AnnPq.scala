@@ -40,19 +40,32 @@ object AnnPq {
   def chooseCodes(n: Long): Int =
     math.min(MAX_CODES, math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt))
 
+  /** Native single-pass dot (graft.functions.DotProduct) — optimization
+    * r16, guide §4: the HOF aggregate(zip_with(...)) spelling here was an
+    * interpreted fold; bit-identical accumulation order. Callers go
+    * through an entry point that calls GraftExtensions.ensureRegistered. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.DotProduct.dot(a, b)
 
-  /** Unit-normalize (optional — IVFPQ feeds pre-centered residuals), then
-    * explode into (vec_id, m, sv) long form; dim must divide evenly into
-    * M subspaces (the fixture dim 64 → 8×8). */
+  /** (vec_id, nemb) unit-normalized rows. The norm is hoisted into its
+    * own projected column (optimization r16): spelled inline inside the
+    * transform lambda, the full dot-fold re-evaluated PER ELEMENT
+    * (interpreted HOF lambdas get no subexpression elimination) — dim²
+    * work per row. Same norm value, same divisions — bit-identical. */
+  private[similarity] def normalized(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("emb"),
+        sqrt(dot(col("emb"), col("emb"))).as("nrm"))
+      .select(col("vec_id"), transform(col("emb"), x => x / col("nrm")).as("nemb"))
+
+  /** Explode pre-normalized/pre-centered (vec_id, emb) rows into the
+    * (vec_id, m, sv) long form; dim must divide evenly into M subspaces
+    * (the fixture dim 64 → 8×8). Callers normalize first where the PQ
+    * family requires unit vectors — IVFPQ feeds centered residuals. */
   private[similarity] def subvectorsOf(e: DataFrame, normalize: Boolean): DataFrame = {
-    val nemb =
-      if (normalize) {
-        val norm = sqrt(dot(col("emb"), col("emb")))
-        transform(col("emb"), x => x / norm)
-      } else col("emb")
-    e.select(col("vec_id"), nemb.as("nemb"),
+    val base =
+      if (normalize) normalized(e).select(col("vec_id"), col("nemb").as("emb"))
+      else e
+    base.select(col("vec_id"), col("emb").as("nemb"),
         (size(col("emb")) / M).cast("int").as("sd"))
       .select(col("vec_id"), col("nemb"), col("sd"),
         explode(sequence(lit(0), lit(M - 1))).as("m"))
@@ -112,48 +125,90 @@ object AnnPq {
     * map-side kernel above; the only shuffle per iteration is the
     * centroid-update aggregation (posexplode → partial-agg avg). Codes
     * whose cell empties keep their previous codeword (seed carry-over)
-    * so ids stay dense and the kernel layout stays rectangular. */
+    * so ids stay dense and the kernel layout stays rectangular.
+    *
+    * The book lives as a LOCAL array between iterations (optimization
+    * r16, lineage truncation): it is driver-scale by construction
+    * (≤ M·codes rows ≈ 16 KB) and ALREADY crossed the driver once per
+    * iteration via collectCodebook — but the old DataFrame carry-over
+    * chain made iteration k's plan contain iterations 0..k-1's full sv
+    * aggregations, so every collect and the final codebook write
+    * REPLAYED them (StageBreakdown at sf0.1: ~6 corpus-derived passes
+    * for a 2-iteration fit where 3 suffice). Each iteration now runs
+    * exactly ONE job over sv; the returned frame is a local relation
+    * with the same (m, code, cw) row multiset, bit-identical values. */
   def fitCodebook(sv: DataFrame, n: Long, codes: Int, iters: Int): DataFrame = {
+    val s = sv.sparkSession
     val stride = math.max(1L, n / codes)
-    var cb = sv
+    def rowsOf(df: DataFrame): Array[(Int, Int, Seq[Double])] =
+      df.collect().map(r => (r.getAs[Int]("m"), r.getAs[Int]("code"),
+        r.getAs[Seq[Double]]("cw")))
+    def layout(b: Array[(Int, Int, Seq[Double])]): Array[Array[Array[Double]]] = {
+      val byM = b.groupBy(_._1)
+      (0 until M).toArray.map(m => byM(m).sortBy(_._2).map(_._3.toArray))
+    }
+    var book = rowsOf(sv
       .filter(col("vec_id") % stride === 0 && col("vec_id") / stride < codes)
       .select(col("m"), (col("vec_id") / stride).cast("int").as("code"),
-        col("sv").as("cw"))
+        col("sv").as("cw")))
     for (_ <- 0 until iters) {
-      val kernel = encodeUdf(collectCodebook(cb))
-      val updated = sv
+      val kernel = encodeUdf(layout(book))
+      val updated = rowsOf(sv
         .select(col("m"), kernel(col("m"), col("sv")).as("code"), col("sv"))
         .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
         .groupBy(col("m"), col("code"), col("pos")).agg(avg(col("x")).as("v"))
         .groupBy(col("m"), col("code"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
-          s => s.getField("v")).as("cw"))
-      // Seed carry-over: left-anti joining the previous book against the
-      // update keeps any emptied cell's old codeword (both frames are
-      // ≤ M·codes rows — driver-scale arithmetic, executor-scale data).
-      cb = updated.unionByName(
-        cb.join(updated.select("m", "code"), Seq("m", "code"), "left_anti"))
+          st => st.getField("v")).as("cw")))
+      // Seed carry-over in driver arithmetic — same semantics as the old
+      // unionByName + left_anti: emptied cells keep their previous cw.
+      val updKeys = updated.map(t => (t._1, t._2)).toSet
+      book = updated ++ book.filter(t => !updKeys((t._1, t._2)))
     }
-    cb
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("m",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("code",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("cw",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = true))))
+    s.createDataFrame(
+      book.map(t => org.apache.spark.sql.Row(t._1, t._2, t._3)).toSeq.asJava,
+      schema)
   }
 
   /** Fit once, persist codebook + codes + normalized vectors, manifest
     * last (crash-consistency canon shared with the sibling families). */
   def fit(e: DataFrame, indexDir: String, iters: Int = 2): Unit = {
     val s = e.sparkSession
+    graft.GraftExtensions.ensureRegistered(s)
     graft.core.IndexManifest.invalidate(s, indexDir)
-    val sv = subvectors(e)
-    val n = e.count()
+    // Normalize ONCE into the index's vectors table and derive the whole
+    // fit (seed book, iterations, encode) from the read-back
+    // (optimization r16): the old shape re-ran the per-row normalize
+    // kernel in every codebook job, and on a single-file fixture scan
+    // all of it ran in ONE task. Repartitioned by vec_id to the
+    // session's default parallelism so kernel work spreads across cores
+    // whatever the input's file count (scale-adaptive, no constant).
+    // Same doubles after the parquet round-trip — bit-identical index.
+    // Corpus count rides the SAME write job as an observe() metric —
+    // the separate count() job it replaces was a full extra pass.
+    val cnt = org.apache.spark.sql.Observation("pq-fit-n")
+    normalized(e)
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .observe(cnt, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$indexDir/vectors")
+    val en = s.read.parquet(s"$indexDir/vectors")
+      .select(col("vec_id"), col("nemb").as("emb"))
+    val sv = subvectorsOf(en, normalize = false)
+    val n = cnt.get("n").asInstanceOf[Long]
     val codes = chooseCodes(n)
     fitCodebook(sv, n, codes, iters)
       .write.mode("overwrite").parquet(s"$indexDir/codebook")
     val cb = s.read.parquet(s"$indexDir/codebook")
     encode(sv, cb).write.mode("overwrite").parquet(s"$indexDir/codes")
-    // Normalized full vectors ride in the index for the exact rerank step
-    // (fetched by equi-join on the shortlisted candidate ids only).
-    val norm = sqrt(dot(col("emb"), col("emb")))
-    e.select(col("vec_id"), transform(col("emb"), x => x / norm).as("nemb"))
-      .write.mode("overwrite").parquet(s"$indexDir/vectors")
     graft.core.IndexManifest.write(s, indexDir,
       Map("family" -> "pq-adc", "m" -> M.toString,
         "codes" -> codes.toString))
@@ -162,6 +217,7 @@ object AnnPq {
   /** Code new vectors against the frozen codebook and append — the
     * ingest path; the codebook is never refit here. */
   def append(s: SparkSession, indexDir: String, newVecs: DataFrame): Unit = {
+    graft.GraftExtensions.ensureRegistered(s)
     graft.core.IndexManifest.verify(s, indexDir,
       Map("family" -> "pq-adc"), "AnnPq.append")
     val cb = s.read.parquet(s"$indexDir/codebook")
@@ -172,8 +228,7 @@ object AnnPq {
     // ADC shortlist and then be silently dropped by the rerank join,
     // degrading top-k quality with no error. This is the two-table
     // analogue of the sibling families' manifest-last canon.
-    val norm = sqrt(dot(col("emb"), col("emb")))
-    newVecs.select(col("vec_id"), transform(col("emb"), x => x / norm).as("nemb"))
+    normalized(newVecs)
       .write.mode("append").parquet(s"$indexDir/vectors")
     encode(subvectors(newVecs), cb)
       .write.mode("append").parquet(s"$indexDir/codes")
@@ -183,6 +238,7 @@ object AnnPq {
     * shortlist. q = (qid, qemb). */
   def search(s: SparkSession, indexDir: String, q: DataFrame,
       topK: Int = TOP_K): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(s)
     graft.core.IndexManifest.verify(s, indexDir,
       Map("family" -> "pq-adc"), "AnnPq.search")
     val cb = s.read.parquet(s"$indexDir/codebook")
@@ -206,10 +262,8 @@ object AnnPq {
       .filter(col("rn") <= topK * RERANK_FACTOR)
       .select(col("qid"), col("vec_id"))
     // Exact rerank: true cosine (normalized dot) on the shortlist only.
-    val qn = q.select(col("qid"), {
-      val norm = sqrt(dot(col("qemb"), col("qemb")))
-      transform(col("qemb"), x => x / norm).as("qn")
-    })
+    val qn = normalized(q.select(col("qid").as("vec_id"), col("qemb").as("emb")))
+      .select(col("vec_id").as("qid"), col("nemb").as("qn"))
     val w = Window.partitionBy("qid").orderBy(desc("cos_sim"), asc("cand_id"))
     shortlist.join(vectors, "vec_id").join(qn, "qid")
       .select(col("qid"), col("vec_id").as("cand_id"),
