@@ -56,17 +56,30 @@ object DedupClusters {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
+      // ONE job per round (optimization r16, the PageRank observe canon):
+      // the changed-row count rides the snapshot write as an observe()
+      // metric over a prev-label join — the old shape wrote the snapshot
+      // and then ran a second read-back join job just for the count.
+      // updated's id set equals labels' id set (labels start as every
+      // edge endpoint and propagation never drops a node), so the inner
+      // prev-join preserves every row and the written labels are
+      // identical. count(when(...)) not sum(): count is 0 — never null —
+      // on an empty graph, keeping the empty-pairs exit path.
+      val cObs = org.apache.spark.sql.Observation(s"cc-changed-$iter")
       val neighborMin = edges
         .join(labels.select(col("id").as("b"), col("comp")), "b")
         .select(col("a").as("id"), col("comp"))
       val updated = neighborMin.union(labels)
         .groupBy("id").agg(min("comp").as("comp"))
-      updated.write.mode("overwrite").parquet(s"$tmp/iter=$iter")
-      val next = s.read.parquet(s"$tmp/iter=$iter")
-      changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
-        .filter(col("comp") =!= col("old")).count()
-      labels = next
-      // The changed-count action above is the last reader of iter-1: every
+      updated
+        .join(labels.withColumnRenamed("comp", "old"), "id")
+        .observe(cObs,
+          count(when(col("comp") =!= col("old"), lit(1))).as("changed"))
+        .select("id", "comp")
+        .write.mode("overwrite").parquet(s"$tmp/iter=$iter")
+      changed = cObs.get("changed").asInstanceOf[Long]
+      labels = s.read.parquet(s"$tmp/iter=$iter")
+      // The snapshot write above is the last reader of iter-1: every
       // later job rescans only the newest snapshot, so earlier iterations
       // can be dropped immediately (bounded scratch, not O(iters) disk).
       if (iter >= 1) graft.core.TempDirs.delete(s"$tmp/iter=${iter - 1}")

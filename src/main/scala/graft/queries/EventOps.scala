@@ -23,11 +23,17 @@ object EventOps {
       val prev = lag("ts", 1).over(w)
       val brk = when(prev.isNull ||
         unix_micros(col("ts")) - unix_micros(prev) > 1800L * 1000000L, 1).otherwise(0)
+      // n_sessions = max(sess), not countDistinct(sess) (optimization
+      // r16): sess is a running sum of 0/1 breaks whose first row is
+      // always 1 (prev.isNull), so per user it takes exactly the values
+      // 1..K — the distinct count IS the max. max() keeps the aggregate
+      // a plain partial-aggregable HashAggregate where the distinct
+      // spelling paid the two-phase distinct expansion on (user, sess).
       t(s, dir, "events")
         .withColumn("sess", sum(brk).over(running))
         .groupBy("user_id")
-        .agg(countDistinct(col("sess")).as("n_sessions"),
-          round(count(lit(1)).cast("double") / countDistinct(col("sess")), 6)
+        .agg(max(col("sess")).as("n_sessions"),
+          round(count(lit(1)).cast("double") / max(col("sess")), 6)
             .as("avg_sess_events"))
         .orderBy("user_id")
     },

@@ -59,43 +59,73 @@ object GraphOps {
     * engines agree when the cap (not frontier exhaustion) terminates. */
   val BfsMaxHops = 6
 
+  /** Part co-occurrence pairs (x ≠ y, both directions, once per order) —
+    * the edge feed all four graph queries share. Built by aggregating
+    * each order's distinct part set and exploding the pairs from the
+    * array (optimization r16, guide §2.4): the old spelling paid a
+    * distinct shuffle on (orderkey, partkey) and then RE-shuffled both
+    * sides of a self-join on orderkey — three corpus-sized exchanges
+    * where one grouping does the same work (collect_set dedupes exactly
+    * like the distinct; per-order pair fan-out is identical to the
+    * self-join's). Row multiset out is unchanged, so every downstream
+    * support count / distinct is byte-identical. */
+  private def coPairs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_orderkey").agg(collect_set("l_partkey").as("ps"))
+      .select(explode(col("ps")).as("src"), col("ps"))
+      .select(col("src"), explode(col("ps")).as("dst"))
+      .where(col("src") =!= col("dst"))
+
   val queries: Map[String, Q] = Map(
     "q_pagerank_parts" -> { (s, dir) =>
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
       val tmp = graft.core.TempDirs.create("graft-pr")
-      li.as("a")
-        .join(li.as("b"), Seq("l_orderkey"))
-        .where(col("a.l_partkey") =!= col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      coPairs(s, dir)
         .distinct()
         .write.mode("overwrite").parquet(s"$tmp/edges")
       val e = s.read.parquet(s"$tmp/edges")
+      // Node count rides the degree write as an observe() metric — the
+      // old separate deg.count() job re-read the table it had just built.
+      val nObs = org.apache.spark.sql.Observation("pr-n")
       e.groupBy("src").agg(count(lit(1)).as("d"))
+        .observe(nObs, count(lit(1)).as("n"))
         .write.mode("overwrite").parquet(s"$tmp/deg")
       val deg = s.read.parquet(s"$tmp/deg")
-      val n = deg.count().toDouble
+      val n = nObs.get("n").asInstanceOf[Long].toDouble
+      // Degree folded INTO the edge table once (optimization r16, guide
+      // §2.4): the loop used to run e ⋈ deg ⋈ r every iteration — the
+      // deg side is static across iterations, so pre-joining removes one
+      // edge-sized join per round (≤ PrMaxIter of them; at cluster scale
+      // deg is node-sized and each avoided join is a real shuffle).
+      e.join(deg, "src")
+        .write.mode("overwrite").parquet(s"$tmp/edeg")
+      val edeg = s.read.parquet(s"$tmp/edeg")
       deg.select(col("src").as("node"), lit(1.0 / n).as("rank"))
         .write.mode("overwrite").parquet(s"$tmp/iter=0")
       var r = s.read.parquet(s"$tmp/iter=0")
       var iter = 0
       var deltaRel = Double.MaxValue
       while (iter < PrMaxIter && deltaRel >= PrEps) {
-        e.join(deg, "src")
-          .join(r, col("src") === col("node"))
+        // ONE job per iteration (was two): the convergence delta rides
+        // the same write as an observe() max — the old shape wrote the
+        // snapshot, then ran a second read-back join job for the delta.
+        // The prev-rank join adds nothing the delta job didn't already
+        // pay, and every node keeps a row (undirected graph ⇒ every node
+        // receives contributions), so the written ranks are identical.
+        val dObs = org.apache.spark.sql.Observation(s"pr-delta-$iter")
+        edeg.join(r, col("src") === col("node"))
           .select(col("dst"), (col("rank") / col("d")).as("c"))
           .groupBy("dst").agg(sum("c").as("m"))
           .select(col("dst").as("node"),
             (lit(0.15 / n) + lit(0.85) * col("m")).as("rank"))
+          .join(r.select(col("node"), col("rank").as("prev")), "node")
+          .observe(dObs, max(abs(col("rank") - col("prev"))).as("delta"))
+          .select("node", "rank")
           .write.mode("overwrite").parquet(s"$tmp/iter=${iter + 1}")
-        val next = s.read.parquet(s"$tmp/iter=${iter + 1}")
-        val d = next.join(r.withColumnRenamed("rank", "prev"), "node")
-          .agg(max(abs(col("rank") - col("prev"))).as("delta"))
-          .head().getDouble(0)
+        val d = dObs.get("delta").asInstanceOf[Double]
         deltaRel = math.round(d * n * 1e9) / 1e9
-        // The delta action above was the last reader of iter-1's snapshot.
+        // The write above was the last reader of iter-1's snapshot.
         if (iter >= 1) graft.core.TempDirs.delete(s"$tmp/iter=${iter - 1}")
-        r = next
+        r = s.read.parquet(s"$tmp/iter=${iter + 1}")
         iter += 1
       }
       r.select(col("node"), round(col("rank"), 6).as("rank"),
@@ -113,20 +143,15 @@ object GraphOps {
     // a<b<c. The truncation is part of the declared semantics; the
     // output reports how much of the graph survived the cap.
     "q_triangle_count" -> { (s, dir) =>
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
       // Materialized twice: e0 feeds the degree union (2x) and the
       // truncated edge build; e feeds both wedge-join sides, the closing
       // join and the edge count. Unbarriered the replays CASCADE — every
-      // consumer of e replays e0, which replays the corpus self-join and
-      // the degree branches — and the executed plan carried 44 corpus
-      // scans (ReuseProbe r9). With the two barriers: exactly the 2
-      // inherent self-join sides.
+      // consumer of e replays e0, which replays the pair build and the
+      // degree branches — and the executed plan carried 44 corpus
+      // scans (ReuseProbe r9). With the two barriers: one pair-build pass.
       val e0 = graft.core.Materialize(
-        li.as("a")
-          .join(li.as("b"), Seq("l_orderkey"))
-          .where(col("a.l_partkey") < col("b.l_partkey"))
-          .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        coPairs(s, dir)
+          .where(col("src") < col("dst"))
           .distinct(),
         "tri-e0")
       val deg = e0.select(col("src").as("node"))
@@ -192,44 +217,45 @@ object GraphOps {
     // Oracle: DuckDB WITH RECURSIVE, UNION-distinct on (node, dist),
     // same BfsMaxHops cap, min(dist) collapse outside the recursion.
     "q_bfs_hops" -> { (s, dir) =>
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
       val tmp = graft.core.TempDirs.create("graft-bfs")
-      li.as("a").join(li.as("b"), Seq("l_orderkey"))
-        .where(col("a.l_partkey") =!= col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      coPairs(s, dir)
+        .groupBy(col("src"), col("dst"))
         .agg(count(lit(1)).as("support"))
         .filter(col("support") >= 2)
         .select("src", "dst")
         .write.mode("overwrite").parquet(s"$tmp/edges")
       val e = s.read.parquet(s"$tmp/edges")
       val nodes = e.select(col("src").as("node")).distinct()
+      // The visited set is an APPEND-mode dir (optimization r16): the old
+      // loop REWROTE the whole accumulated set every level — O(V) write
+      // volume per level, O(V·depth) total — where appending just the new
+      // frontier writes each row once. The anti-join reads the same row
+      // set either way (a fresh read lists the dir's current files).
       nodes.join(t(s, dir, "part").filter(col("p_size") === 50)
             .select(col("p_partkey").as("node")), "node")
         .select(col("node"), lit(0).as("dist"))
-        .write.mode("overwrite").parquet(s"$tmp/visited=0")
-      var visited = s.read.parquet(s"$tmp/visited=0")
-      var frontier = visited.select("node")
+        .write.mode("overwrite").parquet(s"$tmp/visited")
+      var frontier = s.read.parquet(s"$tmp/visited").select("node")
       var level = 0
       var frontierSize = frontier.count()
       while (level < BfsMaxHops && frontierSize > 0) {
         level += 1
+        // Frontier size rides the frontier write as an observe() count —
+        // the old shape ran a third read-back count job per level.
+        val fObs = org.apache.spark.sql.Observation(s"bfs-front-$level")
         frontier.join(e, col("node") === col("src"))
           .select(col("dst").as("node")).distinct()
-          .join(visited.select("node"), Seq("node"), "left_anti")
+          .join(s.read.parquet(s"$tmp/visited").select("node"),
+            Seq("node"), "left_anti")
           .select(col("node"), lit(level).as("dist"))
+          .observe(fObs, count(lit(1)).as("n"))
           .write.mode("overwrite").parquet(s"$tmp/frontier=$level")
         val next = s.read.parquet(s"$tmp/frontier=$level")
-        visited.union(next).write.mode("overwrite")
-          .parquet(s"$tmp/visited=$level")
-        // The union write above was the last reader of the previous
-        // visited snapshot; the new frontier re-reads its own file.
-        graft.core.TempDirs.delete(s"$tmp/visited=${level - 1}")
-        visited = s.read.parquet(s"$tmp/visited=$level")
+        next.write.mode("append").parquet(s"$tmp/visited")
         frontier = next.select("node")
-        frontierSize = next.count()
+        frontierSize = fObs.get("n").asInstanceOf[Long]
       }
-      nodes.join(visited, Seq("node"), "left_outer")
+      nodes.join(s.read.parquet(s"$tmp/visited"), Seq("node"), "left_outer")
         .select(col("node"), coalesce(col("dist"), lit(-1)).as("dist"))
         .groupBy("dist")
         .agg(count(lit(1)).as("n_nodes"), sum("node").as("node_sum"))
@@ -243,11 +269,8 @@ object GraphOps {
     // on src suffices; the histogram re-aggregates on the tiny degree
     // domain. Edges stay in the shuffle, never the driver.
     "q_degree_dist" -> { (s, dir) =>
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      li.as("a").join(li.as("b"), Seq("l_orderkey"))
-        .where(col("a.l_partkey") =!= col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      coPairs(s, dir)
+        .groupBy(col("src"), col("dst"))
         .agg(count(lit(1)).as("support"))
         .filter(col("support") >= 2)
         .groupBy("src").agg(count(lit(1)).as("deg"))

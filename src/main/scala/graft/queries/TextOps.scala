@@ -442,6 +442,12 @@ object TextOps {
           i => concat_ws(" ", slice(toks, i, lit(5))))).otherwise(array())
       val spanRows = t(s, dir, "documents")
         .select(col("doc_id"), explode(array_distinct(spans)).as("span"))
+      // Plain span window key, MEASURED (r16 SpanAb, same-JVM interleaved
+      // min-of-5): the r15 hash-prefix idiom — (xxhash64(span), span) —
+      // reads 2.17 vs 2.08 s here: the sorter's built-in 8-byte string
+      // prefix already covers these keys, so the extra hash column is
+      // pure cost at this key width. The idiom pays off only where keys
+      // share long common prefixes (bigram/novelty window keys at sf100).
       spanRows
         .withColumn("owner", min("doc_id").over(Window.partitionBy("span")))
         .groupBy("doc_id")
