@@ -206,20 +206,20 @@ object AnnLsh {
       manifestFields(shape, seed, dim), "AnnLsh.search")
     val buckets = s.read.parquet(s"$indexDir/buckets")
     val vectors = s.read.parquet(s"$indexDir/vectors")
+    // qemb rides the QUERY side of the bucket join (it is probe-fan-out ×
+    // |queries| rows — tiny by construction), so the queries frame is
+    // scanned exactly once; only the corpus-side payload was removed
+    // (optimization r16). The candidate distinct still dedupes before the
+    // vectors join fetches each candidate's embedding once.
     val qb = bucketed(queries, shape, probe = true, seed, dim)
-      .select(col("vec_id").as("qid"), col("band"), col("sig"))
-    // Candidates: any shared (band, sig) bucket; the distinct runs on
-    // bare (qid, cand_id) id pairs — the embeddings join in AFTER the
-    // dedup (optimization r16: the old shape deduped rows carrying both
-    // 64-double arrays). Same pair set, same rerank scores.
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"),
+        col("band"), col("sig"))
     val cands = qb.join(buckets, Seq("band", "sig"))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("cand_id"))
+      .select(col("qid"), col("qemb"), col("vec_id").as("cand_id"))
       .distinct()
-    val qn = queries.select(col("vec_id").as("qid"), col("emb").as("qemb"))
     val w = Window.partitionBy("qid").orderBy(desc("cos_sim"), asc("cand_id"))
     cands.join(vectors, col("cand_id") === vectors("vec_id"))
-      .join(qn, "qid")
       .select(col("qid"), col("cand_id"),
         round(cosine(col("qemb"), col("emb")), 6).as("cos_sim"))
       .withColumn("rn", row_number().over(w))
