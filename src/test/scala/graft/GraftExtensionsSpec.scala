@@ -11,10 +11,14 @@ import org.apache.spark.sql.graftaccess.ExtensionsAccess
   * SparkSessionExtensions and read back what it injected. */
 class GraftExtensionsSpec extends SparkSpec {
 
-  test("extensions class injects graft_cosine and the as-of strategy") {
+  test("extensions class injects the native expressions and the as-of strategy") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)
-    assert(ExtensionsAccess.registeredFunctionNames(ext) == Seq("graft_cosine"))
+    // Order-insensitive set compare: the registry grew graft_dot in the
+    // r16 optimization round (ANN hot-loop dot product) next to the
+    // original graft_cosine.
+    assert(ExtensionsAccess.registeredFunctionNames(ext).toSet
+      == Set("graft_cosine", "graft_dot"))
     assert(ExtensionsAccess.plannerStrategies(ext, spark)
       == Seq(graft.plans.AsOfJoinStrategy))
   }
