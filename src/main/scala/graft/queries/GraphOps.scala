@@ -230,16 +230,23 @@ object GraphOps {
         .write.mode("overwrite").parquet(s"$tmp/edges")
       val e = s.read.parquet(s"$tmp/edges")
       val nodes = e.select(col("src").as("node")).distinct()
-      // The visited set is an APPEND-mode dir (optimization r16): the old
-      // loop REWROTE the whole accumulated set every level — O(V) write
-      // volume per level, O(V·depth) total — where appending just the new
-      // frontier writes each row once. The anti-join reads the same row
-      // set either way (a fresh read lists the dir's current files).
+      // The visited set accumulates as lvl=<k> SUBDIRS of one dir
+      // (optimization r17, refining the r16 append-mode cut): the r16
+      // loop wrote each level's frontier TWICE — once to its own
+      // frontier=<k> dir, then appended the same rows to visited (two
+      // jobs per level). Writing the frontier directly into
+      // visited/lvl=<k> makes the level's ONE write serve both readers:
+      // the next level's anti-join reads the visited root (whose eager
+      // file listing happens at DataFrame creation, BEFORE the level's
+      // subdir exists — so it sees exactly the pre-level snapshot, same
+      // as the r16 append), and the next frontier reads the lvl=<k> leaf
+      // path directly. Jobs per level 2 → 1, write volume halved; the
+      // same (node, dist) rows land in visited either way.
       nodes.join(t(s, dir, "part").filter(col("p_size") === 50)
             .select(col("p_partkey").as("node")), "node")
         .select(col("node"), lit(0).as("dist"))
-        .write.mode("overwrite").parquet(s"$tmp/visited")
-      var frontier = s.read.parquet(s"$tmp/visited").select("node")
+        .write.mode("overwrite").parquet(s"$tmp/visited/lvl=0")
+      var frontier = s.read.parquet(s"$tmp/visited/lvl=0").select("node")
       var level = 0
       var frontierSize = frontier.count()
       while (level < BfsMaxHops && frontierSize > 0) {
@@ -253,10 +260,8 @@ object GraphOps {
             Seq("node"), "left_anti")
           .select(col("node"), lit(level).as("dist"))
           .observe(fObs, count(lit(1)).as("n"))
-          .write.mode("overwrite").parquet(s"$tmp/frontier=$level")
-        val next = s.read.parquet(s"$tmp/frontier=$level")
-        next.write.mode("append").parquet(s"$tmp/visited")
-        frontier = next.select("node")
+          .write.mode("overwrite").parquet(s"$tmp/visited/lvl=$level")
+        frontier = s.read.parquet(s"$tmp/visited/lvl=$level").select("node")
         frontierSize = fObs.get("n").asInstanceOf[Long]
       }
       nodes.join(s.read.parquet(s"$tmp/visited"), Seq("node"), "left_outer")
